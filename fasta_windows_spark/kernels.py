@@ -1,0 +1,651 @@
+"""Pure-numpy statistics kernels with fasta_windows reference parity.
+
+These are the vectorized re-expressions of the reference's Rust kernels
+(tolkit/fasta_windows). Each function documents the reference file:line it
+re-implements. No Spark imports here — this module is unit-testable standalone
+and is wrapped by Arrow-batched pandas UDFs in ``functions/udfs.py``.
+
+Semantics notes (see SURVEY.md §7 "known-hard items"):
+- k-mer counting uses a dense 4^k array indexed by 2-bit codes
+  (A=0, C=1, G=2, T=3 — lexicographic order, matching the reference's
+  key-sorted map serialization, kmer_maps.rs:30-36 / kmeru8.rs:60-62).
+  Grams containing ANY non-ACGT byte (after case folding) are skipped.
+  The reference skips only grams containing 'N' (kmeru8.rs:47-49) and lets
+  other exotic bytes create dynamic map keys (kmeru8.rs:50-51) which
+  misalign its own headers; on ACGTN-alphabet input the two semantics
+  coincide exactly. Dense semantics are the documented behavior here.
+- All entropies use log2 (kmeru8.rs:113-123 comment says natural log but the
+  code is log2; code is ground truth).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "NUC_CODE",
+    "FOLD_UPPER",
+    "SIX_BIN",
+    "SIX_BIN_MASKED",
+    "byte_hist",
+    "seq_stats_from_hist",
+    "entropy256_from_hist",
+    "entropy6",
+    "kmer_vector",
+    "shannon_diversity",
+    "kt0_bits_per_base",
+    "ctw_bits_per_base",
+    "reverse_complement",
+    "window_bounds",
+    "page_window_stats",
+    "batch_window_stats",
+    "KMER_KS",
+    "kmer_names",
+]
+
+KMER_KS = (2, 3, 4)
+
+# --- lookup tables (analogs of entropy.rs:12-38 NUC_LUT / MASKED_LUT) --------
+
+# 2-bit nucleotide code; 255 = invalid for k-mer purposes (incl. N).
+# A/a=0 C/c=1 G/g=2 T/t=3 — code order == lexicographic ACGT order, so a
+# rolling base-4 index enumerates k-mers in the reference's key-sorted order.
+NUC_CODE = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    NUC_CODE[_b] = _i
+    NUC_CODE[_b + 32] = _i  # lowercase
+
+# Case folding of acgtn -> ACGTN only; all other bytes unchanged
+# (seq_statsu8.rs:92-100: entropy histogram folds exactly these five).
+FOLD_UPPER = np.arange(256, dtype=np.uint8)
+for _b in b"acgtn":
+    FOLD_UPPER[_b] = _b - 32
+
+# 6-bin classes A=0 C=1 G=2 T=3 N=4 other=5, lowercase acgtn folded
+# (entropy.rs:12-26 NUC_LUT).
+SIX_BIN = np.full(256, 5, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGTN"):
+    SIX_BIN[_b] = _i
+    SIX_BIN[_b + 32] = _i
+
+# Masked 6-bin: ONLY uppercase ACGTN; everything else 255=skip
+# (entropy.rs:29-38 MASKED_LUT).
+SIX_BIN_MASKED = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGTN"):
+    SIX_BIN_MASKED[_b] = _i
+
+_LN2 = math.log(2.0)
+_LGAMMA_HALF = math.lgamma(0.5)
+_LGAMMA_TWO = math.lgamma(2.0)
+
+# lowercase bases counted as "masked" when masked=False (seq_statsu8.rs:66-80):
+# a c g t m r w s y k v h b d n
+_MASKED_BYTES = np.frombuffer(b"acgtmrwsykvhbdn", dtype=np.uint8)
+
+
+def _as_bytes(seq) -> np.ndarray:
+    """Coerce str/bytes/ndarray to a uint8 numpy view."""
+    if isinstance(seq, np.ndarray):
+        return seq.astype(np.uint8, copy=False)
+    if isinstance(seq, str):
+        seq = seq.encode("utf-8")
+    return np.frombuffer(seq, dtype=np.uint8)
+
+
+# --- A1: byte histogram (seq_statsu8.rs:23-30) --------------------------------
+
+
+def byte_hist(seq) -> np.ndarray:
+    """Raw case-sensitive 256-bin byte histogram; the associative merge unit."""
+    buf = _as_bytes(seq)
+    return np.bincount(buf, minlength=256).astype(np.int64)
+
+
+# --- A2-A5: composition stats from the histogram (seq_statsu8.rs:34-122) -----
+
+
+def seq_stats_from_hist(hist: np.ndarray, masked: bool) -> dict:
+    """Scalar composition stats from a byte histogram.
+
+    Mirrors seq_statsu8.rs:50-85 (masked branch counts only uppercase;
+    unmasked folds case and tallies lowercase IUPAC bases as masked_counts)
+    and the struct fields at seq_statsu8.rs:107-121. Proportions divide by the
+    FULL window length (all bytes), not the ACGT total.
+    """
+    h = np.asarray(hist, dtype=np.int64)
+    length = int(h.sum())
+
+    def c(b: bytes) -> int:
+        return int(h[b[0]])
+
+    if masked:
+        g, cc, a, t, n = c(b"G"), c(b"C"), c(b"A"), c(b"T"), c(b"N")
+        masked_counts = 0
+        w = c(b"W")
+        s = c(b"S")
+    else:
+        g = c(b"G") + c(b"g")
+        cc = c(b"C") + c(b"c")
+        a = c(b"A") + c(b"a")
+        t = c(b"T") + c(b"t")
+        n = c(b"N") + c(b"n")
+        masked_counts = int(h[_MASKED_BYTES].sum())
+        w = c(b"W") + c(b"w")
+        s = c(b"S") + c(b"s")
+
+    def _f32div(num: int, den: int) -> float:
+        # reference does f32 division: 0/0 -> NaN (seq_statsu8.rs:108-111)
+        if den == 0:
+            return float("nan")
+        return float(np.float32(num) / np.float32(den))
+
+    gc_prop = _f32div(g + cc + s, g + cc + s + a + t + w)
+    gc_skew = _f32div(g - cc, g + cc)
+    at_skew = _f32div(a - t, a + t)
+    flen = float(np.float32(length)) if length else float("nan")
+
+    def _prop(x: int) -> float:
+        if length == 0:
+            return float("nan")
+        return float(np.float32(x) / np.float32(flen))
+
+    return {
+        "len": length,
+        "a": a,
+        "c": cc,
+        "g": g,
+        "t": t,
+        "n": n,
+        "w": w,
+        "s": s,
+        "masked_counts": masked_counts,
+        "gc_proportion": gc_prop,
+        "gc_skew": gc_skew,
+        "at_skew": at_skew,
+        "prop_g": _prop(g),
+        "prop_c": _prop(cc),
+        "prop_a": _prop(a),
+        "prop_t": _prop(t),
+        "prop_n": _prop(n),
+        "prop_masked": _prop(masked_counts),
+    }
+
+
+# --- A6: 256-bin Shannon entropy (seq_statsu8.rs:90-106) ----------------------
+
+
+def entropy256_from_hist(hist: np.ndarray) -> float:
+    """Byte-level Shannon entropy: acgtn folded to upper, every other byte a
+    distinct bin; denominator = full window length. Ignores masked flag
+    (seq_statsu8.rs:90 counts unconditionally)."""
+    h = np.asarray(hist, dtype=np.int64)
+    folded = np.bincount(FOLD_UPPER, weights=h, minlength=256)
+    n = folded.sum()
+    if n <= 0:
+        return 0.0
+    p = folded[folded > 0] / n
+    return float(-(p * np.log2(p)).sum())
+
+
+def entropy256(seq) -> float:
+    return entropy256_from_hist(byte_hist(seq))
+
+
+# --- A7: 6-bin entropy, entropy mode (entropy.rs:49-74) -----------------------
+
+
+def entropy6(seq, masked: bool = False) -> float:
+    """6-bin (ACGTN+other) Shannon entropy. masked=True counts only uppercase
+    ACGTN and the denominator is their total (entropy.rs:51-57)."""
+    buf = _as_bytes(seq)
+    if masked:
+        cls = SIX_BIN_MASKED[buf]
+        cls = cls[cls != 255]
+        counts = np.bincount(cls, minlength=6)
+    else:
+        counts = np.bincount(SIX_BIN[buf], minlength=6)
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p = counts[counts > 0] / total
+    return float(-(p * np.log2(p)).sum())
+
+
+# --- A8: k-mer count vector (kmeru8.rs:32-62, kmer_maps.rs:12-40) -------------
+
+
+def kmer_vector(seq, k: int) -> np.ndarray:
+    """Dense 4^k count vector of case-folded k-grams, stride 1.
+
+    Index = base-4 rolling code (A=0..T=3), enumerating k-mers in
+    lexicographic order == the reference's key-sorted map serialization.
+    Grams containing any non-ACGT byte are skipped (reference skips 'N',
+    kmeru8.rs:47-49; see module docstring for the dense-domain divergence).
+    """
+    buf = _as_bytes(seq)
+    out = np.zeros(4**k, dtype=np.int64)
+    if len(buf) < k:
+        return out
+    code = NUC_CODE[buf]
+    valid = code != 255
+    code4 = code.astype(np.int64)
+    idx = code4[: len(buf) - k + 1].copy()
+    ok = valid[: len(buf) - k + 1].copy()
+    for j in range(1, k):
+        idx = idx * 4 + code4[j : len(buf) - k + 1 + j]
+        ok &= valid[j : len(buf) - k + 1 + j]
+    return np.bincount(idx[ok], minlength=4**k).astype(np.int64)
+
+
+def mono_vector(hist: np.ndarray) -> np.ndarray:
+    """Case-folded A,C,G,T,N counts in the reference's mononuc output order
+    (seq_statsu8.rs:113: [a, c, g, t, n] — also the TSV column order A C G T N
+    at fw.rs:310)."""
+    h = np.asarray(hist, dtype=np.int64)
+    return np.array(
+        [
+            h[ord("A")] + h[ord("a")],
+            h[ord("C")] + h[ord("c")],
+            h[ord("G")] + h[ord("g")],
+            h[ord("T")] + h[ord("t")],
+            h[ord("N")] + h[ord("n")],
+        ],
+        dtype=np.int64,
+    )
+
+
+def kmer_names(k: int) -> list[str]:
+    """All 4^k k-mers in lexicographic order (kmer_maps.rs:70-86 analog)."""
+    import itertools
+
+    return ["".join(p) for p in itertools.product("ACGT", repeat=k)]
+
+
+# --- A9: Shannon diversity of a count vector (kmeru8.rs:113-123) --------------
+
+
+def shannon_diversity(vec) -> float:
+    v = np.asarray(vec, dtype=np.int64)
+    total = v.sum()
+    if total <= 0:
+        return 0.0
+    p = v[v > 0] / total
+    return float(-(p * np.log2(p)).sum())
+
+
+# --- A11: KT0 zero-order coder (kmeru8.rs:127-159) ----------------------------
+
+
+def kt0_bits_per_base(seq) -> float:
+    """Sequential KT0 code length in bits/base over ACGT symbols (skips the
+    rest). Computed via the closed form: the sequential product
+    Π (c_s + 1/2)/(N + 2) telescopes to the KT block probability
+    Π_s Γ(c_s+½)/Γ(½) · Γ(m/2)/Γ(N+m/2), so only the final counts matter."""
+    buf = _as_bytes(seq)
+    code = NUC_CODE[buf]
+    counts = np.bincount(code[code != 255], minlength=4)
+    return kt0_from_counts(counts)
+
+
+def kt0_from_counts(counts) -> float:
+    counts = np.asarray(counts, dtype=np.int64)
+    n_eff = int(counts.sum())
+    if n_eff == 0:
+        return 0.0
+    log_p = (
+        sum(math.lgamma(c + 0.5) for c in counts)
+        - 4 * _LGAMMA_HALF
+        + _LGAMMA_TWO
+        - math.lgamma(n_eff + 2.0)
+    ) / _LN2
+    return -log_p / n_eff
+
+
+# --- A12: Context-Tree Weighting, depth d (kmeru8.rs:170-319) -----------------
+
+
+def ctw_bits_per_base(seq, max_depth: int = 6) -> float:
+    """4-ary CTW with KT estimators, mixture weight beta=0.5, leaf=pure KT.
+    Non-ACGT symbols are skipped AND flush the context (kmeru8.rs:296-299).
+    Returns bits per effective base; depth 0 == KT0 (kmeru8.rs:171-173).
+
+    Sequential by construction; runs as a per-window Python loop inside an
+    Arrow batch (gate behind a config flag like the reference's -c,
+    main.rs:60-65)."""
+    if max_depth == 0:
+        return kt0_bits_per_base(seq)
+
+    buf = _as_bytes(seq)
+    code = NUC_CODE[buf]
+
+    beta = 0.5
+    # node storage: dict keyed by (depth, ctx_code) -> [counts4, total, log_p_kt, log_w]
+    # ctx_code = base-4 int of the most-recent-first context of length `depth`.
+    nodes: dict = {}
+
+    def node(depth: int, ctx: int):
+        key = (depth, ctx)
+        nd = nodes.get(key)
+        if nd is None:
+            nd = [np.zeros(4, dtype=np.int64), 0, 0.0, 0.0]
+            nodes[key] = nd
+        return nd
+
+    def log2_sum_weighted(a_log2: float, b_log2: float) -> float:
+        # log2(beta*2^a + (1-beta)*2^b) — kmeru8.rs:195-212
+        if a_log2 == float("-inf") and b_log2 == float("-inf"):
+            return float("-inf")
+        m = max(a_log2, b_log2)
+        ta = 0.0 if (a_log2 - m) < -50.0 else beta * 2.0 ** (a_log2 - m)
+        tb = 0.0 if (b_log2 - m) < -50.0 else (1.0 - beta) * 2.0 ** (b_log2 - m)
+        return m + math.log2(ta + tb)
+
+    # children log_w sums are tracked per node to avoid scanning children:
+    # child_logw_sum[key] = sum of log_w over instantiated children.
+    child_sum: dict = {}
+
+    total_delta = 0.0
+    n_eff = 0
+    ctx: list[int] = []  # most-recent-first, len <= max_depth
+
+    root_key = (0, 0)
+
+    for sym in code:
+        if sym == 255:
+            ctx.clear()
+            continue
+        sym = int(sym)
+        d = len(ctx)
+        # path of nodes root..depth d; ctx_code built most-recent-first
+        path = []
+        cc = 0
+        path.append((0, 0))
+        for i in range(d):
+            cc = cc * 4 + ctx[i]
+            path.append((i + 1, cc))
+
+        before = nodes.get(root_key, (None, None, None, 0.0))[3]
+
+        # bottom-up update: leaf (deepest) first, then mix upward
+        prev_logw = {}  # child key -> old log_w (for child_sum delta)
+        for lvl in range(len(path) - 1, -1, -1):
+            key = path[lvl]
+            nd = node(*key)
+            old_logw = nd[3]
+            # KT update (kmeru8.rs:253-257)
+            c_s = float(nd[0][sym])
+            n_tot = float(nd[1])
+            nd[2] += math.log2((c_s + 0.5) / (n_tot + 2.0))
+            nd[0][sym] += 1
+            nd[1] += 1
+            if lvl == len(path) - 1:
+                # leaf of the update path: no mixture (kmeru8.rs:283)
+                nd[3] = nd[2]
+            else:
+                child_key = path[lvl + 1]
+                cs = child_sum.get(key, 0.0) + (
+                    nodes[child_key][3] - prev_logw[child_key]
+                )
+                child_sum[key] = cs
+                nd[3] = log2_sum_weighted(nd[2], cs)
+            prev_logw[key] = old_logw
+
+        after = nodes[root_key][3]
+        total_delta += after - before
+        n_eff += 1
+
+        if len(ctx) == max_depth:
+            ctx.pop()
+        ctx.insert(0, sym)
+
+    if n_eff == 0:
+        return 0.0
+    return -total_delta / n_eff
+
+
+# --- A13: reverse complement (kmeru8.rs:321-344) ------------------------------
+
+_REVCOMP = np.full(256, ord("N"), dtype=np.uint8)
+for _a, _b in zip(b"ACGTN", b"TGCAN"):
+    _REVCOMP[_a] = _b
+
+
+def reverse_complement(seq) -> bytes:
+    buf = _as_bytes(seq)
+    return _REVCOMP[buf][::-1].tobytes()
+
+
+# --- P1/P2: positional windowing (fw.rs:83, fw.rs:76-79, fw.rs:132-144) -------
+
+
+def window_bounds(length: int, window: int, step: int | None = None):
+    """(start, end) pairs of positional windows over a sequence of `length`.
+
+    Tumbling (step None or == window): non-overlapping chunks, last one short
+    — exactly `chunks(window_size)` (fw.rs:83). A zero-length sequence yields
+    no windows. Sliding (step < window): starts at 0, step, 2*step, ... while
+    start < length; end clamped to length (the -w/-s generalization,
+    SURVEY.md §2.7)."""
+    if length <= 0:
+        return []
+    if step is None:
+        step = window
+    out = []
+    start = 0
+    while start < length:
+        out.append((start, min(start + window, length)))
+        start += step
+    return out
+
+
+# --- the fused per-page multi-window kernel (mapInPandas workhorse) -----------
+
+# Scalar stat column order produced by page_window_stats / batch_window_stats.
+STAT_FIELDS = [
+    "gc_prop",
+    "gc_skew",
+    "at_skew",
+    "shannon_entropy",
+    "prop_g",
+    "prop_c",
+    "prop_a",
+    "prop_t",
+    "prop_n",
+    "prop_masked",
+    "cpg_prop",
+    "dinuc_shannon",
+    "trinuc_shannon",
+    "tetranuc_shannon",
+    "entropy6",
+    "kt0",
+]
+
+
+def batch_window_stats(
+    texts: list,
+    window: int,
+    step: int | None = None,
+    masked: bool = False,
+    with_ctw: bool = False,
+    ks: tuple = KMER_KS,
+):
+    """Compute all per-window statistics for a batch of pages in one pass.
+
+    The tumbling path concatenates every page in the batch into a single byte
+    buffer and assigns a global window id to each byte position, then computes
+    ALL windows' byte histograms and k-mer vectors with a handful of global
+    ``np.bincount`` calls — one Python iteration per Arrow batch, zero per-row
+    Python (BASELINE.json input_hint). This is the Spark-side analog of the
+    reference's rayon record×k parallelism (fw.rs:67, kmeru8.rs:35) collapsed
+    into columnar form.
+
+    Returns (doc_idx, starts, ends, hists[nwin,256], kvecs{k: [nwin,4^k]},
+    ctw[nwin] or None).
+    """
+    if step is None:
+        step = window
+
+    bufs = [_as_bytes(t if t is not None else "") for t in texts]
+    lengths = np.array([len(b) for b in bufs], dtype=np.int64)
+
+    if step == window:
+        return _batch_tumbling(bufs, lengths, window, with_ctw, ks)
+    return _batch_sliding(bufs, lengths, window, step, with_ctw, ks)
+
+
+def _batch_tumbling(bufs, lengths, window, with_ctw, ks):
+    nwins = np.maximum((lengths + window - 1) // window, 0)
+    nwins[lengths == 0] = 0
+    total_wins = int(nwins.sum())
+    win_base = np.concatenate([[0], np.cumsum(nwins)[:-1]]) if len(bufs) else np.array([], dtype=np.int64)
+
+    doc_idx = np.repeat(np.arange(len(bufs)), nwins)
+    # per-window starts/ends
+    local_win = np.concatenate([np.arange(n) for n in nwins]) if total_wins else np.array([], dtype=np.int64)
+    starts = local_win * window
+    ends = np.minimum(starts + window, np.repeat(lengths, nwins))
+
+    if total_wins == 0:
+        return (
+            doc_idx,
+            starts,
+            ends,
+            np.zeros((0, 256), dtype=np.int64),
+            {k: np.zeros((0, 4**k), dtype=np.int64) for k in ks},
+            np.zeros(0) if with_ctw else None,
+        )
+
+    buf = np.concatenate([b for b in bufs if len(b)]) if lengths.sum() else np.zeros(0, dtype=np.uint8)
+    # global window id per byte position
+    doc_of_pos = np.repeat(np.arange(len(bufs)), lengths)
+    doc_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    local_pos = np.arange(len(buf), dtype=np.int64) - doc_starts[doc_of_pos]
+    win_of_pos = win_base[doc_of_pos] + local_pos // window
+
+    # all byte histograms in one bincount
+    hists = np.bincount(
+        win_of_pos * 256 + buf, minlength=total_wins * 256
+    ).reshape(total_wins, 256)
+
+    # k-mer vectors: rolling 2-bit codes over the global buffer; a gram is
+    # valid iff all bytes are ACGT AND it does not cross a window boundary
+    # (windows never span docs, so doc boundaries come for free).
+    code = NUC_CODE[buf]
+    valid = code != 255
+    code4 = code.astype(np.int64)
+    kvecs = {}
+    for k in ks:
+        m = len(buf) - k + 1
+        if m <= 0:
+            kvecs[k] = np.zeros((total_wins, 4**k), dtype=np.int64)
+            continue
+        idx = code4[:m].copy()
+        ok = valid[:m].copy()
+        for j in range(1, k):
+            idx = idx * 4 + code4[j : m + j]
+            ok &= valid[j : m + j]
+        # same window test: gram start and end in same window of same doc
+        ok &= win_of_pos[:m] == win_of_pos[k - 1 : m + k - 1]
+        combined = win_of_pos[:m][ok] * (4**k) + idx[ok]
+        kvecs[k] = np.bincount(combined, minlength=total_wins * (4**k)).reshape(
+            total_wins, 4**k
+        ).astype(np.int64)
+
+    ctw = None
+    if with_ctw:
+        ctw = np.zeros(total_wins)
+        for w in range(total_wins):
+            s, e = int(starts[w]), int(ends[w])
+            d = int(doc_idx[w])
+            ctw[w] = ctw_bits_per_base(bufs[d][s:e], 6)
+
+    return doc_idx, starts, ends, hists, kvecs, ctw
+
+
+def _batch_sliding(bufs, lengths, window, step, with_ctw, ks):
+    doc_idx_l, starts_l, ends_l, hist_l = [], [], [], []
+    kvec_l = {k: [] for k in ks}
+    ctw_l = []
+    for d, b in enumerate(bufs):
+        for s, e in window_bounds(len(b), window, step):
+            win = b[s:e]
+            doc_idx_l.append(d)
+            starts_l.append(s)
+            ends_l.append(e)
+            hist_l.append(np.bincount(win, minlength=256))
+            for k in ks:
+                kvec_l[k].append(kmer_vector(win, k))
+            if with_ctw:
+                ctw_l.append(ctw_bits_per_base(win, 6))
+    n = len(starts_l)
+    return (
+        np.array(doc_idx_l, dtype=np.int64),
+        np.array(starts_l, dtype=np.int64),
+        np.array(ends_l, dtype=np.int64),
+        np.array(hist_l, dtype=np.int64).reshape(n, 256),
+        {k: np.array(kvec_l[k], dtype=np.int64).reshape(n, 4**k) for k in ks},
+        np.array(ctw_l) if with_ctw else None,
+    )
+
+
+def page_window_stats(text, window: int, step: int | None = None, masked: bool = False, with_ctw: bool = False):
+    """Single-page convenience wrapper: list of per-window stat dicts
+    (fixture/oracle path; the Spark path uses batch_window_stats)."""
+    doc_idx, starts, ends, hists, kvecs, ctw = batch_window_stats(
+        [text], window, step, masked, with_ctw
+    )
+    out = []
+    for i in range(len(starts)):
+        st = scalar_stats_from_vectors(
+            hists[i], {k: kvecs[k][i] for k in KMER_KS}, masked
+        )
+        st["start"] = int(starts[i])
+        st["end"] = int(ends[i])
+        if with_ctw:
+            st["ctw"] = float(ctw[i])
+        out.append(st)
+    return out
+
+
+def scalar_stats_from_vectors(hist, kvecs: dict, masked: bool = False) -> dict:
+    """All finisher scalars from the associative state (byte hist + k-mer
+    vectors) — the streaming-merge-friendly decomposition: merge = elementwise
+    sum of hist/kvecs, then this finisher (SURVEY.md §4 custom item 2).
+
+    CpG: di vector index 6 == 'CG' (fw.rs:120), denominator = window length.
+    """
+    ss = seq_stats_from_hist(hist, masked)
+    length = ss["len"]
+    di = np.asarray(kvecs[2])
+    out = {
+        "len": length,
+        "mono": mono_vector(hist),
+        "gc_prop": ss["gc_proportion"],
+        "gc_skew": ss["gc_skew"],
+        "at_skew": ss["at_skew"],
+        "shannon_entropy": entropy256_from_hist(hist),
+        "prop_g": ss["prop_g"],
+        "prop_c": ss["prop_c"],
+        "prop_a": ss["prop_a"],
+        "prop_t": ss["prop_t"],
+        "prop_n": ss["prop_n"],
+        "prop_masked": ss["prop_masked"],
+        "cpg_prop": float(np.float32(di[6]) / np.float32(length)) if length else float("nan"),
+        "dinuc_shannon": shannon_diversity(kvecs[2]),
+        "trinuc_shannon": shannon_diversity(kvecs[3]),
+        "tetranuc_shannon": shannon_diversity(kvecs[4]),
+        "kt0": kt0_from_counts(
+            [
+                hist[ord("A")] + hist[ord("a")],
+                hist[ord("C")] + hist[ord("c")],
+                hist[ord("G")] + hist[ord("g")],
+                hist[ord("T")] + hist[ord("t")],
+            ]
+        ),
+        "di_freq": di,
+        "tri_freq": np.asarray(kvecs[3]),
+        "tetra_freq": np.asarray(kvecs[4]),
+    }
+    return out

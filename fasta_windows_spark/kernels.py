@@ -186,7 +186,7 @@ def entropy256_from_hist(hist: np.ndarray) -> float:
     if n <= 0:
         return 0.0
     p = folded[folded > 0] / n
-    return float(-(p * np.log2(p)).sum())
+    return float(-(p * np.log2(p)).sum()) + 0.0
 
 
 def entropy256(seq) -> float:
@@ -210,7 +210,7 @@ def entropy6(seq, masked: bool = False) -> float:
     if total == 0:
         return 0.0
     p = counts[counts > 0] / total
-    return float(-(p * np.log2(p)).sum())
+    return float(-(p * np.log2(p)).sum()) + 0.0
 
 
 # --- A8: k-mer count vector (kmeru8.rs:32-62, kmer_maps.rs:12-40) -------------
@@ -272,7 +272,7 @@ def shannon_diversity(vec) -> float:
     if total <= 0:
         return 0.0
     p = v[v > 0] / total
-    return float(-(p * np.log2(p)).sum())
+    return float(-(p * np.log2(p)).sum()) + 0.0
 
 
 # --- A11: KT0 zero-order coder (kmeru8.rs:127-159) ----------------------------
@@ -588,6 +588,110 @@ def _batch_sliding(bufs, lengths, window, step, with_ctw, ks):
         {k: np.array(kvec_l[k], dtype=np.int64).reshape(n, 4**k) for k in ks},
         np.array(ctw_l) if with_ctw else None,
     )
+
+
+_FOLD_PAIRS = [(ord(c), ord(c) - 32) for c in "acgtn"]  # lower -> upper
+
+
+def _entropy_rows(count_matrix: np.ndarray) -> np.ndarray:
+    """Row-wise Shannon entropy (log2) of count matrices; zero rows -> 0.0."""
+    m = np.asarray(count_matrix, dtype=np.float64)
+    totals = m.sum(axis=1, keepdims=True)
+    safe = np.maximum(totals, 1.0)
+    p = m / safe
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logs = np.where(p > 0, np.log2(np.where(p > 0, p, 1.0)), 0.0)
+    return -(p * logs).sum(axis=1) + 0.0  # normalize -0.0 (ref prints 0.000)
+
+
+def stats_table(hists: np.ndarray, kvecs: dict, masked: bool = False, f32: bool = True) -> dict:
+    """Vectorized-across-windows finisher: every scalar statistic for N windows
+    at once from the (N,256) byte-histogram matrix and (N,4^k) k-mer matrices.
+
+    ``f32=True`` reproduces the reference's f32 division semantics
+    (seq_statsu8.rs:108-120, 0/0 -> NaN); f32=False computes in float64 for
+    oracle-comparison paths. Returns dict of 1-D arrays keyed like
+    scalar_stats_from_vectors.
+    """
+    h = np.asarray(hists, dtype=np.int64)
+    n = h.shape[0]
+    lens = h.sum(axis=1)
+    ftype = np.float32 if f32 else np.float64
+
+    def c(ch: str) -> np.ndarray:
+        return h[:, ord(ch)]
+
+    if masked:
+        g, cc, a, t, nn = c("G"), c("C"), c("A"), c("T"), c("N")
+        masked_counts = np.zeros(n, dtype=np.int64)
+        w, s = c("W"), c("S")
+    else:
+        g, cc = c("G") + c("g"), c("C") + c("c")
+        a, t = c("A") + c("a"), c("T") + c("t")
+        nn = c("N") + c("n")
+        masked_counts = h[:, _MASKED_BYTES].sum(axis=1)
+        w, s = c("W") + c("w"), c("S") + c("s")
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        def div(num, den):
+            return (num.astype(ftype) / den.astype(ftype)).astype(np.float64)
+
+        flens = lens.astype(ftype)
+        out = {
+            "len": lens,
+            "a": a, "c": cc, "g": g, "t": t, "n": nn,
+            "masked_counts": masked_counts,
+            "gc_prop": div(g + cc + s, g + cc + s + a + t + w),
+            "gc_skew": div(g - cc, g + cc),
+            "at_skew": div(a - t, a + t),
+            "prop_g": (g.astype(ftype) / flens).astype(np.float64),
+            "prop_c": (cc.astype(ftype) / flens).astype(np.float64),
+            "prop_a": (a.astype(ftype) / flens).astype(np.float64),
+            "prop_t": (t.astype(ftype) / flens).astype(np.float64),
+            "prop_n": (nn.astype(ftype) / flens).astype(np.float64),
+            "prop_masked": (masked_counts.astype(ftype) / flens).astype(np.float64),
+        }
+
+    # 256-bin entropy with acgtn folded up (seq_statsu8.rs:90-106)
+    folded = h.astype(np.int64).copy()
+    for lo, up in _FOLD_PAIRS:
+        folded[:, up] += folded[:, lo]
+        folded[:, lo] = 0
+    out["shannon_entropy"] = _entropy_rows(folded)
+
+    # 6-bin entropy (entropy mode, entropy.rs:49-74): fold 256 bins into 6
+    six = np.zeros((n, 6), dtype=np.int64)
+    if masked:
+        for i, b in enumerate(b"ACGTN"):
+            six[:, i] = h[:, b]
+    else:
+        np.add.at(six.T, SIX_BIN, h.T)  # class-wise accumulate
+    out["entropy6"] = _entropy_rows(six)
+
+    # k-mer diversities + CpG (kmeru8.rs:113-123, fw.rs:120)
+    for k, name in ((2, "dinuc_shannon"), (3, "trinuc_shannon"), (4, "tetranuc_shannon")):
+        out[name] = _entropy_rows(kvecs[k])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["cpg_prop"] = (
+            np.asarray(kvecs[2])[:, 6].astype(ftype) / lens.astype(ftype)
+        ).astype(np.float64)
+
+    # KT0 closed form via an lgamma lookup table over 0..max_len (A11).
+    # KT0/CTW always case-fold regardless of the masked flag
+    # (kmeru8.rs:128-137 nuc_to_sym accepts upper and lower).
+    acgt = np.stack(
+        [c("A") + c("a"), c("C") + c("c"), c("G") + c("g"), c("T") + c("t")],
+        axis=1,
+    )
+    n_eff = acgt.sum(axis=1)
+    max_n = int(n_eff.max()) if n else 0
+    lg_half = np.array([math.lgamma(i + 0.5) for i in range(max_n + 1)])
+    lg_int = np.array([math.lgamma(i + 2.0) for i in range(max_n + 1)])
+    log_p = lg_half[acgt].sum(axis=1) - 4 * _LGAMMA_HALF + _LGAMMA_TWO - lg_int[n_eff]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kt0 = np.where(n_eff > 0, -(log_p / _LN2) / np.maximum(n_eff, 1), 0.0)
+    out["kt0"] = kt0
+    return out
 
 
 def page_window_stats(text, window: int, step: int | None = None, masked: bool = False, with_ctw: bool = False):

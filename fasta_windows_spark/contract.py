@@ -581,6 +581,643 @@ def doc_source_ngram_agg(spark, sf_dir):
     )
 
 
+# =============================================================================
+# §2 event-time windows over the events table (SURVEY.md §2.7 streaming analogs
+# in SQL-checkable batch form; true streaming paths live in streaming/ + tests)
+# =============================================================================
+
+
+@q(
+    "events_tumbling_1h",
+    """
+SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS w_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling_1h(spark, sf_dir):
+    """Tumbling event-time window (F.window == chunks() analog, fw.rs:83)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "events_sliding_1h_15m",
+    """
+WITH s AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts) - unnest([0,1,2,3]) * INTERVAL '15 minutes' AS w
+  FROM events
+)
+SELECT floor(epoch(w))::BIGINT AS w_start, event_type, count(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2
+""",
+)
+def events_sliding_1h_15m(spark, sf_dir):
+    """Sliding event-time window, W=1h step=15m (the -w/-s flag analog)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("w_start"), "event_type", "n_events"
+        )
+    )
+
+
+@q(
+    "events_session_10m",
+    """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+grp AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts) + INTERVAL '10 minutes'))::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events
+FROM grp GROUP BY user_id, sid
+""",
+)
+def events_session_10m(spark, sf_dir):
+    """Session windows keyed by user (host analog), 10-minute gap — Spark
+    merges sessions while the gap is < 10m; end = last event + gap."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "events_purchase_error_interval_join",
+    """
+SELECT p.user_id,
+       count(*)::BIGINT AS n_pairs,
+       min(e.event_id)::BIGINT AS first_error_id
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL '1 day'
+GROUP BY p.user_id
+""",
+)
+def events_purchase_error_interval_join(spark, sf_dir):
+    """J1 batch analog: event-time-bounded interval join (errors within one
+    day after a purchase, same user)."""
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    e = ev.where(F.col("event_type") == "error").alias("e")
+    joined = p.join(
+        e,
+        (F.col("p.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") >= F.col("p.ts"))
+        & (F.col("e.ts") < F.col("p.ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    return joined.groupBy(F.col("p.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("e.event_id").alias("first_error_id"),
+    )
+
+
+@q(
+    "events_dedup_first",
+    """
+SELECT user_id, event_type, arg_min(event_id, ts)::BIGINT AS first_event_id,
+       floor(epoch(min(ts)))::BIGINT AS first_ts
+FROM events GROUP BY user_id, event_type
+""",
+)
+def events_dedup_first(spark, sf_dir):
+    """dropDuplicates-with-watermark batch analog: keep the earliest event
+    per (user, type)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min_by("event_id", "ts").alias("first_event_id"),
+            F.unix_timestamp(F.min("ts")).alias("first_ts"),
+        )
+    )
+
+
+@q(
+    "events_topn_per_type",
+    """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+""",
+)
+def events_topn_per_type(spark, sf_dir):
+    """O2 analog: ranking window function, top-5 by value per type."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@q(
+    "events_salted_agg",
+    """
+SELECT event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def events_salted_agg(spark, sf_dir):
+    """Skew-handling pattern (north_rule): salted two-stage aggregation —
+    partial agg on (key, salt), final merge on key; result identical to the
+    direct groupBy, but hot keys spread over 16 reducers."""
+    ev = _events(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(16))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pc"), F.sum("value").alias("ps")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.round(F.sum("ps"), 4).alias("sum_value"),
+    )
+
+
+# =============================================================================
+# §3 relational operators on the TPC-H-ish tables (joins / aggs / ranking —
+# SURVEY.md §2.4-2.5; the reference has none of these, Spark gives them free)
+# =============================================================================
+
+
+@q(
+    "tpch_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with partial aggregation."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(DISTINCT o.o_orderkey)::BIGINT AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def tpch_revenue_by_nation(spark, sf_dir):
+    """Multi-join star query; the nation dim is broadcast (small side)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "tpch_top_customers",
+    """
+SELECT c_custkey, c_name, revenue FROM (
+  SELECT c.c_custkey, c.c_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         row_number() OVER (
+           ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                    c.c_custkey) AS rn
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_name
+) WHERE rn <= 10
+""",
+)
+def tpch_top_customers(spark, sf_dir):
+    """Join + global top-N with a deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.select("c_custkey", "c_name", "revenue", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# =============================================================================
+# §4 training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal plumbing) — first-class components per the build brief
+# =============================================================================
+
+from .operators import dedup as _dedup  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .functions import text as _text  # noqa: E402
+from .multimodal import decode as _mm  # noqa: E402
+
+
+@q(
+    "docs_dedup_exact",
+    """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+)
+def docs_dedup_exact(spark, sf_dir):
+    return _dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+_SQL_MINHASH_SH = """
+sh AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(substring(text,(p+1)::INT,5)),1,8))::BIGINT AS h
+  FROM documents, LATERAL (SELECT unnest(range(length(text)-4)) AS p) l
+  WHERE length(text) >= 5
+),
+sig AS (
+  SELECT doc_id,
+"""
+_SQL_MINHASH_SIGS = ",\n".join(
+    f"         min(({a}*h + {b}) % {_dedup.MINHASH_P})::BIGINT AS sig_{i}"
+    for i, (a, b) in enumerate(_dedup.MINHASH_PERMS)
+)
+_SQL_MINHASH = _SQL_MINHASH_SH + _SQL_MINHASH_SIGS + "\n  FROM sh GROUP BY doc_id\n)"
+
+
+@q(
+    "docs_minhash_signatures",
+    f"WITH {_SQL_MINHASH}\nSELECT * FROM sig",
+)
+def docs_minhash_signatures(spark, sf_dir):
+    sigs = _dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select("doc_id", *[f"sig_{i}" for i in range(8)])
+
+
+@q(
+    "docs_minhash_band_pairs",
+    f"""
+WITH {_SQL_MINHASH},
+bands AS (
+  SELECT doc_id, 0 AS band, sig_0 AS b0, sig_1 AS b1, sig_2 AS b2, sig_3 AS b3 FROM sig
+  UNION ALL
+  SELECT doc_id, 1, sig_4, sig_5, sig_6, sig_7 FROM sig
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.b0 = r.b0 AND l.b1 = r.b1
+ AND l.b2 = r.b2 AND l.b3 = r.b3 AND l.doc_id < r.doc_id
+""",
+)
+def docs_minhash_band_pairs(spark, sf_dir):
+    sigs = _dedup.minhash_signatures(_docs(spark, sf_dir))
+    return _dedup.minhash_band_pairs(sigs)
+
+
+_SQL_SIMHASH = f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bsum
+  FROM th, LATERAL (SELECT unnest(range({_dedup.SIMHASH_BITS})) AS j) l
+  GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN bsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+@q("docs_simhash", f"WITH {_SQL_SIMHASH}\nSELECT doc_id, simhash FROM sh")
+def docs_simhash(spark, sf_dir):
+    return _dedup.simhash(_docs(spark, sf_dir))
+
+
+@q(
+    "docs_simhash_near_pairs",
+    f"""
+WITH {_SQL_SIMHASH},
+bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) & 32767 AS bk
+  FROM sh, LATERAL (SELECT unnest(range({_dedup.SIMHASH_BANDS})) AS b) l
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 12
+""",
+)
+def docs_simhash_near_pairs(spark, sf_dir):
+    sh = _dedup.simhash(_docs(spark, sf_dir))
+    pairs = _dedup.simhash_near_pairs(sh, max_hamming=12)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@q(
+    "docs_jaccard_pairs",
+    """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+shg AS (
+  SELECT DISTINCT doc_id, l[p+1]||' '||l[p+2]||' '||l[p+3] AS shingle
+  FROM t, LATERAL (SELECT unnest(range(len(l)-2)) AS p) x
+  WHERE len(l) >= 3
+),
+rare AS (SELECT shingle FROM shg GROUP BY shingle HAVING count(*) <= 20),
+rsh AS (SELECT shg.doc_id, shg.shingle FROM shg JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM rsh l JOIN rsh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_common::BIGINT AS n_common,
+       round(c.n_common::DOUBLE/(sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE round(c.n_common::DOUBLE/(sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.4
+""",
+)
+def docs_jaccard_pairs(spark, sf_dir):
+    return _dedup.rare_shingle_jaccard_pairs(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.col("n_common").cast("long").alias("n_common"), "jaccard"
+    )
+
+
+_SQL_STOP = {
+    lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
+    for lang, words in _text.STOPWORDS.items()
+}
+
+
+@q(
+    "docs_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> list_contains({_SQL_STOP['en']}, t)))::BIGINT AS score_en,
+    len(list_filter(toks, t -> list_contains({_SQL_STOP['de']}, t)))::BIGINT AS score_de,
+    len(list_filter(toks, t -> list_contains({_SQL_STOP['fr']}, t)))::BIGINT AS score_fr
+  FROM t
+)
+SELECT doc_id, score_en, score_de, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s
+""",
+)
+def docs_lang_id(spark, sf_dir):
+    d = _text.with_lang_id(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("score_en").cast("long").alias("score_en"),
+        F.col("score_de").cast("long").alias("score_de"),
+        F.col("score_fr").cast("long").alias("score_fr"),
+        "pred_lang",
+    )
+
+
+@q(
+    "docs_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS lt, length(text)::BIGINT AS n_chars,
+         string_split(lower(text),' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+         length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))::DOUBLE AS punct,
+         len(list_filter(toks, t -> list_contains({_SQL_STOP['en']}, t)))::DOUBLE AS stop
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round((n_chars - (n_tokens - 1))/n_tokens::DOUBLE, 6) AS avg_token_len,
+       round(punct/n_chars, 6) AS punct_ratio,
+       round(stop/n_tokens, 6) AS stopword_ratio,
+       (n_tokens >= 10 AND stop/n_tokens > 0.02) AS quality_ok
+FROM s
+""",
+)
+def docs_quality(spark, sf_dir):
+    d = _text.with_quality(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_ok",
+    )
+
+
+@q(
+    "docs_token_counts",
+    f"""
+SELECT doc_id,
+       len(string_split(lower(text),' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_text.BPE_ISH_PATTERN}'))::BIGINT AS bpe_tokens
+FROM documents
+""",
+)
+def docs_token_counts(spark, sf_dir):
+    d = _text.with_token_counts(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "docs_fingerprint",
+    """
+WITH g AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(substring(text,(p+1)::INT,8)),1,8))::BIGINT AS h
+  FROM documents, LATERAL (SELECT unnest(range(length(text)-7)) AS p) l
+  WHERE length(text) >= 8
+)
+SELECT doc_id, min(h)::BIGINT AS fp_min, max(h)::BIGINT AS fp_max,
+       count(DISTINCT h)::BIGINT AS n_distinct_grams
+FROM g GROUP BY doc_id
+""",
+)
+def docs_fingerprint(spark, sf_dir):
+    d = _text.with_fingerprint(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "fp_min",
+        "fp_max",
+        F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
+    )
+
+
+@q(
+    "emb_cosine_neighbors",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               5) AS cosine
+  FROM e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine FROM c WHERE cosine >= 0.25
+""",
+)
+def emb_cosine_neighbors(spark, sf_dir):
+    return _sim.cosine_neighbors(_tbl(spark, sf_dir, "embeddings"))
+
+
+_PLANES = _sim.hyperplanes(8, 64)
+_SQL_BUCKET = " + ".join(
+    "(CASE WHEN list_dot_product(v, ["
+    + ",".join(f"{w}.0" for w in row)
+    + f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+    for i, row in enumerate(_PLANES)
+)
+
+
+@q(
+    "emb_lsh_buckets",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, ({_SQL_BUCKET})::BIGINT AS bucket FROM e
+""",
+)
+def emb_lsh_buckets(spark, sf_dir):
+    return _sim.lsh_buckets(_tbl(spark, sf_dir, "embeddings"))
+
+
+@q("emb_knn_topk")  # numpy/BLAS path: SIMD sum reassociation -> rows-only check
+def emb_knn_topk(spark, sf_dir):
+    import numpy as np
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    return _sim.knn_bruteforce_numpy(emb, qm, qids, k=10)
+
+
+@q(
+    "docs_media_meta",
+    """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+       ascii(substring(text, 1, 1))::BIGINT AS first_byte,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def docs_media_meta(spark, sf_dir):
+    return _mm.media_meta(_docs(spark, sf_dir))
+
+
+@q("docs_media_decode")  # codec stub is python-side: rows-only check
+def docs_media_decode(spark, sf_dir):
+    media = _mm.docs_as_media(_docs(spark, sf_dir))
+    return _mm.decode_media(media).drop("features")
+
+
 def queries() -> dict:
     return dict(QUERIES)
 

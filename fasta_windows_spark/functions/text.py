@@ -1,0 +1,100 @@
+"""Text-analysis column functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All JVM-side
+expressions (no Python in the hot path), oracle-reproducible in ANSI SQL."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "a", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+}
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _stop_count(tokens_col: str, words: list[str]) -> F.Column:
+    arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+    return F.expr(f"size(filter({tokens_col}, t -> array_contains({arr}, t)))")
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-heuristic language ID: argmax of per-language stopword
+    hit counts; ties resolve en > de > fr (deterministic)."""
+    d = docs.withColumn("_toks", F.split(F.lower(text_col), " "))
+    for lang, words in STOPWORDS.items():
+        d = d.withColumn(f"score_{lang}", _stop_count("_toks", words))
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), "de")
+        .otherwise("fr")
+    )
+    return d.withColumn("pred_lang", pred).drop("_toks")
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token stats, punctuation ratio, stopword
+    ratio, and a keep/drop flag (the C4-style heuristic family)."""
+    lower = F.lower(F.col(text_col))
+    n_chars = F.length(text_col)
+    toks = F.split(lower, " ")
+    n_tokens = F.size(toks)
+    n_spaces = n_tokens - 1
+    punct = F.length(F.regexp_replace(lower, "[a-z0-9 ]", ""))
+    stop = _stop_count("_toks", STOPWORDS["en"])
+    return (
+        docs.withColumn("_toks", toks)
+        .select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round((n_chars - n_spaces) / n_tokens.cast("double"), 6).alias(
+                "avg_token_len"
+            ),
+            F.round(punct / n_chars.cast("double"), 6).alias("punct_ratio"),
+            F.round(stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
+            (
+                (n_tokens >= 10) & ((stop / n_tokens.cast("double")) > 0.02)
+            ).alias("quality_ok"),
+        )
+    )
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    lower = F.lower(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(lower, " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Document fingerprint (winnowing-lite): min/max 32-bit hash over all
+    k-char grams + distinct gram count. Content-defined, order-independent
+    of document layout — usable as a cheap near-dup prefilter key."""
+    grams = F.expr(
+        f"transform(sequence(0, length({text_col})-{k}), p -> "
+        f"cast(conv(substr(md5(substring({text_col}, p+1, {k})),1,8),16,10) as bigint))"
+    )
+    return (
+        docs.where(F.length(text_col) >= k)
+        .withColumn("_grams", grams)  # materialize once; 3 consumers below
+        .select(
+            "doc_id",
+            F.array_min("_grams").alias("fp_min"),
+            F.array_max("_grams").alias("fp_max"),
+            F.size(F.array_distinct("_grams")).alias("n_distinct_grams"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; hyperplane-LSH
+bucketing is the scale path (candidates only within buckets). Dot products
+run as sequential JVM fold expressions (aggregate/zip_with) so the DuckDB
+oracle (list_dot_product on DOUBLE[]) reproduces them bit-for-bit; the
+numpy-matmul variant in ``knn_bruteforce_numpy`` is the high-throughput
+path for real workloads (SIMD reassociates sums, so it is not oracle-gated).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product of two array<double> columns (JVM-side)."""
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+
+def cosine_neighbors(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine similarity of every vector against one query vector
+    (broadcast), keeping matches >= threshold. Narrow plan: broadcast join +
+    per-row fold, no shuffle."""
+    e = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    q = (
+        e.where(F.col(id_col) == query_vec_id)
+        .select(F.col("_v").alias("_q"))
+    )
+    joined = e.where(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q))
+    cos = _dot("_v", "_q") / (
+        F.sqrt(_dot("_v", "_v")) * F.sqrt(_dot("_q", "_q"))
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 5).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# deterministic hyperplanes from a fixed LCG (seeded, no RNG state at runtime)
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    x = 88172645463325252
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64 — fixed, reproducible, embeddable in SQL literals
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append((x % 2001) - 1000)
+        planes.append(row)
+    return planes
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit pattern of `n_planes` dot
+    products with fixed integer hyperplanes. At scale, ANN = group by bucket,
+    brute-force within buckets only."""
+    planes = hyperplanes(n_planes, dim)
+    e = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    bucket = None
+    for i, row in enumerate(planes):
+        arr = "array(" + ",".join(f"{w}D" for w in row) + ")"
+        d = F.expr(
+            f"aggregate(zip_with(_v, {arr}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        bit = F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return e.select(F.col(id_col), bucket.alias("bucket"))
+
+
+KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def knn_bruteforce_numpy(
+    emb: DataFrame, queries: np.ndarray, query_ids: np.ndarray, k: int = 10
+) -> DataFrame:
+    """Scale-path brute-force top-k: Arrow batches -> numpy matmul against a
+    broadcast query matrix; per-partition top-k then global top-k. This is
+    the high-throughput variant (BLAS), used for real ANN workloads."""
+    qm = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            sims = qm @ mat.T  # (nq, nb)
+            topk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, topk - 1, axis=1)[:, :topk]
+            rows = {
+                "vec_id": np.repeat(query_ids, topk),
+                "neighbor_id": pdf["vec_id"].to_numpy()[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(compute, KNN_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,288 @@
+"""Structured Streaming graphs: the event-time re-expression of the
+reference's windowed statistics (SURVEY.md §2.7, north_rule).
+
+Hot path shape: watermark-bounded windowed hash-aggregate in the RocksDB
+state store (partial aggregation before the shuffle is automatic for
+streaming aggs), fed by JVM count expressions / Arrow-batched kernels —
+zero per-row Python.
+
+Sinks: the production target is an Iceberg table (exactly-once via
+idempotent epoch commits); this sandbox has no Iceberg runtime jar, so the
+tested sink is Spark's file sink (parquet + _spark_metadata transaction
+log — the same exactly-once contract: batch commits are atomic and replay
+is idempotent). ``sink_format()`` picks iceberg when available.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+LANG_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("detect_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source (sandbox stand-in for the Iceberg/ Kafka
+    pages stream). maxFilesPerTrigger controls micro-batch granularity."""
+    r = spark.readStream.schema(PAGE_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.option("latestFirst", "false").parquet(path)
+
+
+def with_host(df: DataFrame) -> DataFrame:
+    """id-trimming analog (entropy.rs:109-113): the grouping key is the
+    url-host, extracted JVM-side."""
+    return df.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+
+
+def _char_count(col: str, ch: str) -> F.Column:
+    # occurrences of a literal char, case-folded — pure JVM expression
+    base = F.length(col) - F.length(F.replace(F.col(col), F.lit(ch)))
+    low = F.length(col) - F.length(F.replace(F.col(col), F.lit(ch.lower())))
+    return (base + low).cast("long")
+
+
+def page_count_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-page associative state: length + case-folded ACGTN counts, as
+    whole-stage-codegen JVM expressions (the streaming-merge unit; merging
+    = summing these columns)."""
+    return df.select(
+        "host",
+        "warc_ts",
+        F.length(text_col).cast("long").alias("n_chars"),
+        _char_count(text_col, "A").alias("cnt_a"),
+        _char_count(text_col, "C").alias("cnt_c"),
+        _char_count(text_col, "G").alias("cnt_g"),
+        _char_count(text_col, "T").alias("cnt_t"),
+        _char_count(text_col, "N").alias("cnt_n"),
+    )
+
+
+def _entropy6_finisher() -> F.Column:
+    """Closed-form 6-bin Shannon entropy from merged counts (column arith)."""
+    ln = F.col("total_chars").cast("double")
+    oth = (
+        F.col("total_chars")
+        - F.col("cnt_a")
+        - F.col("cnt_c")
+        - F.col("cnt_g")
+        - F.col("cnt_t")
+        - F.col("cnt_n")
+    ).cast("double")
+    terms = []
+    for c in ("cnt_a", "cnt_c", "cnt_g", "cnt_t", "cnt_n"):
+        x = F.col(c).cast("double")
+        terms.append(F.when(x > 0, (x / ln) * F.log2(x / ln)).otherwise(0.0))
+    terms.append(F.when(oth > 0, (oth / ln) * F.log2(oth / ln)).otherwise(0.0))
+    return -sum(terms[1:], start=terms[0])
+
+
+def host_window_stats(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time windowed aggregation keyed by url-host:
+    the F.window analog of chunks(window_size) (fw.rs:83). Append-mode
+    emission once the watermark passes the window end; late rows dropped."""
+    p = with_host(pages).withWatermark("warc_ts", watermark)
+    counts = page_count_columns(p)
+    win = F.window("warc_ts", window, slide) if slide else F.window("warc_ts", window)
+    agg = counts.groupBy(win.alias("w"), "host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("cnt_a").alias("cnt_a"),
+        F.sum("cnt_c").alias("cnt_c"),
+        F.sum("cnt_g").alias("cnt_g"),
+        F.sum("cnt_t").alias("cnt_t"),
+        F.sum("cnt_n").alias("cnt_n"),
+    )
+    gc_den = (F.col("cnt_g") + F.col("cnt_c") + F.col("cnt_a") + F.col("cnt_t")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "host",
+        "n_pages",
+        "total_chars",
+        "cnt_a",
+        "cnt_c",
+        "cnt_g",
+        "cnt_t",
+        "cnt_n",
+        F.round(_entropy6_finisher(), 6).alias("entropy6_merged"),
+        F.round(
+            (F.col("cnt_g") + F.col("cnt_c")).cast("double") / F.nullif(gc_den, F.lit(0)),
+            6,
+        ).alias("gc_prop"),
+    )
+
+
+def host_session_stats(
+    pages: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows keyed by url-host (SURVEY.md §2.7)."""
+    p = with_host(pages).withWatermark("warc_ts", watermark)
+    return (
+        page_count_columns(p)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), "host")
+        .agg(F.count("*").alias("n_pages"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "n_pages",
+            "total_chars",
+        )
+    )
+
+
+KMER_LONG_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def kmer_long_rows(pages: DataFrame, ks=(2, 3, 4), window_chars: int | None = None) -> DataFrame:
+    """Per-page k-mer count vectors in LONG format (host, warc_ts, k, idx,
+    cnt): the scalable streaming representation of the dense 4^k arrays —
+    merging = built-in sum per (window, host, k, idx), so the streaming
+    hash-aggregate needs no array UDAF and state stays per-key-small.
+    window_chars: optionally split pages into positional windows first
+    (None = whole page, the event-time-window use case)."""
+    from ..kernels import batch_window_stats
+
+    import pandas as pd
+
+    def compute(batches):
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            w = window_chars or (1 << 30)
+            _, starts, _, _, kvecs, _ = batch_window_stats(texts, w, ks=ks)
+            # long-format: one row per nonzero (page, k, idx)
+            out = {"host": [], "warc_ts": [], "k": [], "idx": [], "cnt": []}
+            import numpy as np
+
+            for k in ks:
+                mat = kvecs[k]
+                page_i, idx = np.nonzero(mat)
+                out["host"].extend(pdf["host"].to_numpy()[page_i])
+                out["warc_ts"].extend(pdf["warc_ts"].to_numpy()[page_i])
+                out["k"].extend([k] * len(idx))
+                out["idx"].extend(idx.tolist())
+                out["cnt"].extend(mat[page_i, idx].tolist())
+            yield pd.DataFrame(out)
+
+    return with_host(pages).select("host", "warc_ts", "text").mapInPandas(
+        compute, KMER_LONG_SCHEMA
+    )
+
+
+def host_window_kmer_agg(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    ks=(2,),
+) -> DataFrame:
+    """Streaming count-vector merge (SURVEY.md §4 custom item 2) in long
+    format: groupBy(window, host, k, idx).sum(cnt) — built-in incremental
+    aggregation, RocksDB state, watermark eviction."""
+    rows = kmer_long_rows(pages, ks=ks).withWatermark("warc_ts", watermark)
+    return (
+        rows.groupBy(F.window("warc_ts", window).alias("w"), "host", "k", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "host",
+            "k",
+            "idx",
+            "cnt",
+        )
+    )
+
+
+def join_lang_stream(
+    pages: DataFrame,
+    lang: DataFrame,
+    bound: str = "1 hour",
+    pages_watermark: str = "10 minutes",
+    lang_watermark: str = "30 minutes",
+) -> DataFrame:
+    """J1: stateful stream-stream left-outer join — page rows correlated with
+    late-arriving lang detections for the same host within +/- `bound` of
+    warc_ts. Watermarks on both sides bound the join state (RocksDB)."""
+    p = with_host(pages).withWatermark("warc_ts", pages_watermark).alias("p")
+    l = lang.withWatermark("detect_ts", lang_watermark).alias("l")
+    cond = (
+        (F.col("p.host") == F.col("l.host"))
+        & (F.col("l.detect_ts") >= F.col("p.warc_ts") - F.expr(f"INTERVAL {bound}"))
+        & (F.col("l.detect_ts") <= F.col("p.warc_ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    return p.join(l, cond, "leftOuter").select(
+        F.col("p.url").alias("url"),
+        F.col("p.warc_ts").alias("warc_ts"),
+        F.col("p.host").alias("host"),
+        F.col("p.lang").alias("page_lang"),
+        F.col("l.lang").alias("detected_lang"),
+        F.col("l.confidence").alias("confidence"),
+    )
+
+
+def sink_format(spark: SparkSession) -> str:
+    """Iceberg when the runtime is on the classpath, else the parquet file
+    sink (same exactly-once commit contract in this sandbox)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return "iceberg"
+    except Exception:
+        return "parquet"
+
+
+def write_exactly_once(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    once: bool = True,
+):
+    """Exactly-once append sink with checkpointing; resumable (same
+    checkpoint dir -> no dupes on restart)."""
+    w = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: windows_per_sec (streaming throughput on the synthetic pages
+stream — the BASELINE.json headline metric) and environment info. All logs
+go to stderr; stdout carries exactly the one JSON line.
+
+Scaling protocol (local[8] vs local[32]) lives in bench_scaling.py, which
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HEADLINE = [
+    "doc_windows_stats",        # flagship: full per-window stats suite
+    "doc_windows_kmer4",        # dense 4-mer vectors (DNA-ized text)
+    "doc_windows_ctw",          # sequential CTW kernel (the expensive op)
+    "doc_source_ngram_agg",     # merge/finisher aggregation shape
+    "events_sliding_1h_15m",    # sliding event-time windows
+    "events_session_10m",       # session windows
+    "tpch_revenue_by_nation",   # broadcast star join
+    "docs_minhash_signatures",  # MinHash (JVM expression pipeline)
+    "docs_simhash",             # SimHash two-stage agg
+    "docs_jaccard_pairs",       # inverted-index near-dup join
+    "emb_cosine_neighbors",     # embedding similarity
+]
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 8000) -> dict:
+    """End-to-end streaming throughput: synthetic pages stream -> watermarked
+    10-minute host windows -> exactly-once parquet sink; reports emitted
+    windows/sec and input pages/sec (the BASELINE.json metric)."""
+    from fasta_windows_spark.sources import pages as P
+    from fasta_windows_spark.streaming import pipeline as S
+
+    src = os.path.join(scratch, "pages_src")
+    out = os.path.join(scratch, "pages_out")
+    ck = os.path.join(scratch, "pages_ck")
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    pdf = P.gen_pages(n_pages=n_pages, n_hosts=200, n_hot_hosts=4, seed=42)
+    P.write_pages_parquet(pdf, src, n_files=16)
+
+    t0 = time.perf_counter()
+    stream = S.read_pages_stream(spark, src)
+    agg = S.host_window_stats(stream, window="10 minutes", watermark="10 minutes")
+    q = S.write_exactly_once(agg, out, ck)
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    n_windows = spark.read.parquet(out).count()
+    return {
+        "streaming_wall_sec": round(wall, 2),
+        "streaming_pages": n_pages,
+        "streaming_windows": n_windows,
+        "windows_per_sec": round(n_windows / wall, 1),
+        "pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fasta_windows_spark import contract
+    from fasta_windows_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fw-spark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    qs = contract.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        log(f"[bench] {name} ...")
+        times[name] = round(run_query(spark, qs[name], sf_dir), 3)
+        log(f"[bench] {name}: {times[name]}s")
+
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    stream_stats = streaming_windows_per_sec(spark, scratch)
+    log(f"[bench] streaming: {stream_stats}")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline query suite wall-clock at sf + streaming windows/sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        **stream_stats,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -502,8 +502,8 @@ def _batch_tumbling(bufs, lengths, window, with_ctw, ks):
     win_base = np.concatenate([[0], np.cumsum(nwins)[:-1]]) if len(bufs) else np.array([], dtype=np.int64)
 
     doc_idx = np.repeat(np.arange(len(bufs)), nwins)
-    # per-window starts/ends
-    local_win = np.concatenate([np.arange(n) for n in nwins]) if total_wins else np.array([], dtype=np.int64)
+    # per-window starts/ends (vectorized: global win index minus its doc base)
+    local_win = np.arange(total_wins, dtype=np.int64) - np.repeat(win_base, nwins)
     starts = local_win * window
     ends = np.minimum(starts + window, np.repeat(lengths, nwins))
 
@@ -518,40 +518,79 @@ def _batch_tumbling(bufs, lengths, window, with_ctw, ks):
         )
 
     buf = np.concatenate([b for b in bufs if len(b)]) if lengths.sum() else np.zeros(0, dtype=np.uint8)
-    # global window id per byte position
-    doc_of_pos = np.repeat(np.arange(len(bufs)), lengths)
+    # global window id per byte position — int32 throughout (a single Arrow
+    # batch is far below 2^31 positions/windows; asserted below)
+    assert total_wins * 257 < 2**31, "Arrow batch too large for int32 bins"
     doc_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    local_pos = np.arange(len(buf), dtype=np.int64) - doc_starts[doc_of_pos]
-    win_of_pos = win_base[doc_of_pos] + local_pos // window
+    local_pos = np.arange(len(buf), dtype=np.int32) - np.repeat(
+        doc_starts.astype(np.int32), lengths
+    )
+    win_of_pos = np.repeat(win_base.astype(np.int32), lengths) + local_pos // np.int32(
+        window
+    )
 
     # all byte histograms in one bincount
     hists = np.bincount(
-        win_of_pos * 256 + buf, minlength=total_wins * 256
+        win_of_pos * np.int32(256) + buf, minlength=total_wins * 256
     ).reshape(total_wins, 256)
 
     # k-mer vectors: rolling 2-bit codes over the global buffer; a gram is
     # valid iff all bytes are ACGT AND it does not cross a window boundary
     # (windows never span docs, so doc boundaries come for free).
+    # Single rolling pass: the max-k code is built once with shifts; smaller
+    # k indices are its high bits (k2(i) = k4(i) >> 4, k3(i) = k4(i) >> 2),
+    # so each extra k costs one shift + one bincount, not a fresh roll.
     code = NUC_CODE[buf]
     valid = code != 255
-    code4 = code.astype(np.int64)
+    c32 = code.astype(np.int32)
+    c32[~valid] = 0  # keep every 2-bit slot clean: derived k<kmax indices
+    # are bit-shifts of the shared roll, so slot overflow would corrupt them
+    n = len(buf)
+    kmax = max(ks)
     kvecs = {}
-    for k in ks:
-        m = len(buf) - k + 1
+    m_max = n - kmax + 1
+    if m_max > 0:
+        idx_max = c32[:m_max] << (2 * (kmax - 1))
+        ok_max = valid[:m_max].copy()
+        for j in range(1, kmax):
+            idx_max |= c32[j : m_max + j] << (2 * (kmax - 1 - j))
+            ok_max &= valid[j : m_max + j]
+    for k in sorted(ks):
+        m = n - k + 1
         if m <= 0:
             kvecs[k] = np.zeros((total_wins, 4**k), dtype=np.int64)
             continue
-        idx = code4[:m].copy()
-        ok = valid[:m].copy()
-        for j in range(1, k):
-            idx = idx * 4 + code4[j : m + j]
-            ok &= valid[j : m + j]
-        # same window test: gram start and end in same window of same doc
-        ok &= win_of_pos[:m] == win_of_pos[k - 1 : m + k - 1]
-        combined = win_of_pos[:m][ok] * (4**k) + idx[ok]
-        kvecs[k] = np.bincount(combined, minlength=total_wins * (4**k)).reshape(
-            total_wins, 4**k
-        ).astype(np.int64)
+        if k == kmax:
+            idx = idx_max
+            ok = ok_max
+        else:
+            # head = high bits of the shared roll; tail (kmax-k positions at
+            # the buffer end) rolled scalar so window-final grams survive
+            idx = np.empty(m, dtype=np.int32)
+            head = max(m_max, 0)
+            idx[:head] = idx_max[:head] >> (2 * (kmax - k))
+            for t in range(head, m):
+                v = 0
+                for j in range(k):
+                    v = (v << 2) | int(c32[t + j])
+                idx[t] = v
+            # validity needs only k bytes (ok_max demands kmax): fresh AND
+            ok = valid[:m].copy()
+            for j in range(1, k):
+                ok &= valid[j : m + j]
+        # same-window test (also rejects doc-crossing grams: window ids are
+        # globally unique per doc); invalid grams -> one trash bin, a single
+        # where-pass instead of two boolean gathers
+        okw = ok & (win_of_pos[:m] == win_of_pos[k - 1 : m + k - 1])
+        nbins = total_wins * (4**k)
+        combined = np.where(
+            okw, win_of_pos[:m] * np.int32(4**k) + idx[:m], np.int32(nbins)
+        )
+        kvecs[k] = (
+            np.bincount(combined, minlength=nbins + 1)[:nbins].reshape(
+                total_wins, 4**k
+            )
+        )
 
     ctw = None
     if with_ctw:
@@ -592,16 +631,46 @@ def _batch_sliding(bufs, lengths, window, step, with_ctw, ks):
 
 _FOLD_PAIRS = [(ord(c), ord(c) - 32) for c in "acgtn"]  # lower -> upper
 
+# v * log2(v) for integer counts (entropy via one gather instead of per-cell
+# float division); covers window sizes up to 64k — larger counts fall through
+# to the general paths in _entropy_rows
+_VLOGV = np.zeros(65537)
+_VLOGV[1:] = np.arange(1, 65537, dtype=np.float64) * np.log2(
+    np.arange(1, 65537, dtype=np.float64)
+)
+
 
 def _entropy_rows(count_matrix: np.ndarray) -> np.ndarray:
-    """Row-wise Shannon entropy (log2) of count matrices; zero rows -> 0.0."""
-    m = np.asarray(count_matrix, dtype=np.float64)
-    totals = m.sum(axis=1, keepdims=True)
-    safe = np.maximum(totals, 1.0)
-    p = m / safe
-    with np.errstate(divide="ignore", invalid="ignore"):
-        logs = np.where(p > 0, np.log2(np.where(p > 0, p, 1.0)), 0.0)
-    return -(p * logs).sum(axis=1) + 0.0  # normalize -0.0 (ref prints 0.000)
+    """Row-wise Shannon entropy (log2) of count matrices; zero rows -> 0.0.
+
+    Sparse-aware: touches only nonzero cells (per-window histograms are
+    mostly zeros — e.g. <=10 of 256 byte bins on ACGTN text), so cost is
+    O(nnz) not O(rows*bins)."""
+    m = np.asarray(count_matrix)
+    nrows = m.shape[0]
+    if nrows == 0:
+        return np.zeros(0)
+    totals = m.sum(axis=1).astype(np.float64)
+    if np.issubdtype(m.dtype, np.integer):
+        # H = log2(T) - (sum v*log2 v)/T with v*log2(v) from a lookup table:
+        # one gather + one row-sum, no per-cell float division
+        mx = int(m.max(initial=0))
+        if mx < len(_VLOGV):
+            s = _VLOGV[m].sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                h = np.where(totals > 0, np.log2(np.maximum(totals, 1.0)) - s / np.maximum(totals, 1.0), 0.0)
+            return h + 0.0
+    nnz = np.count_nonzero(m)
+    if nnz == 0:
+        return np.zeros(nrows)
+    if nnz * 3 > m.size:  # dense matrix: stay vectorized, skip indexing
+        q = m / np.maximum(totals, 1.0)[:, None]
+        logs = np.log2(q, out=np.zeros_like(q), where=(m > 0))
+        return -(q * logs).sum(axis=1) + 0.0
+    rows, cols = np.nonzero(m)
+    p = m[rows, cols].astype(np.float64) / totals[rows]
+    contrib = p * np.log2(p)
+    return -np.bincount(rows, weights=contrib, minlength=nrows) + 0.0
 
 
 def stats_table(hists: np.ndarray, kvecs: dict, masked: bool = False, f32: bool = True) -> dict:
@@ -652,20 +721,24 @@ def stats_table(hists: np.ndarray, kvecs: dict, masked: bool = False, f32: bool 
             "prop_masked": (masked_counts.astype(ftype) / flens).astype(np.float64),
         }
 
-    # 256-bin entropy with acgtn folded up (seq_statsu8.rs:90-106)
-    folded = h.astype(np.int64).copy()
+    # 256-bin entropy with acgtn folded up (seq_statsu8.rs:90-106):
+    # fold = 5 column adds on a copy, then the hybrid entropy reducer
+    folded = h.copy()
     for lo, up in _FOLD_PAIRS:
         folded[:, up] += folded[:, lo]
         folded[:, lo] = 0
     out["shannon_entropy"] = _entropy_rows(folded)
 
     # 6-bin entropy (entropy mode, entropy.rs:49-74): fold 256 bins into 6
+    # via per-class column-slice sums (one pass over h, no ufunc.at)
     six = np.zeros((n, 6), dtype=np.int64)
     if masked:
         for i, b in enumerate(b"ACGTN"):
             six[:, i] = h[:, b]
     else:
-        np.add.at(six.T, SIX_BIN, h.T)  # class-wise accumulate
+        for cls in range(6):
+            cols_cls = np.flatnonzero(SIX_BIN == cls)
+            six[:, cls] = h[:, cols_cls].sum(axis=1)
     out["entropy6"] = _entropy_rows(six)
 
     # k-mer diversities + CpG (kmeru8.rs:113-123, fw.rs:120)

@@ -1,0 +1,116 @@
+"""spark-submit entry point mirroring the reference CLI (main.rs:13-79).
+
+Flag parity:
+  -w/--window_size  window size in characters (default 1000, main.rs:28-35)
+  -s/--step         step size (sliding windows; tumbling when omitted —
+                    generalizes the reference's tumbling-only -w)
+  -m/--masked       masked-mode counting (seq_statsu8.rs:50-58)
+  -d/--description  include the description column (fw.rs:235-240)
+  -c/--ctw          compute CTW bits/base (fw.rs:91-95, expensive)
+  -e/--entropy      entropy-only fast mode -> BED output (entropy.rs:86)
+  --streaming       consume the input directory as a stream (watermarked
+                    event-time aggregation + exactly-once sink)
+
+Usage (local):  python -m fasta_windows_spark.cli -f pages_parquet_dir -o out
+Cluster:        spark-submit --py-files fasta_windows_spark.zip \
+                    -m fasta_windows_spark.cli -f s3://..../pages -o out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("fasta_windows_spark")
+    p.add_argument("-f", "--input", required=True, help="parquet path (pages/documents schema)")
+    p.add_argument("-o", "--output", required=True, help="output name (files under ./fw_out/)")
+    p.add_argument("-w", "--window_size", type=int, default=1000)
+    p.add_argument("-s", "--step", type=int, default=None)
+    p.add_argument("-m", "--masked", action="store_true")
+    p.add_argument("-d", "--description", action="store_true")
+    p.add_argument("-c", "--ctw", action="store_true")
+    p.add_argument("-e", "--entropy", action="store_true")
+    p.add_argument("--id-col", default=None, help="id column (default: url or doc_id)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--out-dir", default="./fw_out")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(app_name="fasta-windows-spark-cli", master=args.master)
+    try:
+        df = spark.read.parquet(args.input)
+        id_col = args.id_col or ("url" if "url" in df.columns else "doc_id")
+
+        if args.streaming:
+            from .streaming import pipeline as S
+
+            stream = S.read_pages_stream(spark, args.input)
+            agg = S.host_window_stats(stream)
+            q = S.write_exactly_once(
+                agg,
+                f"{args.out_dir}/{args.output}_host_windows",
+                f"{args.out_dir}/{args.output}_ckpt",
+            )
+            q.awaitTermination()
+            print(f"[+]\tStreaming output: {args.out_dir}/{args.output}_host_windows")
+            return 0
+
+        if args.entropy:
+            # fast path: entropy + CTW only (main.rs:90-95, entropy.rs:86-156)
+            from .functions.udfs import ctw_udf_frame
+            from .sink_tsv import write_entropy_bed
+
+            got = (
+                ctw_udf_frame(
+                    df, text_col=args.text_col, id_cols=[id_col],
+                    window=args.window_size, step=args.step,
+                )
+                .orderBy(id_col, "w_start")
+                .toPandas()
+            )
+            rows = [
+                dict(id=r[id_col], start=r["w_start"], end=r["w_end"],
+                     entropy=r["entropy6"], ctw=r["ctw"])
+                for _, r in got.iterrows()
+            ]
+            path = write_entropy_bed(rows, args.out_dir, args.output)
+            print(f"[+]\tOutput written to: {path}")
+            return 0
+
+        from .functions.udfs import window_stats
+        from .sink_tsv import df_windows_to_rows, write_reference_tsvs
+
+        ws = window_stats(
+            df,
+            text_col=args.text_col,
+            id_cols=[id_col],
+            window=args.window_size,
+            step=args.step,
+            masked=args.masked,
+            with_ctw=args.ctw,
+            with_vectors=True,
+            f32=True,
+        )
+        rows = df_windows_to_rows(ws.toPandas())
+        paths = write_reference_tsvs(
+            rows, args.out_dir, args.output,
+            description=args.description, ctw=args.ctw,
+        )
+        print(f"[+]\tOutput written to directory: {args.out_dir}")
+        for p in paths.values():
+            print(f"[+]\t  {p}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -659,7 +659,9 @@ def _entropy_rows(count_matrix: np.ndarray) -> np.ndarray:
             s = _VLOGV[m].sum(axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 h = np.where(totals > 0, np.log2(np.maximum(totals, 1.0)) - s / np.maximum(totals, 1.0), 0.0)
-            return h + 0.0
+            # entropy >= 0; the table form leaves ~1e-16 negative residue on
+            # single-symbol windows, which would print as "-0.000"
+            return np.maximum(h, 0.0)
     nnz = np.count_nonzero(m)
     if nnz == 0:
         return np.zeros(nrows)

@@ -581,6 +581,47 @@ def doc_source_ngram_agg(spark, sf_dir):
     )
 
 
+@q(
+    "doc_windows_entropy_outliers",
+    f"""
+WITH {SQL_WINS}, {_SQL_SIX},
+e AS (
+  SELECT doc_id, w_start, w_end, round(-({_ENT6_TERMS}), 6) + 0.0 AS entropy6
+  FROM six2
+),
+med AS (SELECT median(entropy6::DOUBLE) AS m FROM e),
+madv AS (SELECT median(abs(e.entropy6 - med.m)) AS d FROM e, med)
+SELECT e.doc_id, e.w_start, e.entropy6,
+       (e.entropy6 < med.m - 3 * 1.4826 * madv.d) AS is_low
+FROM e, med, madv
+""",
+)
+def doc_windows_entropy_outliers(spark, sf_dir):
+    """A14: genome-wide median/MAD z-score thresholding of window entropy —
+    the downstream R analysis (plot_entropy.R:121-126) as a batch query:
+    flag windows below median - 3 * 1.4826 * MAD."""
+    e = _ws(spark, sf_dir).select(
+        "doc_id", "w_start", "w_end", _r6("entropy6").alias("entropy6")
+    )
+    med = e.agg(F.median("entropy6").alias("m"))
+    mad = (
+        e.crossJoin(F.broadcast(med))
+        .agg(F.median(F.abs(F.col("entropy6") - F.col("m"))).alias("d"))
+    )
+    return (
+        e.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "doc_id",
+            "w_start",
+            "entropy6",
+            (
+                F.col("entropy6") < F.col("m") - 3 * 1.4826 * F.col("d")
+            ).alias("is_low"),
+        )
+    )
+
+
 # =============================================================================
 # §2 event-time windows over the events table (SURVEY.md §2.7 streaming analogs
 # in SQL-checkable batch form; true streaming paths live in streaming/ + tests)

@@ -1,0 +1,75 @@
+"""Plan-quality tests: would this plan survive 100x scale-up?
+(column pruning, predicate pushdown, broadcast joins, partial aggregation,
+shuffle-free narrow pipelines)."""
+
+import pyspark.sql.functions as F
+
+from fasta_windows_spark import contract
+from fasta_windows_spark.functions.udfs import window_stats
+from fasta_windows_spark.plans import checks
+from tests.conftest import SF_DIR
+
+
+def test_window_stats_prunes_unused_columns(spark):
+    # the html binary must never reach the scan (SURVEY.md §4: biggest I/O win)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ws = window_stats(docs, id_cols=["doc_id"])
+    schemas = checks.scan_read_schema(ws)
+    assert schemas == [["doc_id", "text"]]
+
+
+def test_window_stats_is_shuffle_free(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    checks.assert_no_shuffle(window_stats(docs, id_cols=["doc_id"]))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 100).select("doc_id", "n_chars")
+    checks.assert_filter_pushed(q, "LessThan(doc_id,100)")
+    checks.assert_columns_pruned(q, ["text", "lang", "source"])
+
+
+def test_star_join_broadcasts_dimension(spark):
+    df = contract.queries()["tpch_revenue_by_nation"](spark, SF_DIR)
+    checks.assert_broadcast_join(df)
+
+
+def test_aggregations_are_partial(spark):
+    df = contract.queries()["events_tumbling_1h"](spark, SF_DIR)
+    checks.assert_partial_aggregation(df)
+
+
+def test_salted_agg_matches_direct(spark):
+    from fasta_windows_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    direct = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    salted = (
+        salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", "value"), "s": ("sum", "value"),
+             "mn": ("min", "value"), "mx": ("max", "value")},
+            buckets=8,
+            salt_col="event_id",
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert (direct["n"] == salted["n"]).all()
+    assert abs(direct["s"] - salted["s"]).max() < 1e-6
+    assert (direct["mn"] == salted["mn"]).all()
+    assert (direct["mx"] == salted["mx"]).all()

@@ -152,9 +152,15 @@ def run_level(cores: int, src: str, mode: str = "entropy") -> dict:
     os.makedirs(run_dir)
     code = RUNNER.format(repo=REPO, cores=cores, src=src, run_dir=run_dir, mode=mode)
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    # pin the whole process tree (JVM, GC threads, python workers) to exactly
+    # `cores` CPUs — the honest simulation of an N-core cluster slice; without
+    # this the "small" run borrows idle CPUs for GC/Arrow and efficiency is
+    # understated
+    cmd = [sys.executable, "-c", code]
+    import shutil as _sh
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     if proc.returncode != 0:
         print(proc.stderr[-4000:], file=sys.stderr)
         raise RuntimeError(f"run at local[{cores}] failed")

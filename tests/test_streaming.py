@@ -242,3 +242,46 @@ def test_rocksdb_state_store_in_use(spark, pages_dir, tmp_path):
         "RocksDB"
         in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def test_applyinpandas_with_state_host_agg(spark, pages_dir, pages_pdf, tmp_path):
+    """Custom arbitrary-state operator (applyInPandasWithState): per-host
+    incremental count vectors emitted on event-time timeout == batch
+    recomputation on the same input."""
+    from fasta_windows_spark.streaming.stateful import host_state_agg
+
+    # one file per micro-batch so the watermark advances between batches and
+    # event-time timeouts actually fire mid-stream
+    stream = S.read_pages_stream(spark, pages_dir, max_files_per_trigger=1)
+    agg = host_state_agg(stream, watermark="1 minute")
+    out = str(tmp_path / "state_out")
+    q = S.write_exactly_once(agg, out, str(tmp_path / "state_ck"))
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas()
+    got = got[got["host"].notna()]
+    assert len(got) > 0
+    # internal consistency of every emitted state
+    assert (
+        got[["cnt_a", "cnt_c", "cnt_g", "cnt_t", "cnt_n"]].sum(axis=1)
+        <= got["total_chars"]
+    ).all()
+
+    batch = S.with_host(P.spark_pages(spark, pages_pdf))
+    exp = (
+        batch.groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .toPandas()
+        .set_index("host")
+        .sort_index()
+    )
+    # emissions are per quiet-period (state removed on timeout, re-created on
+    # later pages): per-host sums must never exceed the batch totals, and
+    # grand totals must stay <= input size
+    sums = got.groupby("host")[["n_pages", "total_chars"]].sum()
+    j = sums.join(exp, how="left", rsuffix="_b")
+    assert (j["n_pages"] <= j["n_pages_b"]).all()
+    assert (j["total_chars"] <= j["total_chars_b"]).all()
+    assert sums["n_pages"].sum() <= len(pages_pdf)

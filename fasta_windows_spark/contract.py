@@ -1210,12 +1210,21 @@ def emb_cosine_neighbors(spark, sf_dir):
 
 
 _PLANES = _sim.hyperplanes(8, 64)
-_SQL_BUCKET = " + ".join(
-    "(CASE WHEN list_dot_product(v, ["
-    + ",".join(f"{w}.0" for w in row)
-    + f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
-    for i, row in enumerate(_PLANES)
-)
+
+
+def _sql_bucket(planes) -> str:
+    return " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(f"{w}.0" for w in row)
+        + f"]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+
+
+_SQL_BUCKET = _sql_bucket(_PLANES)
+# coarse 4-plane variant (16 buckets) for the bucketed-ANN query: buckets
+# must hold enough candidates at sf0.001's 500 vectors
+_SQL_BUCKET4 = _sql_bucket(_sim.hyperplanes(4, 64))
 
 
 @q(
@@ -1227,6 +1236,72 @@ SELECT vec_id, ({_SQL_BUCKET})::BIGINT AS bucket FROM e
 )
 def emb_lsh_buckets(spark, sf_dir):
     return _sim.lsh_buckets(_tbl(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "emb_lsh_bucketed_ann",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_SQL_BUCKET4})::BIGINT AS bucket FROM e),
+q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id,
+         round(list_dot_product(b.v, q.qv) /
+               (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               5) AS cosine
+  FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+)
+SELECT vec_id, cosine FROM cand WHERE cosine >= 0.0
+""",
+)
+def emb_lsh_bucketed_ann(spark, sf_dir):
+    """The ANN scale path: LSH bucket the corpus, brute-force cosine only
+    within the query's bucket (candidates ~ corpus/2^planes, not corpus)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    b = _sim.lsh_buckets(emb, n_planes=4).join(emb, "vec_id")
+    b = b.withColumn("_v", F.col("embedding").cast("array<double>"))
+    qv = b.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"), F.col("_v").alias("_q")
+    )
+    cand = b.where(F.col("vec_id") != 0).join(
+        F.broadcast(qv), F.col("bucket") == F.col("qb")
+    )
+    from .operators.similarity import _dot
+
+    cos = _dot("_v", "_q") / (F.sqrt(_dot("_v", "_v")) * F.sqrt(_dot("_q", "_q")))
+    return (
+        cand.select("vec_id", F.round(cos, 5).alias("cosine"))
+        .where(F.col("cosine") >= 0.0)
+    )
+
+
+@q(
+    "events_rollup",
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(floor(epoch(time_bucket(INTERVAL '1 day', ts)))::BIGINT, -1) AS day_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, time_bucket(INTERVAL '1 day', ts))
+""",
+)
+def events_rollup(spark, sf_dir):
+    """Hierarchical aggregation (rollup/grouping sets — SURVEY.md §2.5:
+    absent in the reference, free in Spark)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.window("ts", "1 day").getField("start")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.unix_timestamp("day"), F.lit(-1)).alias("day_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 @q("emb_knn_topk")  # numpy/BLAS path: SIMD sum reassociation -> rows-only check

@@ -97,7 +97,7 @@ def main():
         times[name] = round(run_query(spark, qs[name], sf_dir), 3)
         log(f"[bench] {name}: {times[name]}s")
 
-    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench")
     os.makedirs(scratch, exist_ok=True)
     stream_stats = streaming_windows_per_sec(spark, scratch)
     log(f"[bench] streaming: {stream_stats}")

@@ -90,13 +90,26 @@ def window_stats(
     with_ctw: bool = False,
     with_vectors: bool = False,
     f32: bool = True,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Explode `df` into positional windows of `text_col` with all statistics.
 
     One output row per (document, window). `id_cols` pass through unchanged.
     ``f32`` keeps the reference's f32 division semantics; oracle-checked
     queries pass f32=False and round at the edge.
+
+    use_arrow (default: tumbling only): mapInArrow fast path — the text
+    column's Arrow layout (one concatenated UTF-8 buffer + offsets) feeds
+    the kernel ZERO-COPY, skipping pandas/Python-string materialization
+    entirely (~5x on large pages). Falls back to mapInPandas for sliding
+    windows.
     """
+    if use_arrow is None:
+        use_arrow = step is None or step == window
+    if use_arrow and (step is None or step == window):
+        return _window_stats_arrow(
+            df, text_col, id_cols, window, masked, with_ctw, with_vectors, f32
+        )
     id_cols = id_cols or ["doc_id"]
     in_df = df.select(*id_cols, text_col)  # column pruning before the UDF
     id_fields = [(c, in_df.schema[c].dataType) for c in id_cols]
@@ -127,6 +140,119 @@ def window_stats(
             yield res
 
     return in_df.mapInPandas(compute, schema=schema)
+
+
+def _arrow_string_parts(col):
+    """Zero-copy (data uint8 view, per-row lengths) from an Arrow string
+    array — Arrow's layout IS the kernel's concatenated-buffer input."""
+    import numpy as np
+    import pyarrow as pa
+
+    if col.null_count:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ]
+    lengths = np.diff(offsets)
+    return data, lengths
+
+
+# Per-chunk working set target: the kernel's bincount temps are ~4-5x the
+# text bytes; 2 MB text keeps the whole kernel+finisher pipeline inside the
+# shared L3 even with every core busy. Unchunked 30 MB Arrow batches measured
+# 20-40x slower under 8-way concurrency (DRAM-bound) — see BENCH notes.
+CHUNK_TEXT_BYTES = 2 << 20
+
+
+def _doc_chunks(lengths, target_bytes: int = CHUNK_TEXT_BYTES):
+    """Doc-aligned (row_start, row_end, byte_start, byte_end) chunks."""
+    import numpy as np
+
+    out = []
+    r0 = b0 = acc = 0
+    for i, ln in enumerate(np.asarray(lengths)):
+        acc += int(ln)
+        if acc >= target_bytes:
+            out.append((r0, i + 1, b0, b0 + acc))
+            r0, b0, acc = i + 1, b0 + acc, 0
+    if acc or r0 < len(lengths):
+        out.append((r0, len(lengths), b0, b0 + acc))
+    return out
+
+
+def _window_stats_arrow(
+    df, text_col, id_cols, window, masked, with_ctw, with_vectors, f32
+):
+    import numpy as np
+    import pyarrow as pa
+
+    from ..kernels import batch_window_stats_concat, stats_table
+
+    id_cols = id_cols or ["doc_id"]
+    in_df = df.select(*id_cols, text_col)
+    id_fields = [(c, in_df.schema[c].dataType) for c in id_cols]
+    schema = window_stats_schema(id_fields, with_ctw, with_vectors)
+
+    def compute(batches):
+        for full_batch in batches:
+            ftext = full_batch.column(full_batch.schema.get_field_index(text_col))
+            fdata, flengths = _arrow_string_parts(ftext)
+            for r0, r1, b0, b1 in _doc_chunks(flengths):
+                batch = full_batch.slice(r0, r1 - r0)
+                data = fdata[b0:b1]
+                lengths = flengths[r0:r1]
+                doc_idx, starts, ends, hists, kvecs, ctw = batch_window_stats_concat(
+                    data, lengths, window, with_ctw=with_ctw
+                )
+                st = stats_table(hists, kvecs, masked=masked, f32=f32)
+                take = pa.array(doc_idx, type=pa.int64())
+                arrays, names = [], []
+                for c in id_cols:
+                    arrays.append(
+                        batch.column(batch.schema.get_field_index(c)).take(take)
+                    )
+                    names.append(c)
+                arrays += [pa.array(starts, pa.int64()), pa.array(ends, pa.int64())]
+                names += ["w_start", "w_end"]
+                for name, _ in SCALAR_FIELDS:
+                    key = _STAT_KEY.get(name, name)
+                    vals = st[key]
+                    if name.startswith("cnt_") or name == "win_len":
+                        arrays.append(pa.array(np.asarray(vals, dtype=np.int64)))
+                    else:
+                        # from_pandas=True: NaN -> NULL, matching the pandas
+                        # path and the oracles' nullif() convention
+                        arrays.append(
+                            pa.array(
+                                np.asarray(vals, dtype=np.float64), from_pandas=True
+                            )
+                        )
+                    names.append(name)
+                if with_ctw:
+                    arrays.append(pa.array(ctw, pa.float64(), from_pandas=True))
+                    names.append("ctw")
+                if with_vectors:
+                    n = len(starts)
+                    for k in KMER_KS:
+                        flat = pa.array(
+                            kvecs[k].reshape(-1).astype(np.int32), pa.int32()
+                        )
+                        offs = pa.array(
+                            np.arange(n + 1, dtype=np.int32) * (4**k), pa.int32()
+                        )
+                        arrays.append(pa.ListArray.from_arrays(offs, flat))
+                        names.append(f"k{k}_vec")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return in_df.mapInArrow(compute, schema=schema)
 
 
 def ctw_udf_frame(

@@ -491,17 +491,29 @@ def batch_window_stats(
     lengths = np.array([len(b) for b in bufs], dtype=np.int64)
 
     if step == window:
-        return _batch_tumbling(bufs, lengths, window, with_ctw, ks)
+        buf = (
+            np.concatenate([b for b in bufs if len(b)])
+            if lengths.sum()
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return batch_window_stats_concat(buf, lengths, window, with_ctw, ks)
     return _batch_sliding(bufs, lengths, window, step, with_ctw, ks)
 
 
-def _batch_tumbling(bufs, lengths, window, with_ctw, ks):
+def batch_window_stats_concat(buf, lengths, window, with_ctw=False, ks=KMER_KS):
+    """Tumbling-window kernel over a PRE-CONCATENATED byte buffer with
+    per-document lengths — the zero-copy entry point for Arrow string
+    columns, whose layout is exactly (data buffer, offsets). Same return
+    shape as batch_window_stats."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_docs = len(lengths)
     nwins = np.maximum((lengths + window - 1) // window, 0)
     nwins[lengths == 0] = 0
     total_wins = int(nwins.sum())
-    win_base = np.concatenate([[0], np.cumsum(nwins)[:-1]]) if len(bufs) else np.array([], dtype=np.int64)
+    win_base = np.concatenate([[0], np.cumsum(nwins)[:-1]]) if n_docs else np.array([], dtype=np.int64)
 
-    doc_idx = np.repeat(np.arange(len(bufs)), nwins)
+    doc_idx = np.repeat(np.arange(n_docs), nwins)
     # per-window starts/ends (vectorized: global win index minus its doc base)
     local_win = np.arange(total_wins, dtype=np.int64) - np.repeat(win_base, nwins)
     starts = local_win * window
@@ -517,7 +529,6 @@ def _batch_tumbling(bufs, lengths, window, with_ctw, ks):
             np.zeros(0) if with_ctw else None,
         )
 
-    buf = np.concatenate([b for b in bufs if len(b)]) if lengths.sum() else np.zeros(0, dtype=np.uint8)
     # global window id per byte position — int32 throughout (a single Arrow
     # batch is far below 2^31 positions/windows; asserted below)
     assert total_wins * 257 < 2**31, "Arrow batch too large for int32 bins"
@@ -594,11 +605,12 @@ def _batch_tumbling(bufs, lengths, window, with_ctw, ks):
 
     ctw = None
     if with_ctw:
+        doc_starts_full = np.concatenate([[0], np.cumsum(lengths)])
         ctw = np.zeros(total_wins)
         for w in range(total_wins):
-            s, e = int(starts[w]), int(ends[w])
-            d = int(doc_idx[w])
-            ctw[w] = ctw_bits_per_base(bufs[d][s:e], 6)
+            base = int(doc_starts_full[int(doc_idx[w])])
+            s, e = base + int(starts[w]), base + int(ends[w])
+            ctw[w] = ctw_bits_per_base(buf[s:e], 6)
 
     return doc_idx, starts, ends, hists, kvecs, ctw
 

@@ -104,6 +104,17 @@ def main():
     shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
+    scaling = {}
+    sc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "scaling_result.json")
+    if os.path.exists(sc_path):
+        sc = json.load(open(sc_path))
+        scaling = {
+            "scaling_efficiency": sc.get("scaling_efficiency"),
+            "scaling_mode": sc.get("mode"),
+            "scaling_low_cores": sc.get("low", {}).get("cores"),
+            "scaling_high_cores": sc.get("high", {}).get("cores"),
+        }
     result = {
         "metric": "headline query suite wall-clock at sf + streaming windows/sec",
         "value": total,
@@ -111,6 +122,7 @@ def main():
         "queries": times,
         "sf": float(sf),
         **stream_stats,
+        **scaling,
         "cpus": cpus,
     }
     spark.stop()

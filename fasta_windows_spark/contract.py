@@ -821,6 +821,29 @@ def events_salted_agg(spark, sf_dir):
     )
 
 
+@q(
+    "events_users_setops",
+    """
+WITH hi AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 180),
+lo AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = 'purchase' AND value > 180)
+SELECT user_id, 'both' AS membership FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+UNION ALL
+SELECT user_id, 'error_only' AS membership FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+""",
+)
+def events_users_setops(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT / UNION) — SURVEY.md §2.5: absent
+    in the reference, free in Spark."""
+    ev = _events(spark, sf_dir).where(F.col("value") > 180)
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    pur = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = err.intersect(pur).withColumn("membership", F.lit("both"))
+    only = err.exceptAll(pur).distinct().withColumn("membership", F.lit("error_only"))
+    return both.unionAll(only)
+
+
 # =============================================================================
 # §3 relational operators on the TPC-H-ish tables (joins / aggs / ranking —
 # SURVEY.md §2.4-2.5; the reference has none of these, Spark gives them free)

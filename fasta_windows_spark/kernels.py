@@ -566,6 +566,11 @@ def batch_window_stats_concat(buf, lengths, window, with_ctw=False, ks=KMER_KS):
         for j in range(1, kmax):
             idx_max |= c32[j : m_max + j] << (2 * (kmax - 1 - j))
             ok_max &= valid[j : m_max + j]
+    else:
+        # buffer shorter than kmax: no shared roll; smaller k fall through
+        # to the scalar tail loop below (head == 0)
+        idx_max = np.zeros(0, dtype=np.int32)
+        ok_max = np.zeros(0, dtype=bool)
     for k in sorted(ks):
         m = n - k + 1
         if m <= 0:

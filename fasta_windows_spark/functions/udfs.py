@@ -279,11 +279,11 @@ def ctw_udf_frame(
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels import window_bounds, entropy6
+        from ..kernels import window_bounds, entropy6, ctw_bits_per_base_many
 
         for pdf in batches:
             rows = {c: [] for c in id_cols}
-            starts, ends, ents, ctws = [], [], [], []
+            starts, ends, ents, wins = [], [], [], []
             for i, text in enumerate(pdf[text_col].tolist()):
                 buf = (text or "").encode("utf-8")
                 for s, e in window_bounds(len(buf), window, step):
@@ -291,13 +291,14 @@ def ctw_udf_frame(
                         rows[c].append(pdf[c].iloc[i])
                     starts.append(s)
                     ends.append(e)
+                    wins.append(buf[s:e])
                     ents.append(entropy6(buf[s:e]))
-                    ctws.append(ctw_bits_per_base(buf[s:e], max_depth))
             out = pd.DataFrame(rows)
             out["w_start"] = starts
             out["w_end"] = ends
             out["entropy6"] = ents
-            out["ctw"] = ctws
+            # window-vectorized CTW (lockstep across the whole batch)
+            out["ctw"] = ctw_bits_per_base_many(wins, max_depth)
             yield out
 
     return in_df.mapInPandas(compute, schema=schema)

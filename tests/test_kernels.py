@@ -258,3 +258,19 @@ def test_scalar_stats_full_window():
         np.float32(K.kmer_vector(s, 2)[6]) / np.float32(32)
     )
     assert list(st["mono"]) == [8, 8, 8, 8, 0]
+
+
+def test_ctw_vectorized_matches_scalar():
+    """Window-vectorized CTW == scalar CTW on adversarial inputs (lowercase,
+    N-flushes, junk bytes, empty, varied lengths)."""
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGTacgtNNx ", dtype=np.uint8)
+    wins = [b"", b"NNNN", b"A" * 150, b"ACAC" * 40, b"ACGTNNNNACGTNNAC"]
+    wins += [
+        rng.choice(alpha, size=int(rng.integers(0, 120))).tobytes()
+        for _ in range(40)
+    ]
+    for depth in (1, 3, 6):
+        got = K.ctw_bits_per_base_many(wins, depth, group=13)
+        exp = [K.ctw_bits_per_base(w, depth) for w in wins]
+        assert np.allclose(got, exp, atol=1e-10), depth

@@ -91,6 +91,10 @@ def main():
         app_name="fw-spark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     qs = contract.queries()
+    # JVM/Arrow/python-worker warmup so the first timed query isn't charged
+    # for session spin-up
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(32).count()
+    qs["doc_windows_entropy6"](spark, sf_dir).limit(32).count()
     times: dict[str, float] = {}
     for name in HEADLINE:
         log(f"[bench] {name} ...")

@@ -42,8 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="fasta-windows-spark-cli", master=args.master)
     try:
         df = spark.read.parquet(args.input)
@@ -109,7 +112,8 @@ def main(argv=None) -> int:
             print(f"[+]\t  {p}")
         return 0
     finally:
-        spark.stop()
+        if owns_session:  # don't tear down a session we merely joined
+            spark.stop()
 
 
 if __name__ == "__main__":

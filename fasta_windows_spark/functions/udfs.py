@@ -165,11 +165,20 @@ def _arrow_string_parts(col):
     return data, lengths
 
 
-# Per-chunk working set target: the kernel's bincount temps are ~4-5x the
-# text bytes; 2 MB text keeps the whole kernel+finisher pipeline inside the
-# shared L3 even with every core busy. Unchunked 30 MB Arrow batches measured
-# 20-40x slower under 8-way concurrency (DRAM-bound) — see BENCH notes.
-CHUNK_TEXT_BYTES = 2 << 20
+# Per-chunk working set target. The kernel's temps (int32 rolling codes,
+# bincount keys, per-window count matrices) are ~25-30x the text bytes, so
+# the chunk must be sized for the PRIVATE L2 (2 MB/core here), not the
+# shared L3: with 32 KB text the whole kernel working set is ~1 MB and every
+# core runs cache-resident. Measured on this host (pure multiprocessing,
+# batch_window_stats_concat, W=1000): 2 MB chunks = 11 MB/s/core at 4 procs
+# collapsing to 4.7 at 16 (L3 blown, DRAM-throttled VM); 32 KB chunks =
+# 37 MB/s/core at BOTH 4 and 16 procs (597 MB/s aggregate, 0.99 scaling).
+CHUNK_TEXT_BYTES = 32 << 10
+
+# Output grouping: per-chunk results are tiny (32 windows); building Arrow
+# arrays per chunk would dominate, so finisher + Arrow emission run once per
+# EMIT_TEXT_BYTES of accumulated kernel output.
+EMIT_TEXT_BYTES = 4 << 20
 
 
 def _doc_chunks(lengths, target_bytes: int = CHUNK_TEXT_BYTES):
@@ -201,56 +210,75 @@ def _window_stats_arrow(
     id_fields = [(c, in_df.schema[c].dataType) for c in id_cols]
     schema = window_stats_schema(id_fields, with_ctw, with_vectors)
 
+    from ..kernels import KMER_KS as _KS
+
+    def emit(full_batch, parts):
+        # concatenate per-chunk kernel outputs, run the vectorized finisher
+        # ONCE over the whole group, build Arrow arrays ONCE — per-chunk
+        # Python/Arrow overhead stays amortized while the kernel itself runs
+        # on L2-resident chunks
+        doc_idx = np.concatenate([r0 + p[0] for r0, p in parts])
+        starts = np.concatenate([p[1] for _, p in parts])
+        ends = np.concatenate([p[2] for _, p in parts])
+        hists = np.vstack([p[3] for _, p in parts])
+        kvecs = {k: np.vstack([p[4][k] for _, p in parts]) for k in _KS}
+        ctw = (
+            np.concatenate([p[5] for _, p in parts]) if with_ctw else None
+        )
+        st = stats_table(hists, kvecs, masked=masked, f32=f32)
+        take = pa.array(doc_idx, type=pa.int64())
+        arrays, names = [], []
+        for c in id_cols:
+            arrays.append(
+                full_batch.column(full_batch.schema.get_field_index(c)).take(take)
+            )
+            names.append(c)
+        arrays += [pa.array(starts, pa.int64()), pa.array(ends, pa.int64())]
+        names += ["w_start", "w_end"]
+        for name, _ in SCALAR_FIELDS:
+            key = _STAT_KEY.get(name, name)
+            vals = st[key]
+            if name.startswith("cnt_") or name == "win_len":
+                arrays.append(pa.array(np.asarray(vals, dtype=np.int64)))
+            else:
+                # from_pandas=True: NaN -> NULL, matching the pandas
+                # path and the oracles' nullif() convention
+                arrays.append(
+                    pa.array(np.asarray(vals, dtype=np.float64), from_pandas=True)
+                )
+            names.append(name)
+        if with_ctw:
+            arrays.append(pa.array(ctw, pa.float64(), from_pandas=True))
+            names.append("ctw")
+        if with_vectors:
+            n = len(starts)
+            for k in KMER_KS:
+                flat = pa.array(kvecs[k].reshape(-1).astype(np.int32), pa.int32())
+                offs = pa.array(
+                    np.arange(n + 1, dtype=np.int32) * (4**k), pa.int32()
+                )
+                arrays.append(pa.ListArray.from_arrays(offs, flat))
+                names.append(f"k{k}_vec")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
     def compute(batches):
         for full_batch in batches:
             ftext = full_batch.column(full_batch.schema.get_field_index(text_col))
             fdata, flengths = _arrow_string_parts(ftext)
+            parts, acc = [], 0
             for r0, r1, b0, b1 in _doc_chunks(flengths):
-                batch = full_batch.slice(r0, r1 - r0)
-                data = fdata[b0:b1]
-                lengths = flengths[r0:r1]
-                doc_idx, starts, ends, hists, kvecs, ctw = batch_window_stats_concat(
-                    data, lengths, window, with_ctw=with_ctw
+                res = batch_window_stats_concat(
+                    fdata[b0:b1], flengths[r0:r1], window, with_ctw=with_ctw
                 )
-                st = stats_table(hists, kvecs, masked=masked, f32=f32)
-                take = pa.array(doc_idx, type=pa.int64())
-                arrays, names = [], []
-                for c in id_cols:
-                    arrays.append(
-                        batch.column(batch.schema.get_field_index(c)).take(take)
-                    )
-                    names.append(c)
-                arrays += [pa.array(starts, pa.int64()), pa.array(ends, pa.int64())]
-                names += ["w_start", "w_end"]
-                for name, _ in SCALAR_FIELDS:
-                    key = _STAT_KEY.get(name, name)
-                    vals = st[key]
-                    if name.startswith("cnt_") or name == "win_len":
-                        arrays.append(pa.array(np.asarray(vals, dtype=np.int64)))
-                    else:
-                        # from_pandas=True: NaN -> NULL, matching the pandas
-                        # path and the oracles' nullif() convention
-                        arrays.append(
-                            pa.array(
-                                np.asarray(vals, dtype=np.float64), from_pandas=True
-                            )
-                        )
-                    names.append(name)
-                if with_ctw:
-                    arrays.append(pa.array(ctw, pa.float64(), from_pandas=True))
-                    names.append("ctw")
-                if with_vectors:
-                    n = len(starts)
-                    for k in KMER_KS:
-                        flat = pa.array(
-                            kvecs[k].reshape(-1).astype(np.int32), pa.int32()
-                        )
-                        offs = pa.array(
-                            np.arange(n + 1, dtype=np.int32) * (4**k), pa.int32()
-                        )
-                        arrays.append(pa.ListArray.from_arrays(offs, flat))
-                        names.append(f"k{k}_vec")
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+                if len(res[1]) == 0:
+                    continue
+                parts.append((r0, res))
+                acc += b1 - b0
+                if acc >= EMIT_TEXT_BYTES:
+                    yield emit(full_batch, parts)
+                    parts, acc = [], 0
+            if parts:
+                yield emit(full_batch, parts)
 
     return in_df.mapInArrow(compute, schema=schema)
 

@@ -37,9 +37,20 @@ def get_spark(
         # Arrow is the Python<->JVM channel for every kernel UDF
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        # keep scans parallel at small file sizes in the sandbox; at 100 TB
-        # the default 128m maxPartitionBytes takes over
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Split granularity: a 100 TB table has ~10^6 128 MB splits, so scan
+        # parallelism is never split-limited on a cluster; a sandbox corpus is
+        # a few hundred MB and the same 128 MB bin-packing would collapse it
+        # to ~4 tasks regardless of cores (measured: local[16] == local[4]).
+        # 16 MB splits + 1 MB open-cost keep local scans >= cores-wide while
+        # cluster submits override via SPARK_FILES_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_FILES_MAX_PARTITION_BYTES",
+                "16777216" if master.startswith("local") else "134217728",
+            ),
+        )
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # RocksDB state store for streaming aggregations (SURVEY.md §2.7)
         .config(
             "spark.sql.streaming.stateStore.providerClass",

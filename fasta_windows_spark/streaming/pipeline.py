@@ -256,6 +256,17 @@ def join_lang_stream(
     )
 
 
+def dedup_urls_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication by url within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): the training-pipeline guard against
+    re-crawled pages. State per url is evicted once the watermark passes
+    warc_ts + horizon, so state stays bounded at 10^12-row scale — unlike
+    plain dropDuplicates, whose state grows without bound on a stream."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def sink_format(spark: SparkSession) -> str:
     """Iceberg when the runtime is on the classpath, else the parquet file
     sink (same exactly-once commit contract in this sandbox)."""

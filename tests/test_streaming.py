@@ -285,3 +285,88 @@ def test_applyinpandas_with_state_host_agg(spark, pages_dir, pages_pdf, tmp_path
     assert (j["n_pages"] <= j["n_pages_b"]).all()
     assert (j["total_chars"] <= j["total_chars_b"]).all()
     assert sums["n_pages"].sum() <= len(pages_pdf)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (its state "
+    "server protocol), not installed in this container; the operator is "
+    "kept as the documented forward path and exercised where protobuf "
+    "exists",
+)
+def test_transform_with_state_host_agg(spark, pages_dir, pages_pdf, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor + ValueState +
+    event-time timers) — same per-host incremental aggregation contract as
+    the applyInPandasWithState operator."""
+    from fasta_windows_spark.streaming.stateful import host_state_agg_tws
+
+    stream = S.read_pages_stream(spark, pages_dir, max_files_per_trigger=1)
+    agg = host_state_agg_tws(stream, watermark="1 minute")
+    out = str(tmp_path / "tws_out")
+    q = S.write_exactly_once(agg, out, str(tmp_path / "tws_ck"))
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas()
+    got = got[got["host"].notna()]
+    assert len(got) > 0
+    assert (
+        got[["cnt_a", "cnt_c", "cnt_g", "cnt_t", "cnt_n"]].sum(axis=1)
+        <= got["total_chars"]
+    ).all()
+    batch = S.with_host(P.spark_pages(spark, pages_pdf))
+    exp = (
+        batch.groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .toPandas()
+        .set_index("host")
+        .sort_index()
+    )
+    sums = got.groupby("host")[["n_pages", "total_chars"]].sum()
+    j = sums.join(exp, how="left", rsuffix="_b")
+    assert (j["n_pages"] <= j["n_pages_b"]).all()
+    assert (j["total_chars"] <= j["total_chars_b"]).all()
+
+
+def test_streaming_dedup_urls(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate urls within the horizon are
+    emitted once; state evicts past the watermark (bounded state)."""
+    import pandas as pd
+
+    d = str(tmp_path / "dups")
+    os.makedirs(d)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.example/x", "https://a.example/x",
+                    "https://b.example/y", "https://a.example/x"],
+            "warc_ts": [base, base + pd.Timedelta("1 minute"),
+                        base + pd.Timedelta("2 minutes"),
+                        base + pd.Timedelta("3 minutes")],
+            "html": [b""] * 4,
+            "text": ["AAAA", "AAAA", "CCCC", "AAAA"],
+            "lang": ["en"] * 4,
+        }
+    )
+    pdf.to_parquet(os.path.join(d, "p0.parquet"), index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    stream = S.read_pages_stream(spark, d)
+    dedup = S.dedup_urls_stream(stream, watermark="10 minutes")
+    out = str(tmp_path / "dedup_out")
+    q = S.write_exactly_once(dedup, out, str(tmp_path / "dedup_ck"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    # all four rows arrive in one micro-batch inside the horizon: each url once
+    assert sorted(got["url"].tolist()) == [
+        "https://a.example/x", "https://b.example/y"
+    ]

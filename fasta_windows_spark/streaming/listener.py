@@ -46,6 +46,10 @@ class ProgressCollector(StreamingQueryListener):
                 "stateRows": sum(
                     s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
                 ),
+                "durationMs": p.get("durationMs"),
+                "stateCommitMs": sum(
+                    s.get("commitTimeMs", 0) for s in p.get("stateOperators", [])
+                ),
             }
             for p in self.progress
         ]

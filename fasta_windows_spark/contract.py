@@ -1327,6 +1327,81 @@ def events_rollup(spark, sf_dir):
     )
 
 
+_SQL_D2 = (
+    "round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
+    "+ list_dot_product({b}, {b}), 6)"
+)
+
+
+@q(
+    "emb_ivf_assign",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 8),
+pairs AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_SQL_D2.format(a="e.v", b="c.cvec")} AS dist2,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_SQL_D2.format(a="e.v", b="c.cvec")}, c.centroid_id
+         ) AS rn
+  FROM e, c
+)
+SELECT vec_id, centroid_id, dist2 FROM pairs WHERE rn = 1
+""",
+)
+def emb_ivf_assign(spark, sf_dir):
+    """IVF coarse assignment: argmin squared-L2 over a broadcast centroid
+    table (deterministic centroids = lowest 8 vec_ids)."""
+    return _sim.ivf_assign(_tbl(spark, sf_dir, "embeddings"), n_centroids=8)
+
+
+@q(
+    "emb_ivf_search",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_D2.format(a="e.v", b="c.cvec")}, c.centroid_id
+           ) AS rn
+    FROM e, c) WHERE rn = 1
+),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY {_SQL_D2.format(a="qv.q", b="c.cvec")}, c.centroid_id
+           ) AS rn
+    FROM c, qv) WHERE rn <= 2
+),
+cand AS (
+  SELECT a.vec_id, a.centroid_id,
+         round(list_dot_product(e.v, qv.q) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.q, qv.q))),
+               5) AS cosine
+  FROM assign a
+  JOIN probes p ON a.centroid_id = p.centroid_id
+  JOIN e ON e.vec_id = a.vec_id, qv
+  WHERE a.vec_id <> 0
+)
+SELECT vec_id, centroid_id, cosine FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn FROM cand
+) WHERE rn <= 10
+""",
+)
+def emb_ivf_search(spark, sf_dir):
+    """IVF ANN: probe the 2 nearest of 8 cells, brute-force cosine within
+    them, top-10 (deterministic tie-break on vec_id)."""
+    return _sim.ivf_search(
+        _tbl(spark, sf_dir, "embeddings"), query_vec_id=0, n_centroids=8, nprobe=2, k=10
+    )
+
+
 @q("emb_knn_topk")  # numpy/BLAS path: SIMD sum reassociation -> rows-only check
 def emb_knn_topk(spark, sf_dir):
     import numpy as np

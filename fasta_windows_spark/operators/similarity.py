@@ -88,6 +88,95 @@ def lsh_buckets(
     return e.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the `n_centroids` lowest-id
+    vectors serve as cell centroids (the sandbox stand-in for a k-means fit;
+    the assignment/probe/search plumbing — the part that matters at scale —
+    is identical for trained centroids, which would arrive the same way: a
+    small broadcast table)."""
+    return emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF inverted-file assignment: each vector to its nearest centroid by
+    squared L2 (= |v|^2 - 2 v.c + |c|^2, all JVM fold expressions over the
+    broadcast centroid table). One narrow pass + a per-vector top-1: no
+    all-pairs shuffle; at 100 TB this is a map-side broadcast join."""
+    from pyspark.sql import Window
+
+    c = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    pairs = e.crossJoin(F.broadcast(c))
+    d2 = _dot("_v", "_v") - 2 * _dot("_v", "cvec") + _dot("cvec", "cvec")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.withColumn("_d2", F.round(d2, 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), "centroid_id", F.col("_d2").alias("dist2"))
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: rank centroids by distance to the query, probe the
+    `nprobe` nearest cells, brute-force cosine only within them, return the
+    top-k (deterministic tie-break on vec_id). Candidates ~ nprobe/n_centroids
+    of the corpus — the standard IVF recall/cost dial."""
+    from pyspark.sql import Window
+
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    qv = e.where(F.col(id_col) == query_vec_id).select(F.col("_v").alias("_q"))
+    c = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    cd = c.crossJoin(F.broadcast(qv)).withColumn(
+        "_d2",
+        F.round(_dot("_q", "_q") - 2 * _dot("_q", "cvec") + _dot("cvec", "cvec"), 6),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed per-partition
+    # top-k then driver merge of k-element heaps) — no single-partition window
+    probes = (
+        cd.orderBy(F.col("_d2").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cands = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .where(F.col(id_col) != query_vec_id)
+        .join(e, id_col)
+        .crossJoin(F.broadcast(qv))
+    )
+    cos = _dot("_v", "_q") / (F.sqrt(_dot("_v", "_v")) * F.sqrt(_dot("_q", "_q")))
+    return (
+        cands.withColumn("cosine", F.round(cos, 5))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), "centroid_id", "cosine")
+    )
+
+
 KNN_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

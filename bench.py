@@ -47,10 +47,16 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 8000) -> dict:
-    """End-to-end streaming throughput: synthetic pages stream -> watermarked
-    10-minute host windows -> exactly-once parquet sink; reports emitted
-    windows/sec and input pages/sec (the BASELINE.json metric)."""
+def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 24000) -> dict:
+    """End-to-end streaming throughput on the BASELINE.json headline shape:
+    pages stream -> per-page positional window statistics (W=1000, full
+    kernel, Arrow-vectorized) -> watermarked 10-minute host-window agg ->
+    exactly-once parquet sink. Reports sustained POSITIONAL windows/sec
+    (the unit the scaling bench and the reference count), plus pages/sec
+    and text MB/s."""
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.functions.udfs import window_stats
     from fasta_windows_spark.sources import pages as P
     from fasta_windows_spark.streaming import pipeline as S
 
@@ -59,22 +65,38 @@ def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 8000) -> dict:
     ck = os.path.join(scratch, "pages_ck")
     for d in (src, out, ck):
         shutil.rmtree(d, ignore_errors=True)
-    pdf = P.gen_pages(n_pages=n_pages, n_hosts=200, n_hot_hosts=4, seed=42)
+    pdf = P.gen_pages(
+        n_pages=n_pages, n_hosts=200, n_hot_hosts=4, seed=42,
+        min_len=4000, max_len=12000,
+    )
+    total_chars_in = int(pdf["text"].str.len().sum())
     P.write_pages_parquet(pdf, src, n_files=16)
 
     t0 = time.perf_counter()
-    stream = S.read_pages_stream(spark, src)
-    agg = S.host_window_stats(stream, window="10 minutes", watermark="10 minutes")
+    stream = S.with_host(S.read_pages_stream(spark, src))
+    ws = window_stats(stream, window=1000, id_cols=["host", "warc_ts"], f32=False)
+    agg = (
+        ws.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "host")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("win_len").alias("total_chars"),
+            F.sum("cnt_g").alias("cnt_g"),
+            F.sum("cnt_c").alias("cnt_c"),
+        )
+    )
     q = S.write_exactly_once(agg, out, ck)
     q.awaitTermination(600)
     wall = time.perf_counter() - t0
-    n_windows = spark.read.parquet(out).count()
+    res = spark.read.parquet(out)
+    n_windows = int(res.agg(F.sum("n_windows")).collect()[0][0] or 0)
     return {
         "streaming_wall_sec": round(wall, 2),
         "streaming_pages": n_pages,
         "streaming_windows": n_windows,
         "windows_per_sec": round(n_windows / wall, 1),
         "pages_per_sec": round(n_pages / wall, 1),
+        "text_mb_per_sec": round(total_chars_in / 1e6 / wall, 1),
     }
 
 

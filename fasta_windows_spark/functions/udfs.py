@@ -98,17 +98,19 @@ def window_stats(
     ``f32`` keeps the reference's f32 division semantics; oracle-checked
     queries pass f32=False and round at the edge.
 
-    use_arrow (default: tumbling only): mapInArrow fast path — the text
-    column's Arrow layout (one concatenated UTF-8 buffer + offsets) feeds
-    the kernel ZERO-COPY, skipping pandas/Python-string materialization
-    entirely (~5x on large pages). Falls back to mapInPandas for sliding
-    windows.
+    use_arrow (default True): mapInArrow fast path — the text column's
+    Arrow layout (one concatenated UTF-8 buffer + offsets) feeds the kernel
+    ZERO-COPY, skipping pandas/Python-string materialization entirely
+    (~5x on large pages). Sliding windows run as ceil(window/step)
+    phase-shifted vectorized passes (kernels.batch_window_stats_concat_sliding);
+    use_arrow=False keeps the row-at-a-time reference path for differential
+    testing.
     """
     if use_arrow is None:
-        use_arrow = step is None or step == window
-    if use_arrow and (step is None or step == window):
+        use_arrow = True
+    if use_arrow:
         return _window_stats_arrow(
-            df, text_col, id_cols, window, masked, with_ctw, with_vectors, f32
+            df, text_col, id_cols, window, step, masked, with_ctw, with_vectors, f32
         )
     id_cols = id_cols or ["doc_id"]
     in_df = df.select(*id_cols, text_col)  # column pruning before the UDF
@@ -198,12 +200,12 @@ def _doc_chunks(lengths, target_bytes: int = CHUNK_TEXT_BYTES):
 
 
 def _window_stats_arrow(
-    df, text_col, id_cols, window, masked, with_ctw, with_vectors, f32
+    df, text_col, id_cols, window, step, masked, with_ctw, with_vectors, f32
 ):
     import numpy as np
     import pyarrow as pa
 
-    from ..kernels import batch_window_stats_concat, stats_table
+    from ..kernels import batch_window_stats_concat_sliding, stats_table
 
     id_cols = id_cols or ["doc_id"]
     in_df = df.select(*id_cols, text_col)
@@ -267,8 +269,8 @@ def _window_stats_arrow(
             fdata, flengths = _arrow_string_parts(ftext)
             parts, acc = [], 0
             for r0, r1, b0, b1 in _doc_chunks(flengths):
-                res = batch_window_stats_concat(
-                    fdata[b0:b1], flengths[r0:r1], window, with_ctw=with_ctw
+                res = batch_window_stats_concat_sliding(
+                    fdata[b0:b1], flengths[r0:r1], window, step, with_ctw=with_ctw
                 )
                 if len(res[1]) == 0:
                     continue

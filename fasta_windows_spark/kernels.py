@@ -755,6 +755,138 @@ def batch_window_stats_concat(buf, lengths, window, with_ctw=False, ks=KMER_KS):
     return doc_idx, starts, ends, hists, kvecs, ctw
 
 
+def _concat_phase(buf, lengths, window, offset, period, with_ctw, ks):
+    """One phase of the sliding decomposition: windows of length `window`
+    starting at offset + j*period within each doc (period >= window, so
+    windows in a phase never overlap; bytes in the inter-window gaps and
+    before the offset go to a trash bin). offset=0, period=window is plain
+    tumbling. Same return shape as batch_window_stats_concat."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_docs = len(lengths)
+    eff = lengths - offset
+    nwins = np.where(eff > 0, (eff + period - 1) // period, 0)
+    total_wins = int(nwins.sum())
+    win_base = (
+        np.concatenate([[0], np.cumsum(nwins)[:-1]]) if n_docs else np.array([], dtype=np.int64)
+    )
+    doc_idx = np.repeat(np.arange(n_docs), nwins)
+    local_win = np.arange(total_wins, dtype=np.int64) - np.repeat(win_base, nwins)
+    starts = offset + local_win * period
+    ends = np.minimum(starts + window, np.repeat(lengths, nwins))
+
+    if total_wins == 0:
+        return (
+            doc_idx,
+            starts,
+            ends,
+            np.zeros((0, 256), dtype=np.int64),
+            {k: np.zeros((0, 4**k), dtype=np.int64) for k in ks},
+            np.zeros(0) if with_ctw else None,
+        )
+
+    assert (total_wins + 1) * 257 < 2**31, "Arrow batch too large for int32 bins"
+    doc_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    local_pos = np.arange(len(buf), dtype=np.int64) - np.repeat(doc_starts, lengths)
+    q = local_pos - offset
+    in_win = (q >= 0) & (q % period < window)
+    win_of_pos = np.where(
+        in_win, np.repeat(win_base, lengths) + np.maximum(q, 0) // period, -1
+    ).astype(np.int32)
+
+    trash = np.int32(total_wins)
+    hkey = np.where(
+        in_win, win_of_pos * np.int32(256) + buf, trash * np.int32(256)
+    )
+    hists = np.bincount(hkey, minlength=(total_wins + 1) * 256)[
+        : total_wins * 256
+    ].reshape(total_wins, 256)
+
+    code = NUC_CODE[buf]
+    valid = code != 255
+    c32 = code.astype(np.int32)
+    c32[~valid] = 0
+    n = len(buf)
+    kmax = max(ks)
+    kvecs = {}
+    m_max = n - kmax + 1
+    if m_max > 0:
+        idx_max = c32[:m_max] << (2 * (kmax - 1))
+        ok_max = valid[:m_max].copy()
+        for j in range(1, kmax):
+            idx_max |= c32[j : m_max + j] << (2 * (kmax - 1 - j))
+            ok_max &= valid[j : m_max + j]
+    else:
+        idx_max = np.zeros(0, dtype=np.int32)
+        ok_max = np.zeros(0, dtype=bool)
+    for k in sorted(ks):
+        m = n - k + 1
+        if m <= 0:
+            kvecs[k] = np.zeros((total_wins, 4**k), dtype=np.int64)
+            continue
+        if k == kmax:
+            idx = idx_max
+            ok = ok_max
+        else:
+            idx = np.empty(m, dtype=np.int32)
+            head = max(m_max, 0)
+            idx[:head] = idx_max[:head] >> (2 * (kmax - k))
+            for t in range(head, m):
+                v = 0
+                for j in range(k):
+                    v = (v << 2) | int(c32[t + j])
+                idx[t] = v
+            ok = valid[:m].copy()
+            for j in range(1, k):
+                ok &= valid[j : m + j]
+        w0 = win_of_pos[:m]
+        wk = win_of_pos[k - 1 : m + k - 1]
+        okw = ok & (w0 >= 0) & (w0 == wk)
+        nbins = total_wins * (4**k)
+        combined = np.where(okw, w0 * np.int32(4**k) + idx[:m], np.int32(nbins))
+        kvecs[k] = np.bincount(combined, minlength=nbins + 1)[:nbins].reshape(
+            total_wins, 4**k
+        )
+
+    ctw = None
+    if with_ctw:
+        doc_starts_full = np.concatenate([[0], np.cumsum(lengths)])
+        slices = []
+        for w in range(total_wins):
+            base = int(doc_starts_full[int(doc_idx[w])])
+            slices.append(buf[base + int(starts[w]) : base + int(ends[w])])
+        ctw = ctw_bits_per_base_many(slices, 6)
+
+    return doc_idx, starts, ends, hists, kvecs, ctw
+
+
+def batch_window_stats_concat_sliding(
+    buf, lengths, window, step, with_ctw=False, ks=KMER_KS
+):
+    """Vectorized SLIDING windows over a concatenated buffer: decomposed into
+    K = ceil(window/step) phase-shifted non-overlapping passes through
+    :func:`_concat_phase` (phase g covers starts g*step + j*K*step), results
+    merged and re-sorted to window_bounds order (doc, start). Total cost is
+    K kernel passes — proportional to the output volume, i.e. the inherent
+    cost of overlap. Handles step > window (gapped sampling windows) too."""
+    if step is None or step == window:
+        return batch_window_stats_concat(buf, lengths, window, with_ctw, ks)
+    K = max(1, -(-window // step))  # ceil
+    period = K * step
+    parts = [
+        _concat_phase(buf, lengths, window, g * step, period, with_ctw, ks)
+        for g in range(K)
+    ]
+    doc_idx = np.concatenate([p[0] for p in parts])
+    starts = np.concatenate([p[1] for p in parts])
+    ends = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((starts, doc_idx))
+    hists = np.vstack([p[3] for p in parts])[order]
+    kvecs = {k: np.vstack([p[4][k] for p in parts])[order] for k in ks}
+    ctw = np.concatenate([p[5] for p in parts])[order] if with_ctw else None
+    return doc_idx[order], starts[order], ends[order], hists, kvecs, ctw
+
+
 def _batch_sliding(bufs, lengths, window, step, with_ctw, ks):
     doc_idx_l, starts_l, ends_l, hist_l = [], [], [], []
     kvec_l = {k: [] for k in ks}

@@ -274,3 +274,44 @@ def test_ctw_vectorized_matches_scalar():
         got = K.ctw_bits_per_base_many(wins, depth, group=13)
         exp = [K.ctw_bits_per_base(w, depth) for w in wins]
         assert np.allclose(got, exp, atol=1e-10), depth
+
+
+def test_sliding_concat_matches_reference_path():
+    """Vectorized phase-decomposed sliding kernel == the row-at-a-time
+    reference path, across non-divisible strides, gapped (step > window),
+    stride-1, dirty bytes, empty/short docs, and CTW."""
+    import numpy as np
+
+    from fasta_windows_spark.kernels import (
+        _batch_sliding,
+        batch_window_stats_concat_sliding,
+    )
+
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(b"ACGTNacgtnXW ", dtype=np.uint8)
+
+    def rnd(n):
+        return alpha[rng.integers(0, len(alpha), n)].tobytes().decode()
+
+    cases = [
+        (["ACGTACGTAC", "", "A", "ACGT"], 4, 2, False),
+        ([rnd(137), rnd(3), rnd(0), rnd(55)], 10, 3, False),
+        ([rnd(100), rnd(7)], 5, 8, False),  # gapped: step > window
+        ([rnd(211)], 7, 1, False),  # stride 1
+        ([rnd(64), rnd(64)], 16, 4, True),  # ctw parity
+        ([rnd(1000) for _ in range(5)], 100, 30, False),
+    ]
+    for texts, W, s, with_ctw in cases:
+        bufs = [t.encode() for t in texts]
+        lengths = np.array([len(b) for b in bufs], dtype=np.int64)
+        buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        a = _batch_sliding(
+            [np.frombuffer(b, np.uint8) for b in bufs], lengths, W, s, with_ctw, (2, 3, 4)
+        )
+        b2 = batch_window_stats_concat_sliding(buf, lengths, W, s, with_ctw, (2, 3, 4))
+        assert np.array_equal(a[0], b2[0]) and np.array_equal(a[1], b2[1])
+        assert np.array_equal(a[2], b2[2]) and np.array_equal(a[3], b2[3])
+        for k in (2, 3, 4):
+            assert np.array_equal(a[4][k], b2[4][k])
+        if with_ctw:
+            assert np.allclose(a[5], b2[5], atol=1e-12)

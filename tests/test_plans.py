@@ -73,3 +73,13 @@ def test_salted_agg_matches_direct(spark):
     assert abs(direct["s"] - salted["s"]).max() < 1e-6
     assert (direct["mn"] == salted["mn"]).all()
     assert (direct["mx"] == salted["mx"]).all()
+
+
+def test_ivf_search_plan_shape(spark):
+    """IVF search: centroid/probe joins broadcast (map-side), top-k compiles
+    to TakeOrderedAndProject (distributed partial top-k, no single-partition
+    window)."""
+    df = contract.queries()["emb_ivf_search"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1554,6 +1554,40 @@ def docs_media_decode(spark, sf_dir):
     return _mm.decode_media(media).drop("features")
 
 
+@q(
+    "docs_frame_sample",
+    """
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text)/256.0) AS BIGINT), 4)) AS frame_idx,
+         text
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, frame_idx,
+       length(substring(text, (frame_idx*256+1)::INT, 256))::BIGINT AS frame_len,
+       md5(substring(text, (frame_idx*256+1)::INT, 256)) AS frame_md5
+FROM frames
+""",
+)
+def docs_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (video analog): every 4th 256-char frame per
+    payload, md5-fingerprinted — the 1-in/N-out explode shape of a real
+    frame sampler, oracle-checked via substring md5."""
+    return _mm.sample_frames(_docs(spark, sf_dir), frame_chars=256, every=4)
+
+
+@q("docs_media_resize")  # chained on the python-side codec stub: rows-only
+def docs_media_resize(spark, sf_dir):
+    """Feature-resize stage chained after decode: JVM higher-order-function
+    fold of the feature vector to 4 bins (no Python in this stage)."""
+    media = _mm.docs_as_media(_docs(spark, sf_dir))
+    decoded = _mm.decode_media(media)
+    return _mm.resize_features(decoded, out_dim=4).select(
+        "doc_id", "byte_len", "features_resized"
+    )
+
+
 def queries() -> dict:
     return dict(QUERIES)
 

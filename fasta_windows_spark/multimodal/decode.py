@@ -90,6 +90,64 @@ def docs_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    docs: DataFrame,
+    text_col: str = "text",
+    frame_chars: int = 256,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling plumbing (video analog): split each payload into
+    fixed-size frames and keep every `every`-th (frame 0, every, 2*every…) —
+    the 1-row-in / N-rows-out explode shape a real frame sampler has.
+    Frames are CHARACTER slices so the md5 fingerprint is reproducible by
+    the SQL oracle (md5 of a substring hashes its UTF-8 bytes identically
+    in Spark and DuckDB); a byte-exact variant only changes the slicing.
+    Narrow stage: mapInPandas, no shuffle."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_len", "frame_md5")}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                text = text or ""
+                n_frames = (len(text) + frame_chars - 1) // frame_chars
+                for i in range(0, n_frames, every):
+                    frame = text[i * frame_chars : (i + 1) * frame_chars]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text_col).mapInPandas(compute, FRAME_SCHEMA)
+
+
+def resize_features(
+    decoded: DataFrame, out_dim: int = 4, features_col: str = "features"
+) -> DataFrame:
+    """Feature 'resize' (image-resize analog on the feature axis): fold the
+    FEATURE_DIM vector to `out_dim` bins by summing adjacent groups —
+    entirely JVM-side higher-order functions (no Python), chained after the
+    decode stage."""
+    r = FEATURE_DIM // out_dim
+    folded = F.expr(
+        f"transform(sequence(0, {out_dim - 1}), j -> "
+        f"aggregate(slice({features_col}, j*{r}+1, {r}), 0.0F, (a, x) -> a + x))"
+    )
+    return decoded.withColumn("features_resized", folded)
+
+
 def media_meta(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Pure-SQL metadata extraction over the binary payload (oracle-checkable
     part of the multimodal path: octet length, first byte, md5)."""

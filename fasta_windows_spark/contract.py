@@ -1449,6 +1449,38 @@ def events_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "events_cube",
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(user_id % 10, -1)::BIGINT AS user_bucket,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+""",
+)
+def events_cube(spark, sf_dir):
+    """Full cube over (event_type, user bucket): all four grouping sets in
+    one pass (SURVEY.md §2.5 — absent in the reference, free in Spark)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _SQL_D2 = (
     "round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
     "+ list_dot_product({b}, {b}), 6)"

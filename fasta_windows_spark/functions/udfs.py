@@ -214,11 +214,17 @@ def _window_stats_arrow(
 
     from ..kernels import KMER_KS as _KS
 
+    # rows per output RecordBatch: Arrow list offsets are int32, so a slice
+    # must keep n * 4^kmax < 2^31 (a single huge doc at step=1 can produce
+    # tens of millions of windows in one kernel call); 2M also bounds the
+    # finisher's transient matrices
+    EMIT_MAX_WINDOWS = 2_000_000
+
     def emit(full_batch, parts):
         # concatenate per-chunk kernel outputs, run the vectorized finisher
-        # ONCE over the whole group, build Arrow arrays ONCE — per-chunk
-        # Python/Arrow overhead stays amortized while the kernel itself runs
-        # on L2-resident chunks
+        # ONCE over each bounded row-slice, build Arrow arrays once per
+        # slice — per-chunk Python/Arrow overhead stays amortized while the
+        # kernel itself runs on L2-resident chunks
         doc_idx = np.concatenate([r0 + p[0] for r0, p in parts])
         starts = np.concatenate([p[1] for _, p in parts])
         ends = np.concatenate([p[2] for _, p in parts])
@@ -227,41 +233,49 @@ def _window_stats_arrow(
         ctw = (
             np.concatenate([p[5] for _, p in parts]) if with_ctw else None
         )
-        st = stats_table(hists, kvecs, masked=masked, f32=f32)
-        take = pa.array(doc_idx, type=pa.int64())
-        arrays, names = [], []
-        for c in id_cols:
-            arrays.append(
-                full_batch.column(full_batch.schema.get_field_index(c)).take(take)
-            )
-            names.append(c)
-        arrays += [pa.array(starts, pa.int64()), pa.array(ends, pa.int64())]
-        names += ["w_start", "w_end"]
-        for name, _ in SCALAR_FIELDS:
-            key = _STAT_KEY.get(name, name)
-            vals = st[key]
-            if name.startswith("cnt_") or name == "win_len":
-                arrays.append(pa.array(np.asarray(vals, dtype=np.int64)))
-            else:
-                # from_pandas=True: NaN -> NULL, matching the pandas
-                # path and the oracles' nullif() convention
+        for s0 in range(0, len(starts), EMIT_MAX_WINDOWS):
+            s1 = min(s0 + EMIT_MAX_WINDOWS, len(starts))
+            sl_kvecs = {k: kvecs[k][s0:s1] for k in _KS}
+            st = stats_table(hists[s0:s1], sl_kvecs, masked=masked, f32=f32)
+            take = pa.array(doc_idx[s0:s1], type=pa.int64())
+            arrays, names = [], []
+            for c in id_cols:
                 arrays.append(
-                    pa.array(np.asarray(vals, dtype=np.float64), from_pandas=True)
+                    full_batch.column(full_batch.schema.get_field_index(c)).take(take)
                 )
-            names.append(name)
-        if with_ctw:
-            arrays.append(pa.array(ctw, pa.float64(), from_pandas=True))
-            names.append("ctw")
-        if with_vectors:
-            n = len(starts)
-            for k in KMER_KS:
-                flat = pa.array(kvecs[k].reshape(-1).astype(np.int32), pa.int32())
-                offs = pa.array(
-                    np.arange(n + 1, dtype=np.int32) * (4**k), pa.int32()
-                )
-                arrays.append(pa.ListArray.from_arrays(offs, flat))
-                names.append(f"k{k}_vec")
-        return pa.RecordBatch.from_arrays(arrays, names=names)
+                names.append(c)
+            arrays += [
+                pa.array(starts[s0:s1], pa.int64()),
+                pa.array(ends[s0:s1], pa.int64()),
+            ]
+            names += ["w_start", "w_end"]
+            for name, _ in SCALAR_FIELDS:
+                key = _STAT_KEY.get(name, name)
+                vals = st[key]
+                if name.startswith("cnt_") or name == "win_len":
+                    arrays.append(pa.array(np.asarray(vals, dtype=np.int64)))
+                else:
+                    # from_pandas=True: NaN -> NULL, matching the pandas
+                    # path and the oracles' nullif() convention
+                    arrays.append(
+                        pa.array(np.asarray(vals, dtype=np.float64), from_pandas=True)
+                    )
+                names.append(name)
+            if with_ctw:
+                arrays.append(pa.array(ctw[s0:s1], pa.float64(), from_pandas=True))
+                names.append("ctw")
+            if with_vectors:
+                n = s1 - s0
+                for k in KMER_KS:
+                    flat = pa.array(
+                        sl_kvecs[k].reshape(-1).astype(np.int32), pa.int32()
+                    )
+                    offs = pa.array(
+                        np.arange(n + 1, dtype=np.int64) * (4**k), pa.int32()
+                    )
+                    arrays.append(pa.ListArray.from_arrays(offs, flat))
+                    names.append(f"k{k}_vec")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     def compute(batches):
         for full_batch in batches:
@@ -277,10 +291,10 @@ def _window_stats_arrow(
                 parts.append((r0, res))
                 acc += b1 - b0
                 if acc >= EMIT_TEXT_BYTES:
-                    yield emit(full_batch, parts)
+                    yield from emit(full_batch, parts)
                     parts, acc = [], 0
             if parts:
-                yield emit(full_batch, parts)
+                yield from emit(full_batch, parts)
 
     return in_df.mapInArrow(compute, schema=schema)
 

@@ -635,6 +635,60 @@ def batch_window_stats(
     return _batch_sliding(bufs, lengths, window, step, with_ctw, ks)
 
 
+def _kgram_codes(buf: np.ndarray, ks=KMER_KS) -> dict:
+    """Per-k gram index arrays over a concatenated byte buffer: {k: (idx, ok)}
+    with idx[t] = 2-bit-packed code of buf[t:t+k] and ok[t] = all-ACGT.
+    Single rolling pass: the max-k code is built once with shifts; smaller
+    k indices are its high bits (k2(i) = k4(i) >> 4, k3(i) = k4(i) >> 2),
+    so each extra k costs one shift, not a fresh roll. Phase/window-agnostic
+    (window membership is applied by the caller), so sliding decompositions
+    compute this ONCE and reuse it across phases."""
+    code = NUC_CODE[buf]
+    valid = code != 255
+    c32 = code.astype(np.int32)
+    c32[~valid] = 0  # keep every 2-bit slot clean: derived k<kmax indices
+    # are bit-shifts of the shared roll, so slot overflow would corrupt them
+    n = len(buf)
+    kmax = max(ks)
+    m_max = n - kmax + 1
+    if m_max > 0:
+        idx_max = c32[:m_max] << (2 * (kmax - 1))
+        ok_max = valid[:m_max].copy()
+        for j in range(1, kmax):
+            idx_max |= c32[j : m_max + j] << (2 * (kmax - 1 - j))
+            ok_max &= valid[j : m_max + j]
+    else:
+        # buffer shorter than kmax: no shared roll; smaller k fall through
+        # to the scalar tail loop below (head == 0)
+        idx_max = np.zeros(0, dtype=np.int32)
+        ok_max = np.zeros(0, dtype=bool)
+    out = {}
+    for k in sorted(ks):
+        m = n - k + 1
+        if m <= 0:
+            out[k] = (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=bool))
+            continue
+        if k == kmax:
+            out[k] = (idx_max, ok_max)
+            continue
+        # head = high bits of the shared roll; tail (kmax-k positions at
+        # the buffer end) rolled scalar so window-final grams survive
+        idx = np.empty(m, dtype=np.int32)
+        head = max(m_max, 0)
+        idx[:head] = idx_max[:head] >> (2 * (kmax - k))
+        for t in range(head, m):
+            v = 0
+            for j in range(k):
+                v = (v << 2) | int(c32[t + j])
+            idx[t] = v
+        # validity needs only k bytes (ok_max demands kmax): fresh AND
+        ok = valid[:m].copy()
+        for j in range(1, k):
+            ok &= valid[j : m + j]
+        out[k] = (idx, ok)
+    return out
+
+
 def batch_window_stats_concat(buf, lengths, window, with_ctw=False, ks=KMER_KS):
     """Tumbling-window kernel over a PRE-CONCATENATED byte buffer with
     per-document lengths — the zero-copy entry point for Arrow string
@@ -683,52 +737,12 @@ def batch_window_stats_concat(buf, lengths, window, with_ctw=False, ks=KMER_KS):
     # k-mer vectors: rolling 2-bit codes over the global buffer; a gram is
     # valid iff all bytes are ACGT AND it does not cross a window boundary
     # (windows never span docs, so doc boundaries come for free).
-    # Single rolling pass: the max-k code is built once with shifts; smaller
-    # k indices are its high bits (k2(i) = k4(i) >> 4, k3(i) = k4(i) >> 2),
-    # so each extra k costs one shift + one bincount, not a fresh roll.
-    code = NUC_CODE[buf]
-    valid = code != 255
-    c32 = code.astype(np.int32)
-    c32[~valid] = 0  # keep every 2-bit slot clean: derived k<kmax indices
-    # are bit-shifts of the shared roll, so slot overflow would corrupt them
-    n = len(buf)
-    kmax = max(ks)
     kvecs = {}
-    m_max = n - kmax + 1
-    if m_max > 0:
-        idx_max = c32[:m_max] << (2 * (kmax - 1))
-        ok_max = valid[:m_max].copy()
-        for j in range(1, kmax):
-            idx_max |= c32[j : m_max + j] << (2 * (kmax - 1 - j))
-            ok_max &= valid[j : m_max + j]
-    else:
-        # buffer shorter than kmax: no shared roll; smaller k fall through
-        # to the scalar tail loop below (head == 0)
-        idx_max = np.zeros(0, dtype=np.int32)
-        ok_max = np.zeros(0, dtype=bool)
-    for k in sorted(ks):
-        m = n - k + 1
-        if m <= 0:
+    for k, (idx, ok) in _kgram_codes(buf, ks).items():
+        m = len(idx)
+        if m == 0:
             kvecs[k] = np.zeros((total_wins, 4**k), dtype=np.int64)
             continue
-        if k == kmax:
-            idx = idx_max
-            ok = ok_max
-        else:
-            # head = high bits of the shared roll; tail (kmax-k positions at
-            # the buffer end) rolled scalar so window-final grams survive
-            idx = np.empty(m, dtype=np.int32)
-            head = max(m_max, 0)
-            idx[:head] = idx_max[:head] >> (2 * (kmax - k))
-            for t in range(head, m):
-                v = 0
-                for j in range(k):
-                    v = (v << 2) | int(c32[t + j])
-                idx[t] = v
-            # validity needs only k bytes (ok_max demands kmax): fresh AND
-            ok = valid[:m].copy()
-            for j in range(1, k):
-                ok &= valid[j : m + j]
         # same-window test (also rejects doc-crossing grams: window ids are
         # globally unique per doc); invalid grams -> one trash bin, a single
         # where-pass instead of two boolean gathers
@@ -755,12 +769,14 @@ def batch_window_stats_concat(buf, lengths, window, with_ctw=False, ks=KMER_KS):
     return doc_idx, starts, ends, hists, kvecs, ctw
 
 
-def _concat_phase(buf, lengths, window, offset, period, with_ctw, ks):
+def _concat_phase(buf, lengths, window, offset, period, with_ctw, ks, kcodes=None):
     """One phase of the sliding decomposition: windows of length `window`
     starting at offset + j*period within each doc (period >= window, so
     windows in a phase never overlap; bytes in the inter-window gaps and
     before the offset go to a trash bin). offset=0, period=window is plain
-    tumbling. Same return shape as batch_window_stats_concat."""
+    tumbling. `kcodes` = precomputed _kgram_codes(buf, ks) — phase-invariant,
+    so the sliding driver computes it once for all K phases. Same return
+    shape as batch_window_stats_concat."""
     buf = np.asarray(buf, dtype=np.uint8)
     lengths = np.asarray(lengths, dtype=np.int64)
     n_docs = len(lengths)
@@ -802,43 +818,12 @@ def _concat_phase(buf, lengths, window, offset, period, with_ctw, ks):
         : total_wins * 256
     ].reshape(total_wins, 256)
 
-    code = NUC_CODE[buf]
-    valid = code != 255
-    c32 = code.astype(np.int32)
-    c32[~valid] = 0
-    n = len(buf)
-    kmax = max(ks)
     kvecs = {}
-    m_max = n - kmax + 1
-    if m_max > 0:
-        idx_max = c32[:m_max] << (2 * (kmax - 1))
-        ok_max = valid[:m_max].copy()
-        for j in range(1, kmax):
-            idx_max |= c32[j : m_max + j] << (2 * (kmax - 1 - j))
-            ok_max &= valid[j : m_max + j]
-    else:
-        idx_max = np.zeros(0, dtype=np.int32)
-        ok_max = np.zeros(0, dtype=bool)
-    for k in sorted(ks):
-        m = n - k + 1
-        if m <= 0:
+    for k, (idx, ok) in (kcodes or _kgram_codes(buf, ks)).items():
+        m = len(idx)
+        if m == 0:
             kvecs[k] = np.zeros((total_wins, 4**k), dtype=np.int64)
             continue
-        if k == kmax:
-            idx = idx_max
-            ok = ok_max
-        else:
-            idx = np.empty(m, dtype=np.int32)
-            head = max(m_max, 0)
-            idx[:head] = idx_max[:head] >> (2 * (kmax - k))
-            for t in range(head, m):
-                v = 0
-                for j in range(k):
-                    v = (v << 2) | int(c32[t + j])
-                idx[t] = v
-            ok = valid[:m].copy()
-            for j in range(1, k):
-                ok &= valid[j : m + j]
         w0 = win_of_pos[:m]
         wk = win_of_pos[k - 1 : m + k - 1]
         okw = ok & (w0 >= 0) & (w0 == wk)
@@ -873,8 +858,9 @@ def batch_window_stats_concat_sliding(
         return batch_window_stats_concat(buf, lengths, window, with_ctw, ks)
     K = max(1, -(-window // step))  # ceil
     period = K * step
+    kcodes = _kgram_codes(np.asarray(buf, dtype=np.uint8), ks)  # once, not per phase
     parts = [
-        _concat_phase(buf, lengths, window, g * step, period, with_ctw, ks)
+        _concat_phase(buf, lengths, window, g * step, period, with_ctw, ks, kcodes)
         for g in range(K)
     ]
     doc_idx = np.concatenate([p[0] for p in parts])

@@ -150,7 +150,12 @@ def host_state_agg_tws(pages: DataFrame, watermark: str = "1 minute") -> DataFra
                 max(prev[7], max_ts),
             )
             self.state.update(new)
-            # emit once the watermark passes last event + 30s of host silence
+            # emit once the watermark passes last event + 30s of host silence.
+            # registerTimer ADDS a timer (unlike applyInPandasWithState's
+            # setTimeoutTimestamp, which replaces): drop stale timers first,
+            # else an old timer fires mid-activity and emits a partial row.
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
             self.handle.registerTimer(new[7] + 30_000)
             return iter(())
 

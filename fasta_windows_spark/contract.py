@@ -1481,6 +1481,63 @@ def events_cube(spark, sf_dir):
     )
 
 
+@q(
+    "events_value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == SQL quantile_cont). At 100 TB the same query swaps to
+    percentile_approx (t-digest sketch, mergeable partial agg) — kept exact
+    here so the oracle can verify it bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@q(
+    "events_daily_pivot",
+    """
+SELECT floor(epoch(time_bucket(INTERVAL '1 day', ts)))::BIGINT AS day_start,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup
+FROM events
+GROUP BY 1
+""",
+)
+def events_daily_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation) of event counts per day — one
+    shuffle, map-side partials; the groupBy().pivot() sugar compiles to the
+    same conditional-agg plan."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day_start", F.unix_timestamp(F.window("ts", "1 day").getField("start"))
+    )
+    agg = ev.groupBy("day_start").pivot(
+        "event_type", ["view", "click", "purchase", "error", "signup"]
+    ).count()
+    out = agg.select(
+        "day_start",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in ("view", "click", "purchase", "error", "signup")
+        ],
+    )
+    return out
+
+
 _SQL_D2 = (
     "round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
     "+ list_dot_product({b}, {b}), 6)"

@@ -935,8 +935,6 @@ SELECT c_custkey, c_name, revenue FROM (
 )
 def tpch_top_customers(spark, sf_dir):
     """Join + global top-N with a deterministic tiebreak."""
-    from pyspark.sql import Window
-
     li = _tbl(spark, sf_dir, "lineitem")
     o = _tbl(spark, sf_dir, "orders")
     c = _tbl(spark, sf_dir, "customer")
@@ -950,12 +948,9 @@ def tpch_top_customers(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        rev.select("c_custkey", "c_name", "revenue", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    # orderBy+limit -> TakeOrderedAndProject: distributed per-partition
+    # top-k + driver heap-merge, no single-partition window at scale
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
 
 
 @q(

@@ -34,7 +34,7 @@ HEADLINE = [
     "events_session_10m",       # session windows
     "tpch_revenue_by_nation",   # broadcast star join
     "docs_minhash_signatures",  # MinHash (JVM expression pipeline)
-    "docs_simhash",             # SimHash two-stage agg
+    "docs_simhash",             # SimHash one-pass HOF fold (zero shuffle)
     "docs_jaccard_pairs",       # inverted-index near-dup join
     "emb_cosine_neighbors",     # embedding similarity
 ]
@@ -86,8 +86,12 @@ def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 24000) -> dict
         )
     )
     q = S.write_exactly_once(agg, out, ck)
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     wall = time.perf_counter() - t0
+    if not finished:
+        # partial sink output must never be scored as a completed run
+        q.stop()
+        return {"streaming_wall_sec": round(wall, 2), "streaming_timeout": True}
     res = spark.read.parquet(out)
     n_windows = int(res.agg(F.sum("n_windows")).collect()[0][0] or 0)
     return {

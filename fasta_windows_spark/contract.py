@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.udfs import window_stats, ctw_udf_frame
 from .kernels import kmer_names
+from .session import widen_scan
 
 W = 100  # positional window size (chars) for the documents table
 
@@ -52,7 +53,15 @@ def _cnt_fold(upper: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # widen_scan: CPU-bound narrow stages (kernel windows, signature folds)
+    # must not serialize onto however few splits a small corpus file has;
+    # no-op whenever splits >= cores (always true at 100 TB). Column pruning
+    # pushes through the repartition, so only referenced columns move.
+    return widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +484,36 @@ def doc_windows_ctw(spark, sf_dir):
 
 
 @q(
+    "doc_windows_ctw0",
+    f"""
+WITH {SQL_WINS},
+counts AS (
+  SELECT doc_id, w_start, w_end,
+         {_cnt_fold('A')}::BIGINT AS a, {_cnt_fold('C')}::BIGINT AS c,
+         {_cnt_fold('G')}::BIGINT AS g, {_cnt_fold('T')}::BIGINT AS t
+  FROM win2
+),
+k AS (SELECT *, (a+c+g+t) AS n_eff FROM counts)
+SELECT doc_id, w_start, w_end,
+       round(CASE WHEN n_eff = 0 THEN 0.0 ELSE
+         -((lgamma(a+0.5)+lgamma(c+0.5)+lgamma(g+0.5)+lgamma(t+0.5)
+            - 4*lgamma(0.5) - lgamma(n_eff+2.0)) / ln(2)) / n_eff
+       END, 6) AS ctw0
+FROM k
+""",
+)
+def doc_windows_ctw0(spark, sf_dir):
+    """A12 entry-path pin: CTW at depth 0 degenerates to the KT0 closed form
+    (kmeru8.rs:171-173, reference test kmeru8.rs:415-422), so the CTW UDF
+    frame — the same mapInPandas plumbing `doc_windows_ctw` (depth 6) runs
+    through — gets an independent DuckDB-oracle-checked row via the lgamma
+    identity already proven for `doc_windows_kt0`."""
+    return ctw_udf_frame(
+        _docs(spark, sf_dir), window=W, id_cols=["doc_id"], max_depth=0
+    ).select("doc_id", "w_start", "w_end", _r6("ctw").alias("ctw0"))
+
+
+@q(
     "doc_windows_sliding",
     f"""
 WITH swins AS (
@@ -607,6 +646,42 @@ def doc_windows_entropy_outliers(spark, sf_dir):
     mad = (
         e.crossJoin(F.broadcast(med))
         .agg(F.median(F.abs(F.col("entropy6") - F.col("m"))).alias("d"))
+    )
+    return (
+        e.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "doc_id",
+            "w_start",
+            "entropy6",
+            (
+                F.col("entropy6") < F.col("m") - 3 * 1.4826 * F.col("d")
+            ).alias("is_low"),
+        )
+    )
+
+
+@q("doc_windows_entropy_outliers_approx")  # t-digest sketch: not DuckDB-reproducible
+def doc_windows_entropy_outliers_approx(spark, sf_dir):
+    """Scale path of `doc_windows_entropy_outliers`: median/MAD via
+    percentile_approx (mergeable t-digest partial aggregate, accuracy 1e5)
+    instead of exact `median`, whose final merge concentrates the full value
+    multiset on one reducer. No global Sort anywhere in this plan (asserted
+    by test_plans); at 100x windows the sketch merge stays O(accuracy) per
+    reducer. Rows-only driver check; pytest pins agreement with the exact
+    variant on the test corpus."""
+    e = _ws(spark, sf_dir).select(
+        "doc_id", "w_start", "w_end", _r6("entropy6").alias("entropy6")
+    )
+    acc = 100_000
+    med = e.agg(F.percentile_approx("entropy6", 0.5, acc).alias("m"))
+    mad = (
+        e.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile_approx(
+                F.abs(F.col("entropy6") - F.col("m")), F.lit(0.5), F.lit(acc)
+            ).alias("d")
+        )
     )
     return (
         e.crossJoin(F.broadcast(med))
@@ -1346,7 +1421,7 @@ SELECT vec_id, cosine FROM c WHERE cosine >= 0.25
 """,
 )
 def emb_cosine_neighbors(spark, sf_dir):
-    return _sim.cosine_neighbors(_tbl(spark, sf_dir, "embeddings"))
+    return _sim.cosine_neighbors(_emb(spark, sf_dir))
 
 
 _PLANES = _sim.hyperplanes(8, 64)
@@ -1375,7 +1450,7 @@ SELECT vec_id, ({_SQL_BUCKET})::BIGINT AS bucket FROM e
 """,
 )
 def emb_lsh_buckets(spark, sf_dir):
-    return _sim.lsh_buckets(_tbl(spark, sf_dir, "embeddings"))
+    return _sim.lsh_buckets(_emb(spark, sf_dir))
 
 
 @q(
@@ -1397,7 +1472,7 @@ SELECT vec_id, cosine FROM cand WHERE cosine >= 0.0
 def emb_lsh_bucketed_ann(spark, sf_dir):
     """The ANN scale path: LSH bucket the corpus, brute-force cosine only
     within the query's bucket (candidates ~ corpus/2^planes, not corpus)."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     b = _sim.lsh_buckets(emb, n_planes=4).join(emb, "vec_id")
     b = b.withColumn("_v", F.col("embedding").cast("array<double>"))
     qv = b.where(F.col("vec_id") == 0).select(
@@ -1559,7 +1634,7 @@ SELECT vec_id, centroid_id, dist2 FROM pairs WHERE rn = 1
 def emb_ivf_assign(spark, sf_dir):
     """IVF coarse assignment: argmin squared-L2 over a broadcast centroid
     table (deterministic centroids = lowest 8 vec_ids)."""
-    return _sim.ivf_assign(_tbl(spark, sf_dir, "embeddings"), n_centroids=8)
+    return _sim.ivf_assign(_emb(spark, sf_dir), n_centroids=8)
 
 
 @q(
@@ -1604,7 +1679,7 @@ def emb_ivf_search(spark, sf_dir):
     """IVF ANN: probe the 2 nearest of 8 cells, brute-force cosine within
     them, top-10 (deterministic tie-break on vec_id)."""
     return _sim.ivf_search(
-        _tbl(spark, sf_dir, "embeddings"), query_vec_id=0, n_centroids=8, nprobe=2, k=10
+        _emb(spark, sf_dir), query_vec_id=0, n_centroids=8, nprobe=2, k=10
     )
 
 
@@ -1612,11 +1687,38 @@ def emb_ivf_search(spark, sf_dir):
 def emb_knn_topk(spark, sf_dir):
     import numpy as np
 
-    emb = _tbl(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qrows = emb.where(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qm = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
     return _sim.knn_bruteforce_numpy(emb, qm, qids, k=10)
+
+
+@q(
+    "emb_knn_topk_exact",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 4),
+scored AS (
+  SELECT q.q_id AS vec_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               5) AS cosine
+  FROM e, q WHERE e.vec_id <> q.q_id
+)
+SELECT vec_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+)
+def emb_knn_topk_exact(spark, sf_dir):
+    """Hash-checkable twin of `emb_knn_topk`: sequential-fold cosine (no SIMD
+    reassociation) + two-stage top-k, so DuckDB reproduces every value
+    bit-for-bit. The BLAS variant stays the throughput path."""
+    return _sim.knn_topk_exact(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3], k=10
+    )
 
 
 @q(

@@ -52,18 +52,21 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> D
 def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding (2 bands x 4 rows over 8 sigs): candidate near-dup pairs =
     docs agreeing on all 4 sigs of at least one band. The band-key join is
-    the scale path: candidates only, never all-pairs."""
-    bands = None
-    for b in range(2):
-        part = sigs.select(
-            F.col(id_col).alias("doc"),
-            F.lit(b).alias("band"),
-            *[
-                F.col(f"sig_{4 * b + i}").alias(f"bk{i}")
-                for i in range(4)
-            ],
+    the scale path: candidates only, never all-pairs.
+
+    Bands come from ONE `inline(array(struct...))` pass (not a unionAll of
+    per-band projections, which would recompute the upstream signature
+    expressions once per band copy on each join side)."""
+    rows = ", ".join(
+        "struct({b} as band, {ks})".format(
+            b=b,
+            ks=", ".join(f"sig_{4 * b + i} as bk{i}" for i in range(4)),
         )
-        bands = part if bands is None else bands.unionAll(part)
+        for b in range(2)
+    )
+    bands = sigs.select(
+        F.col(id_col).alias("doc"), F.expr(f"inline(array({rows}))")
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
@@ -78,45 +81,44 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64(60)-bit SimHash over whitespace tokens: per bit j, sum +-1 weighted
-    by token-hash bit j; bit set iff sum > 0. Two-stage aggregation keyed by
-    (doc, bit) then doc — both shuffles are by doc id, co-partitioned."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(text_col, " ")).alias("tok"),
-    ).withColumn(
-        "h",
-        F.expr("cast(conv(substr(md5(tok),1,15),16,10) as bigint)"),
+    by token-hash bit j; bit set iff sum > 0.
+
+    ONE narrow pass per document, entirely JVM-side higher-order functions:
+    fold the token-hash array into a 60-long ones-count vector, then pack the
+    sign bits. No row explosion (the old tokens x 60 explode amplified a
+    1,000-token doc into 60,000 pre-shuffle rows) and NO shuffle at all —
+    the output is already one row per input doc. bsum > 0  <=>
+    2*ones > n_tokens, so only ones-counts are folded."""
+    b = SIMHASH_BITS
+    hs = (
+        f"transform(split({text_col}, ' '), tok -> "
+        "cast(conv(substr(md5(tok),1,15),16,10) as bigint))"
     )
-    bits = (
-        toks.select(id_col, "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("j"))
-        .groupBy(id_col, "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1)
-            ).alias("bsum")
-        )
+    # accumulator: slots 0..b-1 = per-bit ones-counts, slot b = token count;
+    # the finish lambda packs sign bits (2*ones > n) into the signature. The
+    # hash array appears exactly once, so each token is md5'd exactly once.
+    sig = (
+        f"aggregate({hs}, array_repeat(cast(0 as bigint), {b + 1}), "
+        f"(acc, h) -> transform(acc, (a, j) -> a + if(j < {b}, shiftright(h, j) & 1, 1)), "
+        f"acc -> aggregate(zip_with(slice(acc, 1, {b}), sequence(0, {b - 1}), "
+        f"(o, j) -> if(2*o > acc[{b}], shiftleft(cast(1 as bigint), j), cast(0 as bigint))), "
+        "cast(0 as bigint), (s, x) -> s + x))"
     )
-    return bits.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("bsum") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
-    )
+    return docs.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 12, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash: 15-bit band LSH for candidates, then exact
-    Hamming via bit_count(xor) <= max_hamming."""
-    bands = None
-    for b in range(SIMHASH_BANDS):
-        part = sh.select(
-            F.col(id_col).alias("doc"),
-            F.col("simhash").alias("sh"),
-            F.lit(b).alias("band"),
-            F.expr(f"(simhash >> {b * 15}) & 32767").alias("bk"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    Hamming via bit_count(xor) <= max_hamming.
+
+    Band rows come from ONE explode pass so the (narrow, md5-folding)
+    signature expression upstream is evaluated once per doc per join side,
+    not once per band copy."""
+    bands = sh.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash").alias("sh"),
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BANDS - 1})")).alias("band"),
+    ).withColumn("bk", F.expr("(sh >> (band * 15)) & 32767"))
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -142,10 +144,22 @@ def rare_shingle_jaccard_pairs(
     shingle_words: int = 3,
     max_df: int = 20,
     min_jaccard: float = 0.4,
+    stage: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup via an inverted index over *rare* word
     shingles (document frequency <= max_df): the standard trick that keeps
-    the pair-generation join from exploding on common shingles at scale."""
+    the pair-generation join from exploding on common shingles at scale.
+
+    `max_df` is a recall bound, not just a cost dial: a duplicate pair whose
+    every shared shingle occurs in > max_df documents is invisible to this
+    query (boilerplate-only overlap — usually the desired semantics).
+
+    `stage=True` persists the exploded-shingle subtrees (`sh`, `rsh`), which
+    feed 3+ consumers (rare-filter build, both self-join sides, per-doc
+    sizes); ReuseExchange alone only covers the identically-partitioned
+    join sides, so unstaged plans re-explode the corpus up to 5x (measured:
+    10 parquet scans -> 2). At 100 TB the same staging is a bucketed
+    intermediate table write instead of executor-memory/disk cache."""
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -155,6 +169,8 @@ def rare_shingle_jaccard_pairs(
             )
         ).alias("shingle"),
     ).distinct()
+    if stage:
+        sh = sh.persist()
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -162,6 +178,8 @@ def rare_shingle_jaccard_pairs(
         .select("shingle")
     )
     rsh = sh.join(rare, "shingle")
+    if stage:
+        rsh = rsh.persist()
     sizes = rsh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     l, r = rsh.alias("l"), rsh.alias("r")
     common = (

@@ -114,21 +114,39 @@ def ivf_assign(
     """IVF inverted-file assignment: each vector to its nearest centroid by
     squared L2 (= |v|^2 - 2 v.c + |c|^2, all JVM fold expressions over the
     broadcast centroid table). One narrow pass + a per-vector top-1: no
-    all-pairs shuffle; at 100 TB this is a map-side broadcast join."""
-    from pyspark.sql import Window
+    all-pairs shuffle; at 100 TB this is a map-side broadcast join.
 
+    The argmin is `min` over a single packed BIGINT key
+    round(d2*1e6)*C + centroid_id (d2 is already rounded to 6 dp, so the
+    integer scaling is exact; lexicographic == (d2 asc, centroid asc)): a
+    TRUE HashAggregate with map-side partials — no Sort, no Window (a
+    min(struct) encoding falls back to SortAggregate because struct buffers
+    aren't hash-aggregable). The shuffle carries one 8-byte long per
+    (vector, input partition) instead of C rows. Packing bound: needs
+    d2 < 2^63/(1e6*C) — 2.2e6 at C=4096, far above any normalized-embedding
+    distance."""
     c = ivf_centroids(emb, n_centroids, id_col, vec_col)
     e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     pairs = e.crossJoin(F.broadcast(c))
     d2 = _dot("_v", "_v") - 2 * _dot("_v", "cvec") + _dot("cvec", "cvec")
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_d2").asc(), F.col("centroid_id").asc()
+    packed = (
+        F.round(F.round(d2, 6) * 1e6).cast("bigint") * n_centroids
+        + F.col("centroid_id")
     )
     return (
-        pairs.withColumn("_d2", F.round(d2, 6))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col(id_col), "centroid_id", F.col("_d2").alias("dist2"))
+        pairs.select(F.col(id_col), packed.alias("_pk"))
+        .groupBy(id_col)
+        .agg(F.min("_pk").alias("_pk"))
+        .select(
+            F.col(id_col),
+            F.pmod(F.col("_pk"), F.lit(n_centroids)).alias("centroid_id"),
+            F.round(
+                (F.col("_pk") - F.pmod(F.col("_pk"), F.lit(n_centroids)))
+                / n_centroids
+                / 1e6,
+                6,
+            ).alias("dist2"),
+        )
     )
 
 
@@ -174,6 +192,51 @@ def ivf_search(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
         .select(F.col(id_col), "centroid_id", "cosine")
+    )
+
+
+def knn_topk_exact(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-checkable brute-force top-k: sequential-fold cosine (bit-exact
+    vs DuckDB list_dot_product — no SIMD reassociation) of every vector
+    against a small broadcast query set, then a TWO-STAGE top-k: partial
+    top-k per (query, input partition) so the global ranking window only
+    sees k * n_partitions rows per query, never the full corpus. The
+    numpy/BLAS twin (:func:`knn_bruteforce_numpy`) is the throughput path;
+    this one is the verification path (ties broken on rounded cosine then
+    neighbor id, deterministic)."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    q = e.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("_q")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_id"))
+    cos = _dot("_v", "_q") / (F.sqrt(_dot("_v", "_v")) * F.sqrt(_dot("_q", "_q")))
+    scored = pairs.select(
+        F.col("q_id").alias("vec_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cos, 5).alias("cosine"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    w_part = Window.partitionBy("vec_id", "_pid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    partial = (
+        scored.withColumn("_rn", F.row_number().over(w_part))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w_all = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w_all))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -65,6 +65,22 @@ def get_spark(
     return b.getOrCreate()
 
 
+def widen_scan(df, target: int | None = None):
+    """Repartition `df` ONLY when it has fewer partitions than the cluster
+    has cores — the CPU-heavy narrow stages (md5 signature folds, the
+    window-stats kernel) otherwise run as few tasks as the scan has splits.
+
+    At 100 TB this is a structural no-op: ~10^6 parquet splits >> cores, so
+    no shuffle is ever added. It only fires when a small input (one tiny
+    file, a local bench corpus) would serialize a compute-bound stage; the
+    round-robin shuffle it adds then moves less data than one split."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def testdata_dir(sf: str | float = "0.01") -> str:
     return f"/root/testdata/sf{sf}"
 

@@ -83,3 +83,51 @@ def test_ivf_search_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_simhash_is_shuffle_free(spark):
+    """One-pass SimHash: the signature folds entirely inside a Project over
+    the scan — no explode, no groupBy, zero Exchange (VERDICT r1 #2)."""
+    from fasta_windows_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    checks.assert_no_shuffle(simhash(docs))
+
+
+def test_ivf_assign_hash_aggregate_no_sort(spark):
+    """IVF argmin via packed-long min: a true HashAggregate with map-side
+    partials — no Sort, no Window node anywhere (VERDICT r1 #6)."""
+    df = contract.queries()["emb_ivf_assign"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "HashAggregate" in p and "partial_min" in p
+    assert "Sort [" not in p and "Window" not in p
+
+
+def test_entropy_outliers_approx_no_sort(spark):
+    """Scale path of the median/MAD outlier query: percentile_approx sketch
+    merge only — no Sort node, partial (map-side) sketch aggregation, and
+    the only single-partition exchange carries merged sketches, never the
+    value multiset (VERDICT r1 #3)."""
+    df = contract.queries()["doc_windows_entropy_outliers_approx"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "Sort" not in p
+    assert "partial_percentile_approx" in p
+
+
+def test_entropy_outliers_approx_agrees_with_exact(spark):
+    """On the test corpus the t-digest thresholds must reproduce the exact
+    median/MAD flags (sketch accuracy 1e5 >> corpus size, so medians are
+    exact here)."""
+    exact = (
+        contract.queries()["doc_windows_entropy_outliers"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "w_start"])
+        .reset_index(drop=True)
+    )
+    approx = (
+        contract.queries()["doc_windows_entropy_outliers_approx"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "w_start"])
+        .reset_index(drop=True)
+    )
+    assert (exact["is_low"] == approx["is_low"]).all()

@@ -125,6 +125,11 @@ def window_stats(
             doc_idx, starts, ends, hists, kvecs, ctw = batch_window_stats(
                 texts, window, step, masked, with_ctw
             )
+            if len(starts) == 0:
+                # a zero-window batch (e.g. all-empty texts) must not yield:
+                # an empty pandas frame loses the object dtype the vector
+                # columns need for Arrow list conversion
+                continue
             st = stats_table(hists, kvecs, masked=masked, f32=f32)
             out = {}
             for c in id_cols:
@@ -196,6 +201,46 @@ def _doc_chunks(lengths, target_bytes: int = CHUNK_TEXT_BYTES):
             r0, b0, acc = i + 1, b0 + acc, 0
     if acc or r0 < len(lengths):
         out.append((r0, len(lengths), b0, b0 + acc))
+    return out
+
+
+# A doc longer than this is segmented into window-aligned sub-chunks so one
+# chromosome/book-scale row can't force a single kernel call whose transients
+# (~30x text bytes x window/step overlap factor) blow past the L2-resident
+# design (ADVICE r1). 4x CHUNK keeps small docs on the grouped fast path.
+OVERSIZE_DOC_BYTES = 4 * CHUNK_TEXT_BYTES
+
+
+def _segment_starts_per_chunk(window: int, step: int, target_bytes: int) -> int:
+    """Window starts owned per segment: ~target_bytes of owned span, and at
+    least 4x the inter-segment overlap (window-step) so re-scanned overlap
+    bytes stay <= 25% even when window >> target."""
+    m = max(1, target_bytes // step)
+    if window > step:
+        m = max(m, -(-(4 * (window - step)) // step))
+    return m
+
+
+def _doc_segments(length: int, window: int, step: int, target_bytes: int):
+    """(byte_start, byte_end, n_owned_windows) segments of one oversized doc.
+
+    Segment j owns window starts [j*m, (j+1)*m) (multiples of `step`); its
+    byte range extends `window` past the last owned start so every owned
+    window sees its full content. Fed to the kernel as a standalone doc, the
+    segment emits its owned windows FIRST (kernel output is start-ordered),
+    so the caller keeps the first n_owned rows and shifts starts/ends by
+    byte_start — bit-identical to running the whole doc in one call (the
+    tail segment's end-clamp coincides with the true doc end)."""
+    m = _segment_starts_per_chunk(window, step, target_bytes)
+    n_starts = -(-length // step)  # == len(window_bounds(length, ...))
+    out = []
+    j = 0
+    while j * m < n_starts:
+        owned = min((j + 1) * m, n_starts) - j * m
+        b0 = j * m * step
+        b1 = min((j * m + owned - 1) * step + window, length)
+        out.append((b0, b1, owned))
+        j += 1
     return out
 
 
@@ -277,22 +322,82 @@ def _window_stats_arrow(
                     names.append(f"k{k}_vec")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
+    eff_step = step if step is not None else window
+
+    def trim_segment(res, keep: int, base: int):
+        # owned windows are the first `keep` rows (start-ordered single doc);
+        # shift positions from segment-local to doc coordinates
+        doc_idx, starts, ends, hists, kvecs, ctw = res
+        sl = slice(0, keep)
+        return (
+            doc_idx[sl],
+            starts[sl] + base,
+            ends[sl] + base,
+            hists[sl],
+            {k: kvecs[k][sl] for k in _KS},
+            ctw[sl] if with_ctw else None,
+        )
+
     def compute(batches):
         for full_batch in batches:
             ftext = full_batch.column(full_batch.schema.get_field_index(text_col))
             fdata, flengths = _arrow_string_parts(ftext)
             parts, acc = [], 0
-            for r0, r1, b0, b1 in _doc_chunks(flengths):
-                res = batch_window_stats_concat_sliding(
-                    fdata[b0:b1], flengths[r0:r1], window, step, with_ctw=with_ctw
-                )
-                if len(res[1]) == 0:
-                    continue
-                parts.append((r0, res))
-                acc += b1 - b0
+
+            def flush_maybe():
+                nonlocal parts, acc
                 if acc >= EMIT_TEXT_BYTES:
-                    yield from emit(full_batch, parts)
-                    parts, acc = [], 0
+                    out, parts, acc = parts, [], 0
+                    return out
+                return None
+
+            # split rows into runs of normal docs (grouped chunks, as before)
+            # and oversized docs (window-aligned per-doc segments)
+            big_rows = set(np.nonzero(flengths > OVERSIZE_DOC_BYTES)[0].tolist())
+            row_offsets = np.concatenate(([0], np.cumsum(flengths)))
+            run_start = 0
+            for i in list(sorted(big_rows)) + [len(flengths)]:
+                # normal run [run_start, i)
+                if i > run_start:
+                    base_b = int(row_offsets[run_start])
+                    for r0, r1, b0, b1 in _doc_chunks(flengths[run_start:i]):
+                        res = batch_window_stats_concat_sliding(
+                            fdata[base_b + b0 : base_b + b1],
+                            flengths[run_start + r0 : run_start + r1],
+                            window,
+                            step,
+                            with_ctw=with_ctw,
+                        )
+                        if len(res[1]) == 0:
+                            continue
+                        parts.append((run_start + r0, res))
+                        acc += b1 - b0
+                        done = flush_maybe()
+                        if done:
+                            yield from emit(full_batch, done)
+                if i == len(flengths):
+                    break
+                # oversized doc at row i
+                db0 = int(row_offsets[i])
+                for b0, b1, owned in _doc_segments(
+                    int(flengths[i]), window, eff_step, CHUNK_TEXT_BYTES
+                ):
+                    res = batch_window_stats_concat_sliding(
+                        fdata[db0 + b0 : db0 + b1],
+                        np.array([b1 - b0], dtype=np.int64),
+                        window,
+                        step,
+                        with_ctw=with_ctw,
+                    )
+                    res = trim_segment(res, owned, b0)
+                    if len(res[1]) == 0:
+                        continue
+                    parts.append((i, res))
+                    acc += b1 - b0
+                    done = flush_maybe()
+                    if done:
+                        yield from emit(full_batch, done)
+                run_start = i + 1
             if parts:
                 yield from emit(full_batch, parts)
 

@@ -74,7 +74,10 @@ def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 24000) -> dict
 
     t0 = time.perf_counter()
     stream = S.with_host(S.read_pages_stream(spark, src))
-    ws = window_stats(stream, window=1000, id_cols=["host", "warc_ts"], f32=False)
+    ws = window_stats(
+        stream, window=1000, id_cols=["host", "warc_ts"], f32=False,
+        fields=["win_len", "cnt_g", "cnt_c"],  # only what the agg consumes
+    )
     agg = (
         ws.withWatermark("warc_ts", "10 minutes")
         .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "host")

@@ -67,7 +67,11 @@ if mode == "entropy":
 else:
     # full-stats mode: bincount kernel (memory-bandwidth-bound; reported
     # for transparency — see BENCH/BASELINE.md hardware note)
-    ws = window_stats(pages, window=1000, id_cols=["host", "warc_ts"], f32=False)
+    # fields=: projection pushdown through the Python boundary — the agg
+    # below consumes 3 of the 22 scalar stats, so only those cross Arrow IPC
+    # (the kernel still computes its fused hist/kvec tables)
+    ws = window_stats(pages, window=1000, id_cols=["host", "warc_ts"], f32=False,
+                      fields=["win_len", "cnt_g", "cnt_c"])
     agg = (
         ws.withWatermark("warc_ts", "10 minutes")
           .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "host")
@@ -245,14 +249,21 @@ def write_baseline_md():
             continue
         r = json.load(open(p))
         lo, hi = r["low"], r["high"]
+        import glob as _glob
+
         extra = ""
-        p2 = os.path.join(REPO, "BENCH", f"scaling_{mode}_4v16.json")
-        if os.path.exists(p2):
+        for p2 in sorted(
+            _glob.glob(os.path.join(REPO, "BENCH", f"scaling_{mode}_*.json"))
+        ):
             r2 = json.load(open(p2))
-            extra = (
-                f"- secondary pair {r2['low']['cores']}->{r2['high']['cores']} "
-                f"cores (into the VM's >8-core throttle zone): speedup "
-                f"{r2['speedup']}x, efficiency {r2['scaling_efficiency']}\n"
+            note = r2.get("note", "")
+            extra += (
+                f"- additional pair {r2['low']['cores']}->{r2['high']['cores']} "
+                f"cores: speedup {r2['speedup']}x, efficiency "
+                f"{r2['scaling_efficiency']}"
+                + (f" — {note}" if note else "")
+                + f" (walls: low {r2.get('all_walls', {}).get('low')}, "
+                f"high {r2.get('all_walls', {}).get('high')})\n"
             )
         sections.append(f"""## Mode: {mode}
 
@@ -302,6 +313,18 @@ understated.
   so memory-STREAMING stages (parquet decompress, Arrow IPC) cannot
   scale past ~1.2x here regardless of partitioning — the floor under
   the stats-mode whole-job efficiency.
+- stats-mode pair choice: the bandwidth ledger per run is ~6 GB of
+  streaming traffic (2.95 GB parquet-decompressed text written+read,
+  crossed once more as Arrow IPC into the kernel workers) on top of the
+  L2-resident kernel. BELOW aggregate saturation the binding limit is
+  the ~0.33 GB/s per-stream cap, which scales WITH streams/cores — the
+  1->4-core pair measures partitioning quality there. The 2->8 pair's
+  8-core side sits at the ~1.5 GB/s aggregate wall (93 MB/s of text *
+  ~2 derived streams + state/commit traffic), so its ratio measures the
+  hypervisor cap, not the plan: kernel-only scaling at the same core
+  counts is 0.99 (L2-resident), and the CPU-bound entropy mode scores
+  0.927 on 2->8 — the partitioning is shown sound by both; the stats
+  2->8 number is recorded for transparency.
 - statistics kernel itself is cache-sized out of that regime: 32 KB
   doc-aligned chunks keep the ~30x-text working set in each core's
   private 2 MB L2 -> 37 MB/s/core at BOTH 4 and 16 procs (597 MB/s

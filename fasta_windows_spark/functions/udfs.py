@@ -61,23 +61,37 @@ _STAT_KEY = {  # schema name -> stats_table key
 }
 
 
+def _scalar_fields(fields: list | None) -> list:
+    """Subset of SCALAR_FIELDS to emit (None = all), declaration order kept."""
+    if fields is None:
+        return SCALAR_FIELDS
+    want = set(fields)
+    unknown = want - {n for n, _ in SCALAR_FIELDS}
+    if unknown:
+        raise ValueError(f"unknown window-stat fields: {sorted(unknown)}")
+    return [(n, t) for n, t in SCALAR_FIELDS if n in want]
+
+
 def window_stats_schema(
-    id_fields: list, with_ctw: bool = False, with_vectors: bool = False
+    id_fields: list,
+    with_ctw: bool = False,
+    with_vectors: bool = False,
+    fields: list | None = None,
 ) -> T.StructType:
-    fields = [T.StructField(n, t) for n, t in id_fields]
-    fields += [
+    out = [T.StructField(n, t) for n, t in id_fields]
+    out += [
         T.StructField("w_start", T.LongType()),
         T.StructField("w_end", T.LongType()),
     ]
-    fields += [T.StructField(n, t) for n, t in SCALAR_FIELDS]
+    out += [T.StructField(n, t) for n, t in _scalar_fields(fields)]
     if with_ctw:
-        fields.append(T.StructField("ctw", T.DoubleType()))
+        out.append(T.StructField("ctw", T.DoubleType()))
     if with_vectors:
         for k in KMER_KS:
-            fields.append(
+            out.append(
                 T.StructField(f"k{k}_vec", T.ArrayType(T.IntegerType(), False))
             )
-    return T.StructType(fields)
+    return T.StructType(out)
 
 
 def window_stats(
@@ -91,12 +105,19 @@ def window_stats(
     with_vectors: bool = False,
     f32: bool = True,
     use_arrow: bool | None = None,
+    fields: list | None = None,
 ) -> DataFrame:
     """Explode `df` into positional windows of `text_col` with all statistics.
 
     One output row per (document, window). `id_cols` pass through unchanged.
     ``f32`` keeps the reference's f32 division semantics; oracle-checked
     queries pass f32=False and round at the edge.
+
+    ``fields``: emit only these scalar stat columns (default all). This is
+    projection pushdown through the Python boundary — Catalyst cannot prune
+    columns INSIDE a mapInArrow, so a downstream agg that needs 3 of the 22
+    scalars would otherwise pay Arrow IPC for all 22 on every window. The
+    kernel still computes its fused tables; only finisher emission is cut.
 
     use_arrow (default True): mapInArrow fast path — the text column's
     Arrow layout (one concatenated UTF-8 buffer + offsets) feeds the kernel
@@ -110,14 +131,16 @@ def window_stats(
         use_arrow = True
     if use_arrow:
         return _window_stats_arrow(
-            df, text_col, id_cols, window, step, masked, with_ctw, with_vectors, f32
+            df, text_col, id_cols, window, step, masked, with_ctw, with_vectors,
+            f32, fields
         )
     id_cols = id_cols or ["doc_id"]
     in_df = df.select(*id_cols, text_col)  # column pruning before the UDF
     id_fields = [(c, in_df.schema[c].dataType) for c in id_cols]
     schema = window_stats_schema(
-        [(n, t) for n, t in id_fields], with_ctw, with_vectors
+        [(n, t) for n, t in id_fields], with_ctw, with_vectors, fields
     )
+    emit_fields = _scalar_fields(fields)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,7 +159,7 @@ def window_stats(
                 out[c] = pdf[c].to_numpy()[doc_idx]
             out["w_start"] = starts
             out["w_end"] = ends
-            for name, _ in SCALAR_FIELDS:
+            for name, _ in emit_fields:
                 out[name] = st[_STAT_KEY.get(name, name)]
             if with_ctw:
                 out["ctw"] = ctw
@@ -245,7 +268,8 @@ def _doc_segments(length: int, window: int, step: int, target_bytes: int):
 
 
 def _window_stats_arrow(
-    df, text_col, id_cols, window, step, masked, with_ctw, with_vectors, f32
+    df, text_col, id_cols, window, step, masked, with_ctw, with_vectors, f32,
+    fields=None,
 ):
     import numpy as np
     import pyarrow as pa
@@ -255,7 +279,8 @@ def _window_stats_arrow(
     id_cols = id_cols or ["doc_id"]
     in_df = df.select(*id_cols, text_col)
     id_fields = [(c, in_df.schema[c].dataType) for c in id_cols]
-    schema = window_stats_schema(id_fields, with_ctw, with_vectors)
+    schema = window_stats_schema(id_fields, with_ctw, with_vectors, fields)
+    emit_fields = _scalar_fields(fields)
 
     from ..kernels import KMER_KS as _KS
 
@@ -294,7 +319,7 @@ def _window_stats_arrow(
                 pa.array(ends[s0:s1], pa.int64()),
             ]
             names += ["w_start", "w_end"]
-            for name, _ in SCALAR_FIELDS:
+            for name, _ in emit_fields:
                 key = _STAT_KEY.get(name, name)
                 vals = st[key]
                 if name.startswith("cnt_") or name == "win_len":

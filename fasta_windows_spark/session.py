@@ -36,7 +36,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow is the Python<->JVM channel for every kernel UDF
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "4096"),
+        )
         # Split granularity: a 100 TB table has ~10^6 128 MB splits, so scan
         # parallelism is never split-limited on a cluster; a sandbox corpus is
         # a few hundred MB and the same 128 MB bin-packing would collapse it

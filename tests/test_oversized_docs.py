@@ -100,3 +100,30 @@ def test_oversized_doc_ctw_matches_whole(spark):
         .reset_index(drop=True)
     )
     assert np.allclose(arrow["ctw"], rows["ctw"], rtol=0, atol=1e-10)
+
+
+def test_fields_projection_matches_full(spark):
+    from fasta_windows_spark.functions.udfs import _scalar_fields
+
+    docs = _mk_docs(spark, ["ACGTacgtn " * 500, "gggcccAAA" * 200])
+    kw = dict(id_cols=["doc_id"], window=300, f32=False)
+    full = (
+        window_stats(docs, **kw)
+        .select("doc_id", "w_start", "win_len", "cnt_g", "gc_prop")
+        .toPandas()
+        .sort_values(["doc_id", "w_start"])
+        .reset_index(drop=True)
+    )
+    trimmed_df = window_stats(docs, fields=["win_len", "cnt_g", "gc_prop"], **kw)
+    assert [f.name for f in trimmed_df.schema.fields] == [
+        "doc_id", "w_start", "w_end", "win_len", "cnt_g", "gc_prop",
+    ]
+    trimmed = (
+        trimmed_df.drop("w_end")
+        .toPandas()
+        .sort_values(["doc_id", "w_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, trimmed)
+    with pytest.raises(ValueError):
+        _scalar_fields(["nope"])

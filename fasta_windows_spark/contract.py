@@ -1150,6 +1150,45 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical wide partial-aggregation scan — 8
+    aggregates over a pushed-down date filter, 4 output groups. Map-side
+    partials reduce every split to <= 4 rows before the one tiny shuffle."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 # =============================================================================
 # §4 training-data pipeline operators (dedup / similarity / text analysis /
 # multimodal plumbing) — first-class components per the build brief
@@ -1196,6 +1235,14 @@ _SQL_MINHASH = _SQL_MINHASH_SH + _SQL_MINHASH_SIGS + "\n  FROM sh GROUP BY doc_i
 )
 def docs_minhash_signatures(spark, sf_dir):
     sigs = _dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select("doc_id", *[f"sig_{i}" for i in range(8)])
+
+
+@q("docs_minhash_signatures_fast")  # xxhash64 is Spark-specific: rows-only
+def docs_minhash_signatures_fast(spark, sf_dir):
+    """Throughput twin of docs_minhash_signatures (xxhash64 shingles instead
+    of md5 — the real 100 TB path; property-tested in test_dedup_fast.py)."""
+    sigs = _dedup.minhash_signatures_fast(_docs(spark, sf_dir))
     return sigs.select("doc_id", *[f"sig_{i}" for i in range(8)])
 
 

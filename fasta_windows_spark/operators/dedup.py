@@ -49,6 +49,33 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5) -> D
     return out.drop("_hs")
 
 
+def minhash_signatures_fast(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Throughput twin of :func:`minhash_signatures` for the real 100 TB
+    path: shingle hashing via Spark's builtin xxhash64 (a few cycles per
+    shingle) instead of md5 (~a full digest per shingle, the dominant CPU
+    cost of the oracle-reproducible variant — md5 exists there only because
+    DuckDB can recompute it). Same signature/banding semantics; not
+    DuckDB-checkable (xxhash64 is Spark-specific), so verification is
+    property-based: identical texts ⇒ identical signatures, and banding
+    over these signatures finds planted near-duplicates
+    (tests/test_dedup_fast.py)."""
+    out = docs.where(F.length(text_col) >= k).withColumn(
+        "_hs",
+        F.expr(
+            f"transform(sequence(0, length({text_col})-{k}), p -> "
+            f"pmod(xxhash64(substring({text_col}, p+1, {k})), 4294967296))"
+        ),
+    )
+    for i, (a, b) in enumerate(MINHASH_PERMS):
+        out = out.withColumn(
+            f"sig_{i}",
+            F.expr(f"array_min(transform(_hs, h -> ({a}*h + {b}) % {MINHASH_P}))"),
+        )
+    return out.drop("_hs")
+
+
 def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding (2 bands x 4 rows over 8 sigs): candidate near-dup pairs =
     docs agreeing on all 4 sigs of at least one band. The band-key join is
@@ -160,15 +187,17 @@ def rare_shingle_jaccard_pairs(
     join sides, so unstaged plans re-explode the corpus up to 5x (measured:
     10 parquet scans -> 2). At 100 TB the same staging is a bucketed
     intermediate table write instead of executor-memory/disk cache."""
+    # (doc, shingle) distinct == per-doc dedup, so array_distinct BEFORE the
+    # explode does it narrowly — no shuffle-distinct over the exploded table
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(split({text_col}, ' '))-{shingle_words}), "
-                f"i -> array_join(slice(split({text_col}, ' '), i+1, {shingle_words}), ' '))"
+                f"array_distinct(transform(sequence(0, size(split({text_col}, ' '))-{shingle_words}), "
+                f"i -> array_join(slice(split({text_col}, ' '), i+1, {shingle_words}), ' ')))"
             )
         ).alias("shingle"),
-    ).distinct()
+    )
     if stage:
         sh = sh.persist()
     rare = (

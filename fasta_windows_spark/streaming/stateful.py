@@ -65,9 +65,13 @@ def _update(
         texts = pdf["text"].fillna("")
         tot[0] += len(pdf)
         tot[1] += int(texts.str.len().sum())
-        low = texts.str.lower()
-        for i, ch in enumerate("acgtn"):
-            tot[2 + i] += int(low.str.count(ch).sum())
+        # ONE byte-histogram pass replaces five str.count scans over lowered
+        # copies; ASCII letter bytes never occur inside UTF-8 multibyte
+        # sequences, so byte counts == char counts for these letters
+        buf = np.frombuffer("".join(texts.tolist()).encode(), dtype=np.uint8)
+        hist = np.bincount(buf, minlength=128)
+        for i, ch in enumerate("ACGTN"):
+            tot[2 + i] += int(hist[ord(ch)] + hist[ord(ch.lower())])
         # event time in epoch MILLISECONDS (datetime64[ns] -> ms)
         max_ts = max(max_ts, int(pdf["warc_ts"].astype("int64").max() // 1_000_000))
 
@@ -139,9 +143,13 @@ def host_state_agg_tws(pages: DataFrame, watermark: str = "1 minute") -> DataFra
                 texts = pdf["text"].fillna("")
                 tot[0] += len(pdf)
                 tot[1] += int(texts.str.len().sum())
-                low = texts.str.lower()
-                for i, ch in enumerate("acgtn"):
-                    tot[2 + i] += int(low.str.count(ch).sum())
+                # one byte-histogram pass (see _update above)
+                buf = np.frombuffer(
+                    "".join(texts.tolist()).encode(), dtype=np.uint8
+                )
+                hist = np.bincount(buf, minlength=128)
+                for i, ch in enumerate("ACGTN"):
+                    tot[2 + i] += int(hist[ord(ch)] + hist[ord(ch.lower())])
                 max_ts = max(
                     max_ts, int(pdf["warc_ts"].astype("int64").max() // 1_000_000)
                 )

@@ -1410,6 +1410,42 @@ def docs_quality(spark, sf_dir):
     )
 
 
+def docs_clean_corpus_impl(spark, sf_dir):
+    """Pipeline composition — the training-corpus end product: quality
+    filter AND exact-dedup keep-list in one plan. The keep-list join is a
+    LEFT SEMI on doc_id (no payload duplication); at 100 TB the keeper
+    table is the small side of a shuffle-hash semi join keyed on doc_id."""
+    docs = _docs(spark, sf_dir)
+    q = _text.with_quality(docs).where(F.col("quality_ok"))
+    keep = _dedup.exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return q.join(keep, "doc_id", "left_semi").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+QUERIES["docs_clean_corpus"] = docs_clean_corpus_impl
+ORACLES["docs_clean_corpus"] = f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT doc_id, lower(text) AS lt, length(text)::BIGINT AS n_chars,
+         string_split(lower(text),' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, t -> list_contains({_SQL_STOP['en']}, t)))::DOUBLE AS stop
+  FROM t
+)
+SELECT s.doc_id, s.n_chars, s.n_tokens
+FROM s JOIN keep USING (doc_id)
+WHERE s.n_tokens >= 10 AND s.stop/s.n_tokens > 0.02
+"""
+
+
 @q(
     "docs_token_counts",
     f"""
@@ -1498,6 +1534,29 @@ SELECT vec_id, ({_SQL_BUCKET})::BIGINT AS bucket FROM e
 )
 def emb_lsh_buckets(spark, sf_dir):
     return _sim.lsh_buckets(_emb(spark, sf_dir))
+
+
+@q(
+    "emb_near_dup_pairs",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, ({_SQL_BUCKET4})::BIGINT AS bucket, v FROM e),
+cand AS (
+  SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+         round(list_dot_product(l.v, r.v) /
+               (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+               5) AS cosine
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM cand WHERE cosine >= 0.4
+""",
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: in-bucket all-pairs only (16 LSH
+    buckets at this corpus size), exact fold cosine, threshold 0.4 (sized to
+    the synthetic corpus's cosine distribution; production corpora with real
+    duplicates use ~0.9)."""
+    return _sim.near_dup_pairs(_emb(spark, sf_dir), n_planes=4, threshold=0.4)
 
 
 @q(
@@ -1781,8 +1840,25 @@ def docs_media_meta(spark, sf_dir):
     return _mm.media_meta(_docs(spark, sf_dir))
 
 
-@q("docs_media_decode")  # codec stub is python-side: rows-only check
+@q(
+    "docs_media_decode",
+    """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       md5(text) AS payload_md5,
+       (('0x'||substr(md5(text),1,2))::INT % 64 + 1) AS width,
+       (('0x'||substr(md5(text),3,2))::INT % 64 + 1) AS height
+FROM documents
+""",
+)
 def docs_media_decode(spark, sf_dir):
+    """Decode stage, oracle-checked end-to-end: the deterministic stub codec
+    derives width/height from the payload md5 and features from a byte
+    histogram, so DuckDB reproduces every non-array output exactly (the
+    features vector is verified by docs_media_resize's bit-exact f32
+    oracle). Swapping in a real codec keeps the plumbing and drops only
+    this oracle."""
     media = _mm.docs_as_media(_docs(spark, sf_dir))
     return _mm.decode_media(media).drop("features")
 
@@ -1810,14 +1886,48 @@ def docs_frame_sample(spark, sf_dir):
     return _mm.sample_frames(_docs(spark, sf_dir), frame_chars=256, every=4)
 
 
-@q("docs_media_resize")  # chained on the python-side codec stub: rows-only
+@q(
+    "docs_media_resize",
+    """
+WITH chars AS (
+  SELECT doc_id, ascii(unnest(string_split(text, ''))) % 8 AS bin
+  FROM documents WHERE length(text) > 0
+),
+h AS (SELECT doc_id, bin, count(*)::FLOAT AS c FROM chars GROUP BY 1, 2),
+n AS (SELECT doc_id, octet_length(encode(text))::FLOAT AS total FROM documents),
+grid AS (
+  SELECT d.doc_id, g.bin
+  FROM (SELECT doc_id FROM documents) d, (SELECT unnest(range(8)) AS bin) g
+),
+f AS (
+  SELECT grid.doc_id, grid.bin,
+         CASE WHEN n.total = 0 THEN 0::FLOAT
+              ELSE coalesce(h.c, 0::FLOAT) / n.total END AS v
+  FROM grid JOIN n USING (doc_id)
+  LEFT JOIN h ON h.doc_id = grid.doc_id AND h.bin = grid.bin
+)
+SELECT a.doc_id, (a.bin // 2)::BIGINT AS bin_idx, (a.v + b.v)::DOUBLE AS value
+FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.bin = a.bin + 1
+WHERE a.bin % 2 = 0
+""",
+)
 def docs_media_resize(spark, sf_dir):
-    """Feature-resize stage chained after decode: JVM higher-order-function
-    fold of the feature vector to 4 bins (no Python in this stage)."""
+    """Feature-resize chained after decode: JVM higher-order-function fold of
+    the 8-dim feature vector to 4 bins (no Python in this stage), exploded
+    to scalar rows for a BIT-EXACT float32 oracle — the stub's normalized
+    byte-histogram features (numpy f32) and the JVM f32 pair-sums are
+    reproduced by DuckDB FLOAT arithmetic (IEEE binary32 on both sides;
+    ::DOUBLE widening at the edge is exact, so no rounding is needed)."""
     media = _mm.docs_as_media(_docs(spark, sf_dir))
     decoded = _mm.decode_media(media)
-    return _mm.resize_features(decoded, out_dim=4).select(
-        "doc_id", "byte_len", "features_resized"
+    resized = _mm.resize_features(decoded, out_dim=4)
+    return resized.select(
+        "doc_id",
+        F.posexplode("features_resized").alias("bin_idx", "_v"),
+    ).select(
+        "doc_id",
+        F.col("bin_idx").cast("long").alias("bin_idx"),
+        F.col("_v").cast("double").alias("value"),
     )
 
 

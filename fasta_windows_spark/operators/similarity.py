@@ -88,6 +88,40 @@ def lsh_buckets(
     return e.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding path):
+    LSH-bucket every vector, self-join only within buckets (doc_a < doc_b),
+    exact fold cosine on the candidates, keep >= threshold. All-pairs work
+    is confined to buckets (~corpus/2^planes each) — the same
+    candidates-only shape as the MinHash/SimHash band joins. Missed pairs
+    are those whose sign patterns differ on some hyperplane (recall rises
+    with OR-banding over rotations; one table here, like one LSH band)."""
+    b = lsh_buckets(emb, n_planes, dim, id_col, vec_col)
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    be = b.join(e, id_col)
+    l = be.select(
+        F.col(id_col).alias("doc_a"), F.col("bucket"), F.col("_v").alias("_va")
+    )
+    r = be.select(
+        F.col(id_col).alias("doc_b"), F.col("bucket"), F.col("_v").alias("_vb")
+    )
+    cand = l.join(r, ["bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+    cos = _dot("_va", "_vb") / (
+        F.sqrt(_dot("_va", "_va")) * F.sqrt(_dot("_vb", "_vb"))
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(cos, 5).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 8,

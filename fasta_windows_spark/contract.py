@@ -1465,6 +1465,34 @@ def docs_token_counts(spark, sf_dir):
 
 
 @q(
+    "docs_token_chunks",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id,
+         unnest(range(greatest(1, ceil((len(toks) - 16) / 112.0)::INT))) AS chunk_idx,
+         toks
+  FROM t
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * 112)::BIGINT AS tok_start,
+       len(toks[chunk_idx*112 + 1 : chunk_idx*112 + 128])::BIGINT AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_idx*112 + 1 : chunk_idx*112 + 128], ' ')) AS chunk_md5
+FROM c
+""",
+)
+def docs_token_chunks(spark, sf_dir):
+    """LLM-pretraining chunking: 128-token chunks with 16-token overlap
+    (stride 112), narrow JVM pass, md5-fingerprinted content."""
+    return _text.token_chunks(
+        _docs(spark, sf_dir), chunk_tokens=128, overlap=16
+    )
+
+
+@q(
     "docs_fingerprint",
     """
 WITH g AS (

@@ -80,6 +80,49 @@ def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data chunking: split each document into chunks of
+    `chunk_tokens` whitespace tokens, consecutive chunks sharing `overlap`
+    tokens (stride = chunk_tokens - overlap) — the LLM-pretraining analog of
+    the engine's positional windows, as pure JVM expressions. One narrow
+    pass: tokenize once, explode chunk starts, slice + re-join. The final
+    (possibly short) chunk starts at the last stride boundary < n_tokens.
+
+    Emits (id, chunk_idx, tok_start, n_chunk_tokens, chunk_md5) — the md5
+    fingerprints chunk text so an oracle can verify content without moving
+    it; a materializing variant would keep the joined string column."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    toks = f"split({text_col}, ' ')"
+    return (
+        docs.where(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(1, cast(ceil((size({toks}) - "
+                    f"{overlap}) / {stride}.0) as int)) - 1), i -> "
+                    f"array_join(slice({toks}, i*{stride} + 1, {chunk_tokens}), ' '))"
+                )
+            ).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("tok_start"),
+            F.size(F.split("_chunk", " ")).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.col("_chunk")).alias("chunk_md5"),
+        )
+    )
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """Document fingerprint (winnowing-lite): min/max 32-bit hash over all
     k-char grams + distinct gram count. Content-defined, order-independent

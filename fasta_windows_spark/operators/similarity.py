@@ -112,7 +112,12 @@ def near_dup_pairs(
     r = be.select(
         F.col(id_col).alias("doc_b"), F.col("bucket"), F.col("_v").alias("_vb")
     )
-    cand = l.join(r, ["bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+    # shuffle-hash, not sort-merge: bucket is a low-cardinality key (2^planes
+    # values) — sorting millions of rows by it buys nothing, and the hash
+    # join streams each bucket's rows against an in-memory build side
+    cand = l.hint("shuffle_hash").join(r, ["bucket"]).where(
+        F.col("doc_a") < F.col("doc_b")
+    )
     cos = _dot("_va", "_vb") / (
         F.sqrt(_dot("_va", "_va")) * F.sqrt(_dot("_vb", "_vb"))
     )

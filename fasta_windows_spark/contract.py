@@ -848,6 +848,32 @@ def events_dedup_first(spark, sf_dir):
 
 
 @q(
+    "events_daily_distinct_users",
+    """
+SELECT floor(epoch(time_bucket(INTERVAL '1 day', ts)))::BIGINT AS day_start,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+""",
+)
+def events_daily_distinct_users(spark, sf_dir):
+    """Windowed cardinality (distinct users per day) — exact
+    count_distinct, kept oracle-checkable. Spark plans this as a two-phase
+    expand/partial-distinct aggregate (dedup happens map-side per
+    partition before the shuffle). At 10^12 rows the same query swaps
+    count_distinct -> approx_count_distinct (HyperLogLog++, mergeable
+    sketch, bounded reducer state) exactly like the documented
+    percentile_approx swap."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day_start", F.unix_timestamp(F.window("ts", "1 day").getField("start"))
+    )
+    return ev.groupBy("day_start").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
     "events_topn_per_type",
     """
 SELECT event_type, event_id, value FROM (

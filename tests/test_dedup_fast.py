@@ -72,3 +72,53 @@ def test_fast_and_md5_band_pairs_agree_on_clear_dups(spark):
     }
     assert (0, 1) in fast and (0, 1) in md5
     assert (0, 2) not in fast and (0, 2) not in md5
+
+
+def test_token_chunks_reconstruct_stream(spark):
+    """Chunks of 128 tokens / 16 overlap must tile the token stream: chunk i
+    starts at 112*i, lengths are full except the tail, and stripping the
+    16-token overlap from chunks 1..n reconstructs the doc's tokens."""
+    import hashlib
+
+    import numpy as np
+
+    from fasta_windows_spark.functions.text import token_chunks
+
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(f"t{rng.integers(0, 99)}" for _ in range(n))
+        for n in (1, 15, 16, 17, 112, 128, 129, 240, 241, 1000)
+    ]
+    docs = _docs(spark, texts)
+    out = (
+        token_chunks(docs, chunk_tokens=128, overlap=16)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for doc_id, rows in by_doc.items():
+        toks = texts[doc_id].split(" ")
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        rebuilt = []
+        for r in rows:
+            assert r["tok_start"] == r["chunk_idx"] * 112
+            chunk = toks[r["tok_start"] : r["tok_start"] + 128]
+            assert r["n_chunk_tokens"] == len(chunk)
+            assert r["chunk_md5"] == hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            rebuilt.extend(chunk if not rebuilt else chunk[16:])
+        assert rebuilt == toks, doc_id
+
+
+def test_widen_scan_adaptive(spark):
+    from fasta_windows_spark.session import widen_scan
+
+    target = spark.sparkContext.defaultParallelism
+    tiny = spark.createDataFrame(pd.DataFrame({"x": range(10)}))
+    narrow = tiny.coalesce(1)
+    widened = widen_scan(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    already = spark.range(0, 1000, 1, target + 4)
+    assert widen_scan(already) is already  # no shuffle added when wide enough

@@ -29,3 +29,19 @@ def test_cli_default_mode_with_ctw_and_desc(tmp_path, spark):
     assert rc == 0
     bed = open(os.path.join(out_dir, "t_entropy.bed")).read().splitlines()
     assert len(bed) > 1 and len(bed[0].split("\t")) == 5
+
+
+def test_cli_streaming_mode(tmp_path, spark):
+    src = str(tmp_path / "pages")
+    # ~25 min event-time span so 10-minute append windows actually close
+    pdf = P.gen_pages(n_pages=600, n_hosts=4, min_len=50, max_len=120, seed=7)
+    P.write_pages_parquet(pdf, src, n_files=2)
+
+    from fasta_windows_spark import cli
+
+    out_dir = str(tmp_path / "fw_out")
+    rc = cli.main(["-f", src, "-o", "s", "--streaming", "--out-dir", out_dir])
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(out_dir, "s_host_windows"))
+    assert got.count() > 0
+    assert {"host", "n_pages", "total_chars"} <= set(got.columns)

@@ -370,3 +370,33 @@ def test_streaming_dedup_urls(spark, tmp_path):
     assert sorted(got["url"].tolist()) == [
         "https://a.example/x", "https://b.example/y"
     ]
+
+
+def test_stream_sliding_window_agg_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
+    """Streaming SLIDING-window agg (1h window / 15m slide — the -w/-s
+    analog in event time) == identical batch computation: every emitted
+    (window, host) row matches the batch result exactly, and hosts appear
+    in multiple overlapping windows."""
+    stream = S.read_pages_stream(spark, pages_dir)
+    agg = S.host_window_stats(
+        stream, window="1 hour", slide="15 minutes", watermark="10 minutes"
+    )
+    out = str(tmp_path / "out")
+    q = S.write_exactly_once(agg, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    batch = P.spark_pages(spark, pages_pdf)
+    expected = S.host_window_stats(
+        batch, window="1 hour", slide="15 minutes", watermark="10 minutes"
+    )
+    g = got.toPandas().set_index(["w_start", "host"]).sort_index()
+    e = expected.toPandas().set_index(["w_start", "host"]).sort_index()
+    assert len(g) > 0
+    # overlap: at least one host must appear in >= 2 sliding windows
+    assert g.reset_index().groupby("host")["w_start"].nunique().max() >= 2
+    joined = g.join(e, how="left", rsuffix="_b")
+    for c in ("n_pages", "total_chars", "cnt_a", "entropy6_merged", "gc_prop"):
+        pd_col = joined[c].astype(float)
+        pd_b = joined[f"{c}_b"].astype(float)
+        assert ((pd_col == pd_b) | (pd_col.isna() & pd_b.isna())).all(), c

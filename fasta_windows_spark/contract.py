@@ -661,6 +661,58 @@ def doc_windows_entropy_outliers(spark, sf_dir):
     )
 
 
+@q(
+    "doc_windows_cumskew",
+    f"""
+WITH {SQL_WINS},
+c AS (
+  SELECT doc_id, w_start,
+         {_cnt_fold('G')}::DOUBLE AS g, {_cnt_fold('C')}::DOUBLE AS c
+  FROM win2
+),
+s AS (
+  SELECT doc_id, w_start,
+         CASE WHEN g + c = 0 THEN 0.0 ELSE (g - c) / (g + c) END AS skew
+  FROM c
+)
+SELECT doc_id, w_start,
+       round(sum(skew) OVER (
+         PARTITION BY doc_id ORDER BY w_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_gc_skew,
+       round(skew - lag(skew) OVER (PARTITION BY doc_id ORDER BY w_start), 6)
+         AS skew_delta
+FROM s
+""",
+)
+def doc_windows_cumskew(spark, sf_dir):
+    """Analytic windows over positional windows: cumulative GC skew along
+    each document (the replication-origin detection classic the reference's
+    downstream R analysis runs on skew columns) plus the window-to-window
+    delta (lag). Per-doc ordered frames: the Window partitions by doc_id,
+    so at 10^10 docs state is one doc's windows per task, never global
+    (contrast with a global ORDER BY — there is none here)."""
+    from pyspark.sql import Window as W_
+
+    c = _ws(spark, sf_dir).select("doc_id", "w_start", "cnt_g", "cnt_c")
+    skew = (
+        F.when(F.col("cnt_g") + F.col("cnt_c") == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("cnt_g") - F.col("cnt_c"))
+            / (F.col("cnt_g") + F.col("cnt_c")).cast("double")
+        )
+    )
+    w = W_.partitionBy("doc_id").orderBy("w_start")
+    s = c.select("doc_id", "w_start", skew.alias("_skew"))
+    return s.select(
+        "doc_id",
+        "w_start",
+        F.round(
+            F.sum("_skew").over(w.rowsBetween(W_.unboundedPreceding, 0)), 6
+        ).alias("cum_gc_skew"),
+        F.round(F.col("_skew") - F.lag("_skew").over(w), 6).alias("skew_delta"),
+    )
+
+
 @q("doc_windows_entropy_outliers_approx")  # t-digest sketch: not DuckDB-reproducible
 def doc_windows_entropy_outliers_approx(spark, sf_dir):
     """Scale path of `doc_windows_entropy_outliers`: median/MAD via
@@ -845,6 +897,33 @@ def events_dedup_first(spark, sf_dir):
             F.unix_timestamp(F.min("ts")).alias("first_ts"),
         )
     )
+
+
+@q(
+    "events_purchase_days_no_error",
+    """
+SELECT user_id::BIGINT AS user_id,
+       floor(epoch(d))::BIGINT AS day_start
+FROM (
+  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS d
+  FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts)
+  FROM events WHERE event_type = 'error'
+)
+""",
+)
+def events_purchase_days_no_error(spark, sf_dir):
+    """Set difference (EXCEPT) at (user, event-time day) grain: days on
+    which a user purchased but hit no error. Expressed as LEFT ANTI join —
+    Spark's EXCEPT compiles to the same shape; both sides shuffle on the
+    same composite key, the anti side is a per-partition hash set."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day_start", F.unix_timestamp(F.window("ts", "1 day").getField("start"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "day_start").distinct()
+    e = ev.where(F.col("event_type") == "error").select("user_id", "day_start").distinct()
+    return p.join(e, ["user_id", "day_start"], "left_anti")
 
 
 @q(

@@ -639,8 +639,15 @@ def doc_windows_entropy_outliers(spark, sf_dir):
     """A14: genome-wide median/MAD z-score thresholding of window entropy —
     the downstream R analysis (plot_entropy.R:121-126) as a batch query:
     flag windows below median - 3 * 1.4826 * MAD."""
-    e = _ws(spark, sf_dir).select(
-        "doc_id", "w_start", "w_end", _r6("entropy6").alias("entropy6")
+    from .staging import stage_scoped
+
+    # the window-stats kernel subplan feeds three consumers (median, MAD,
+    # final projection) — stage it once instead of running the kernel 3x
+    e = stage_scoped(
+        _ws(spark, sf_dir).select(
+            "doc_id", "w_start", "w_end", _r6("entropy6").alias("entropy6")
+        ),
+        "entropy_outliers_exact",
     )
     med = e.agg(F.median("entropy6").alias("m"))
     mad = (
@@ -722,8 +729,13 @@ def doc_windows_entropy_outliers_approx(spark, sf_dir):
     by test_plans); at 100x windows the sketch merge stays O(accuracy) per
     reducer. Rows-only driver check; pytest pins agreement with the exact
     variant on the test corpus."""
-    e = _ws(spark, sf_dir).select(
-        "doc_id", "w_start", "w_end", _r6("entropy6").alias("entropy6")
+    from .staging import stage_scoped
+
+    e = stage_scoped(
+        _ws(spark, sf_dir).select(
+            "doc_id", "w_start", "w_end", _r6("entropy6").alias("entropy6")
+        ),
+        "entropy_outliers_approx",
     )
     acc = 100_000
     med = e.agg(F.percentile_approx("entropy6", 0.5, acc).alias("m"))
@@ -921,9 +933,24 @@ def events_purchase_days_no_error(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn(
         "day_start", F.unix_timestamp(F.window("ts", "1 day").getField("start"))
     )
-    p = ev.where(F.col("event_type") == "purchase").select("user_id", "day_start").distinct()
-    e = ev.where(F.col("event_type") == "error").select("user_id", "day_start").distinct()
-    return p.join(e, ["user_id", "day_start"], "left_anti")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "day_start")
+        .distinct()
+        .alias("p")
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .select("user_id", "day_start")
+        .distinct()
+        .alias("e")
+    )
+    # null-safe equality (<=>) so a NULL user_id behaves like EXCEPT's
+    # IS-NOT-DISTINCT semantics, not like an unmatched anti-join key
+    cond = F.col("p.user_id").eqNullSafe(F.col("e.user_id")) & F.col(
+        "p.day_start"
+    ).eqNullSafe(F.col("e.day_start"))
+    return p.join(e, cond, "left_anti").select("user_id", "day_start")
 
 
 @q(
@@ -2050,7 +2077,12 @@ def docs_media_resize(spark, sf_dir):
     to scalar rows for a BIT-EXACT float32 oracle — the stub's normalized
     byte-histogram features (numpy f32) and the JVM f32 pair-sums are
     reproduced by DuckDB FLOAT arithmetic (IEEE binary32 on both sides;
-    ::DOUBLE widening at the edge is exact, so no rounding is needed)."""
+    ::DOUBLE widening at the edge is exact, so no rounding is needed).
+
+    Oracle scope: the SQL side histograms CHARACTERS (ascii(char) % 8) over
+    a byte-denominated total, the codec histograms raw UTF-8 bytes — equal
+    only on an all-ASCII corpus (verified true for the driver tables at
+    every sf; a non-ASCII corpus would need a byte-explode oracle)."""
     media = _mm.docs_as_media(_docs(spark, sf_dir))
     decoded = _mm.decode_media(media)
     resized = _mm.resize_features(decoded, out_dim=4)

@@ -101,24 +101,28 @@ def token_chunks(
     if stride <= 0:
         raise ValueError("overlap must be < chunk_tokens")
     toks = f"split({text_col}, ' ')"
+    # n_chunk_tokens comes from arithmetic (least(chunk, n_toks - start)),
+    # not from re-splitting the joined chunk string; every reference to the
+    # split() subtree is the identical expression, so whole-stage codegen's
+    # subexpression elimination tokenizes each doc once
+    chunks = (
+        f"transform(sequence(0, greatest(1, cast(ceil((size({toks}) - "
+        f"{overlap}) / {stride}.0) as int)) - 1), i -> named_struct("
+        f"'n', least({chunk_tokens}, size({toks}) - i*{stride}), "
+        f"'h', md5(array_join(slice({toks}, i*{stride} + 1, {chunk_tokens}), ' '))))"
+    )
     return (
         docs.where(F.length(text_col) > 0)
         .select(
             F.col(id_col),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, greatest(1, cast(ceil((size({toks}) - "
-                    f"{overlap}) / {stride}.0) as int)) - 1), i -> "
-                    f"array_join(slice({toks}, i*{stride} + 1, {chunk_tokens}), ' '))"
-                )
-            ).alias("chunk_idx", "_chunk"),
+            F.posexplode(F.expr(chunks)).alias("chunk_idx", "_c"),
         )
         .select(
             F.col(id_col),
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             (F.col("chunk_idx") * stride).cast("long").alias("tok_start"),
-            F.size(F.split("_chunk", " ")).cast("long").alias("n_chunk_tokens"),
-            F.md5(F.col("_chunk")).alias("chunk_md5"),
+            F.col("_c.n").cast("long").alias("n_chunk_tokens"),
+            F.col("_c.h").alias("chunk_md5"),
         )
     )
 

@@ -131,7 +131,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         f"(o, j) -> if(2*o > acc[{b}], shiftleft(cast(1 as bigint), j), cast(0 as bigint))), "
         "cast(0 as bigint), (s, x) -> s + x))"
     )
-    return docs.select(F.col(id_col), F.expr(sig).alias("simhash"))
+    # NULL text folds to a NULL signature; the explode-based formulation (and
+    # the DuckDB oracle's unnest) drop such docs entirely — match that
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.expr(sig).alias("simhash")
+    )
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 12, id_col: str = "doc_id") -> DataFrame:
@@ -185,7 +189,9 @@ def rare_shingle_jaccard_pairs(
     feed 3+ consumers (rare-filter build, both self-join sides, per-doc
     sizes); ReuseExchange alone only covers the identically-partitioned
     join sides, so unstaged plans re-explode the corpus up to 5x (measured:
-    10 parquet scans -> 2). At 100 TB the same staging is a bucketed
+    10 parquet scans -> 2). Caches are scope-managed: each call releases
+    the previous call's pair (staging.stage_scoped), so repeated invocation
+    cannot accumulate cache. At 100 TB the same staging is a bucketed
     intermediate table write instead of executor-memory/disk cache."""
     # (doc, shingle) distinct == per-doc dedup, so array_distinct BEFORE the
     # explode does it narrowly — no shuffle-distinct over the exploded table
@@ -199,7 +205,9 @@ def rare_shingle_jaccard_pairs(
         ).alias("shingle"),
     )
     if stage:
-        sh = sh.persist()
+        from ..staging import stage_scoped
+
+        sh = stage_scoped(sh, "jaccard_sh")
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -208,7 +216,9 @@ def rare_shingle_jaccard_pairs(
     )
     rsh = sh.join(rare, "shingle")
     if stage:
-        rsh = rsh.persist()
+        from ..staging import stage_scoped
+
+        rsh = stage_scoped(rsh, "jaccard_rsh")
     sizes = rsh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     l, r = rsh.alias("l"), rsh.alias("r")
     common = (

@@ -954,6 +954,35 @@ def events_purchase_days_no_error(spark, sf_dir):
 
 
 @q(
+    "events_props_json_agg",
+    """
+SELECT event_type,
+       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+       count(*) FILTER (CAST(props->>'k' AS BIGINT) > 50)::BIGINT AS n_high
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_props_json_agg(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON `props` payload with
+    from_json (typed schema — Catalyst prunes to the single field and the
+    parse runs inside codegen), then aggregate. The 100 TB guidance this
+    encodes: parse ONCE into a typed column, never per-aggregate
+    get_json_object calls over the same string."""
+    ev = _events(spark, sf_dir).where(F.col("props").isNotNull())
+    parsed = ev.withColumn(
+        "_k", F.from_json("props", "struct<k:bigint>").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("_k").alias("sum_k"),
+        F.round(F.avg("_k"), 6).alias("avg_k"),
+        F.count(F.when(F.col("_k") > 50, 1)).alias("n_high"),
+    )
+
+
+@q(
     "events_daily_distinct_users",
     """
 SELECT floor(epoch(time_bucket(INTERVAL '1 day', ts)))::BIGINT AS day_start,

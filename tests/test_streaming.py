@@ -400,3 +400,55 @@ def test_stream_sliding_window_agg_matches_batch(spark, pages_dir, pages_pdf, tm
         pd_col = joined[c].astype(float)
         pd_b = joined[f"{c}_b"].astype(float)
         assert ((pd_col == pd_b) | (pd_col.isna() & pd_b.isna())).all(), c
+
+
+def test_stream_static_broadcast_join(spark, pages_dir, pages_pdf, tmp_path):
+    """Stream-static join: the pages stream enriched with a small static
+    host-dimension table (broadcast per micro-batch, no stream state), then
+    aggregated — the standard dimension-enrichment shape. Verified against
+    the identical batch computation."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    hosts = sorted({u.split("/")[2] for u in pages_pdf["url"]})
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {"host": hosts, "tier": ["hot" if i < 2 else "cold" for i in range(len(hosts))]}
+        )
+    )
+
+    def enrich(df):
+        return (
+            S.with_host(df)
+            .join(F.broadcast(dim), "host", "left")
+            .groupBy("tier")
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.sum(F.length("text")).alias("total_chars"),
+            )
+        )
+
+    stream = S.read_pages_stream(spark, pages_dir)
+    out = str(tmp_path / "out")
+    q = (
+        enrich(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tiered")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("tiered").toPandas().set_index("tier").sort_index()
+    )
+    expected = (
+        enrich(P.spark_pages(spark, pages_pdf))
+        .toPandas()
+        .set_index("tier")
+        .sort_index()
+    )
+    assert len(got) > 0
+    assert (got["n_pages"] == expected["n_pages"]).all()
+    assert (got["total_chars"] == expected["total_chars"]).all()

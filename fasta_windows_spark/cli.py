@@ -36,8 +36,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--out-dir", default="./fw_out")
     p.add_argument("--streaming", action="store_true")
+    p.add_argument(
+        "--format",
+        default=None,
+        choices=["parquet", "fasta"],
+        help="input format (default: by extension — .fa/.fasta/.fna[.gz] "
+        "reads as FASTA, else parquet)",
+    )
     p.add_argument("--master", default=None)
     return p
+
+
+_FASTA_EXTS = (".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz", ".fna.gz")
+
+
+def _input_format(args) -> str:
+    if args.format:
+        return args.format
+    return "fasta" if args.input.lower().endswith(_FASTA_EXTS) else "parquet"
 
 
 def main(argv=None) -> int:
@@ -49,7 +65,14 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="fasta-windows-spark-cli", master=args.master)
     try:
-        df = spark.read.parquet(args.input)
+        if _input_format(args) == "fasta":
+            # the reference's native input (fw.rs:46-60): FASTA records as
+            # (doc_id=seq_id, description, text=seq)
+            from .sources.fasta import fasta_as_documents
+
+            df = fasta_as_documents(spark, args.input)
+        else:
+            df = spark.read.parquet(args.input)
         id_col = args.id_col or ("url" if "url" in df.columns else "doc_id")
 
         if args.streaming:

@@ -953,6 +953,22 @@ def events_purchase_days_no_error(spark, sf_dir):
     return p.join(e, cond, "left_anti").select("user_id", "day_start")
 
 
+@q("events_daily_distinct_users_approx")  # HLL++ sketch: not DuckDB-reproducible
+def events_daily_distinct_users_approx(spark, sf_dir):
+    """Scale twin of events_daily_distinct_users: approx_count_distinct
+    (HyperLogLog++, rsd 1%) — a mergeable sketch whose reducer state is
+    O(1/rsd^2) regardless of cardinality, vs exact distinct's expand +
+    per-key dedup state. Rows-only driver check; pytest pins the estimate
+    within 5% of exact on the test corpus."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day_start", F.unix_timestamp(F.window("ts", "1 day").getField("start"))
+    )
+    return ev.groupBy("day_start").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @q(
     "events_props_json_agg",
     """

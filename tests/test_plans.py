@@ -131,3 +131,28 @@ def test_entropy_outliers_approx_agrees_with_exact(spark):
         .reset_index(drop=True)
     )
     assert (exact["is_low"] == approx["is_low"]).all()
+
+
+def test_approx_distinct_within_tolerance_of_exact(spark):
+    """HLL++ twin: estimate within 5% of the exact distinct count per day,
+    and its plan has partial (map-side) sketch aggregation."""
+    exact = (
+        contract.queries()["events_daily_distinct_users"](spark, SF_DIR)
+        .toPandas()
+        .set_index("day_start")
+        .sort_index()
+    )
+    approx = (
+        contract.queries()["events_daily_distinct_users_approx"](spark, SF_DIR)
+        .toPandas()
+        .set_index("day_start")
+        .sort_index()
+    )
+    assert (exact.index == approx.index).all()
+    rel = (approx["n_users_approx"] - exact["n_users"]).abs() / exact["n_users"]
+    assert rel.max() <= 0.05, rel.max()
+    p = checks.plan_string(
+        contract.queries()["events_daily_distinct_users_approx"](spark, SF_DIR),
+        "simple",
+    )
+    assert "partial_approx_count_distinct" in p

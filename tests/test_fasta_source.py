@@ -93,3 +93,34 @@ def test_cli_reads_fasta(tmp_path, spark):
     lines = open(os.path.join(out_dir, "f_freq_windows.tsv")).read().splitlines()
     assert len(lines) == 1 + 200 // 16 + 1  # header + ceil(200/16) windows
     assert lines[1].startswith("s1\t")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ids = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="._-"),
+    min_size=1,
+    max_size=12,
+)
+_descs = st.one_of(st.none(), st.text(alphabet="abc XYZ.", min_size=1, max_size=20))
+_seqs = st.text(alphabet="ACGTNacgtnxy", min_size=0, max_size=300)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_ids, _descs, _seqs), min_size=1, max_size=8), st.integers(1, 80))
+def test_parse_fasta_roundtrip_property(records, wrap):
+    """Serialize arbitrary records (line-wrapped at any width) -> parse ->
+    identical records. Pure-python parser property; no Spark session."""
+    out = []
+    for sid, desc, seq in records:
+        header = f">{sid}" + (f" {desc.strip()}" if desc and desc.strip() else "")
+        body = "\n".join(seq[i : i + wrap] for i in range(0, len(seq), wrap))
+        out.append(header + ("\n" + body if body else ""))
+    df = parse_fasta_text("\n".join(out) + "\n")
+    assert list(df["seq_id"]) == [r[0] for r in records]
+    expect_desc = [
+        (d.strip() if d and d.strip() else None) for _, d, _ in records
+    ]
+    assert [x if x is not None else None for x in df["description"]] == expect_desc
+    assert list(df["seq"]) == [r[2] for r in records]

@@ -78,7 +78,8 @@ def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 24000) -> dict
         min_len=4000, max_len=12000,
     )
     total_chars_in = int(pdf["text"].str.len().sum())
-    P.write_pages_parquet(pdf, src, n_files=16)
+    # one file per core: the file-source's read parallelism is file-bounded
+    P.write_pages_parquet(pdf, src, n_files=32)
 
     t0 = time.perf_counter()
     stream = S.with_host(S.read_pages_stream(spark, src))

@@ -62,6 +62,17 @@ def main(argv=None) -> int:
 
     from .session import get_spark
 
+    if args.streaming and _input_format(args) == "fasta":
+        # the streaming path re-reads the input as a parquet pages stream;
+        # silently ignoring --format fasta would fail confusingly downstream
+        print(
+            "error: --streaming supports only the parquet pages schema "
+            "(FASTA input is batch-only; convert with fasta_as_documents "
+            "+ a parquet write first)",
+            file=sys.stderr,
+        )
+        return 2
+
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="fasta-windows-spark-cli", master=args.master)
     try:
@@ -89,30 +100,31 @@ def main(argv=None) -> int:
             print(f"[+]\tStreaming output: {args.out_dir}/{args.output}_host_windows")
             return 0
 
+        # Export model (both modes): distributed orderBy(id, start) — the
+        # reference's post-channel sort, fw.rs:149-152 — then stream the
+        # sorted partitions through toLocalIterator into the TSV writers.
+        # Driver memory holds ONE partition at a time, never the whole
+        # result (a 100 TB corpus' window table would OOM any collect).
         if args.entropy:
             # fast path: entropy + CTW only (main.rs:90-95, entropy.rs:86-156)
             from .functions.udfs import ctw_udf_frame
             from .sink_tsv import write_entropy_bed
 
-            got = (
-                ctw_udf_frame(
-                    df, text_col=args.text_col, id_cols=[id_col],
-                    window=args.window_size, step=args.step,
-                )
-                .orderBy(id_col, "w_start")
-                .toPandas()
-            )
-            rows = [
+            got = ctw_udf_frame(
+                df, text_col=args.text_col, id_cols=[id_col],
+                window=args.window_size, step=args.step,
+            ).orderBy(id_col, "w_start")
+            rows = (
                 dict(id=r[id_col], start=r["w_start"], end=r["w_end"],
                      entropy=r["entropy6"], ctw=r["ctw"])
-                for _, r in got.iterrows()
-            ]
+                for r in got.toLocalIterator(prefetchPartitions=True)
+            )
             path = write_entropy_bed(rows, args.out_dir, args.output)
             print(f"[+]\tOutput written to: {path}")
             return 0
 
         from .functions.udfs import window_stats
-        from .sink_tsv import df_windows_to_rows, write_reference_tsvs
+        from .sink_tsv import spark_rows_to_writer_iter, write_reference_tsvs
 
         ws = window_stats(
             df,
@@ -124,11 +136,10 @@ def main(argv=None) -> int:
             with_ctw=args.ctw,
             with_vectors=True,
             f32=True,
-        )
-        rows = df_windows_to_rows(ws.toPandas())
+        ).orderBy(id_col, "w_start")
         paths = write_reference_tsvs(
-            rows, args.out_dir, args.output,
-            description=args.description, ctw=args.ctw,
+            spark_rows_to_writer_iter(ws), args.out_dir, args.output,
+            description=args.description, ctw=args.ctw, presorted=True,
         )
         print(f"[+]\tOutput written to directory: {args.out_dir}")
         for p in paths.values():

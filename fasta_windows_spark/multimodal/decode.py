@@ -2,10 +2,13 @@
 
 Images/audio/video are carried as `binary` columns with a `media_type`
 string. The Spark-side plumbing (schema, Arrow batch shape, partitioning,
-UDF signatures) is real and tested; the actual codec step is STUBBED —
-this container has no image/audio libraries — behind ``_decode_payload``,
-which produces a deterministic fake feature vector. Swapping in PIL/ffmpeg
-changes only that function.
+UDF signatures) is real and tested. The codec layer behind
+``_decode_payload`` is REAL for two dependency-free container formats —
+uncompressed BI_RGB BMP (``image/bmp``) and PCM WAV (``audio/wav``),
+parsed from their actual headers with pure Python/numpy — and a
+deterministic fake for the remaining types (``image/fake``/``audio/fake``/
+``text/plain``), since this container has no compressed-codec libraries
+(JPEG/PNG/MP3 would need PIL/ffmpeg and slot into the same dispatch).
 """
 
 from __future__ import annotations
@@ -34,23 +37,83 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def _decode_payload(payload: bytes, media_type: str):
-    """STUB codec. Real deployment: PIL.Image.open / soundfile / pyav here.
+def _hist_features(data: bytes) -> np.ndarray:
+    """Normalized FEATURE_DIM-bin byte histogram — the feature extractor
+    shared by every codec path (a real deployment would emit embedding-
+    model features here instead)."""
+    hist = np.bincount(
+        np.frombuffer(data, dtype=np.uint8) % FEATURE_DIM, minlength=FEATURE_DIM
+    ).astype(np.float32)
+    total = hist.sum()
+    return hist / total if total else hist
 
-    Deterministic fake: 'dimensions' from the payload hash, 'features' =
-    normalized byte histogram folded to FEATURE_DIM bins. Raises on media
-    types the pipeline doesn't know, like a real decoder would."""
+
+def _decode_bmp(payload: bytes):
+    """REAL decoder for uncompressed BI_RGB BMP: BITMAPFILEHEADER (14 B,
+    'BM' magic, pixel-array offset at byte 10) + BITMAPINFOHEADER (width/
+    height int32-LE at 18/22, bpp uint16 at 28, compression uint32 at 30).
+    Negative height = top-down row order (dims reported absolute).
+    Features come from the actual pixel array bytes."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError("only BI_RGB (uncompressed) BMP")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"unsupported BMP bit depth {bpp}")
+    row_stride = (width * (bpp // 8) + 3) // 4 * 4
+    n_pixel_bytes = row_stride * abs(height)
+    if pixel_off + n_pixel_bytes > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    pixels = payload[pixel_off : pixel_off + n_pixel_bytes]
+    return width, abs(height), _hist_features(pixels)
+
+
+def _decode_wav(payload: bytes):
+    """REAL decoder for PCM WAV (RIFF/WAVE, canonical 'fmt ' chunk):
+    audio_format uint16 at 20 (1 = PCM), channels at 22, sample rate
+    uint32 at 24, bits-per-sample at 34. Dimension mapping for the image-
+    shaped schema: width = n_channels, height = bits_per_sample. Features
+    come from the data chunk's sample bytes."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    audio_format = int.from_bytes(payload[20:22], "little")
+    if audio_format != 1:
+        raise NotImplementedError("only PCM WAV")
+    channels = int.from_bytes(payload[22:24], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    # walk chunks from byte 12 to find 'data' (canonical layout has it at
+    # 36, but chunk-walking handles LIST/fact chunks too)
+    pos, data = 12, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+            break
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    return channels, bits, _hist_features(data)
+
+
+def _decode_payload(payload: bytes, media_type: str):
+    """Codec dispatch. image/bmp and audio/wav run the REAL header parsers
+    above; the fake types use a deterministic stand-in ('dimensions' from
+    the payload hash, features = byte histogram). Raises on media types
+    the pipeline doesn't know, like a real decoder would."""
+    if media_type == "image/bmp":
+        return _decode_bmp(payload)
+    if media_type == "audio/wav":
+        return _decode_wav(payload)
     if media_type not in ("image/fake", "audio/fake", "text/plain"):
         raise NotImplementedError(f"no codec for {media_type}")
     digest = hashlib.md5(payload).digest()
     width = 1 + digest[0] % 64
     height = 1 + digest[1] % 64
-    hist = np.bincount(
-        np.frombuffer(payload, dtype=np.uint8) % FEATURE_DIM, minlength=FEATURE_DIM
-    ).astype(np.float32)
-    total = hist.sum()
-    feats = hist / total if total else hist
-    return width, height, feats
+    return width, height, _hist_features(payload)
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload", media_type_col: str = "media_type") -> DataFrame:
@@ -90,6 +153,68 @@ def docs_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal REAL 24-bit BI_RGB BMP writer (row stride padded to 4 bytes;
+    pixel_bytes zero-padded/truncated to width*height*3). Used by tests and
+    the synthetic-corpus adapter below; `_decode_bmp` must invert it."""
+    stride = (3 * width + 3) // 4 * 4
+    need = width * height * 3
+    px = (pixel_bytes + b"\x00" * need)[:need]
+    rows = b"".join(
+        px[y * width * 3 : (y + 1) * width * 3].ljust(stride, b"\x00")
+        for y in range(height)
+    )
+    return (
+        b"BM"
+        + (54 + len(rows)).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"                      # reserved
+        + (54).to_bytes(4, "little")               # pixel array offset
+        + (40).to_bytes(4, "little")               # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")                # planes
+        + (24).to_bytes(2, "little")               # bpp
+        + (0).to_bytes(4, "little")                # BI_RGB
+        + len(rows).to_bytes(4, "little")          # image size
+        + bytes(16)                                # ppm x/y, palette counts
+        + rows
+    )
+
+
+def docs_as_bmp_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapter: render each document's text bytes as a REAL (tiny) BMP whose
+    dimensions are deterministic functions of the row — width =
+    1 + length(text) % 31, height = 1 + doc_id % 7 — so a SQL oracle can
+    predict exactly what `_decode_bmp` must parse back out of the header
+    bytes. The per-row Python here IS the codec (an encoder), the one place
+    a row loop is warranted; the stage is narrow (no shuffle)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                payloads.append(
+                    encode_bmp(1 + len(data) % 31, 1 + int(doc_id) % 7, data)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/bmp",
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(compute, schema)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -112,25 +237,26 @@ def sample_frames(
     Frames are CHARACTER slices so the md5 fingerprint is reproducible by
     the SQL oracle (md5 of a substring hashes its UTF-8 bytes identically
     in Spark and DuckDB); a byte-exact variant only changes the slicing.
-    Narrow stage: mapInPandas, no shuffle."""
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("doc_id", "frame_idx", "frame_len", "frame_md5")}
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                text = text or ""
-                n_frames = (len(text) + frame_chars - 1) // frame_chars
-                for i in range(0, n_frames, every):
-                    frame = text[i * frame_chars : (i + 1) * frame_chars]
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_len"].append(len(frame))
-                    out["frame_md5"].append(
-                        hashlib.md5(frame.encode("utf-8")).hexdigest()
-                    )
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id", text_col).mapInPandas(compute, FRAME_SCHEMA)
+    Entirely JVM expressions (sequence -> explode -> substring -> md5):
+    frame slicing is pure string arithmetic, so no Python row loop is
+    warranted — unlike the codec-shaped decode stage. Narrow stage, no
+    shuffle; whole-stage codegen end to end."""
+    fc, ev = int(frame_chars), int(every)
+    n_frames = F.ceil(F.length(text_col) / F.lit(float(fc))).cast("long")
+    idxs = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(ev).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    frame = F.expr(f"substring({text_col}, cast(frame_idx * {fc} + 1 as int), {fc})")
+    return docs.select(
+        F.col("doc_id"), F.explode(idxs).alias("frame_idx"), F.col(text_col)
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.length(frame).cast("long").alias("frame_len"),
+        F.md5(frame).alias("frame_md5"),
+    )
 
 
 def resize_features(

@@ -16,12 +16,21 @@ This is the export edge only — Spark keeps full precision in parquet/
 Iceberg; at scale these TSVs are written per-partition or per-micro-batch
 (foreachBatch) for sample inspection, exactly like the reference's
 single-node writers.
+
+Memory model: the writers consume an ITERABLE of row dicts and stream to
+disk, so the CLI export path is `orderBy(id, start)` (a distributed
+range-partitioned sort) + `toLocalIterator()` (one partition in driver
+memory at a time) — never a whole-result `toPandas()` collect. Pass
+``presorted=True`` for that path; a plain list is sorted in-process for
+small fixtures.
 """
 
 from __future__ import annotations
 
 import math
 import os
+from contextlib import ExitStack
+from typing import Iterable, Iterator
 
 from .kernels import kmer_names
 
@@ -73,17 +82,24 @@ def kmer_header(k: int, description: bool) -> str:
 
 
 def write_reference_tsvs(
-    rows: list[dict],
+    rows: Iterable[dict],
     out_dir: str,
     output: str,
     description: bool = False,
     ctw: bool = False,
+    presorted: bool = False,
 ) -> dict:
     """Write the 5 default-mode TSVs from per-window row dicts (keys: id,
     desc, start, end, the stat scalars, mono/di/tri/tetra vectors).
-    File names per main.rs:93-110."""
+    File names per main.rs:93-110.
+
+    All five files are written in ONE streaming pass over `rows`, so a
+    lazy iterator (e.g. `toLocalIterator` over a distributed sort) never
+    materializes the result set in driver memory. `presorted=False`
+    materializes and sorts in-process — for small fixture lists only."""
     os.makedirs(out_dir, exist_ok=True)
-    rows = sorted(rows, key=lambda r: (r["id"], r["start"]))
+    if not presorted:
+        rows = sorted(rows, key=lambda r: (r["id"], r["start"]))
     paths = {
         "stats": os.path.join(out_dir, f"{output}_freq_windows.tsv"),
         "mono": os.path.join(out_dir, f"{output}_mononuc_windows.tsv"),
@@ -91,13 +107,19 @@ def write_reference_tsvs(
         "tri": os.path.join(out_dir, f"{output}_trinuc_windows.tsv"),
         "tetra": os.path.join(out_dir, f"{output}_tetranuc_windows.tsv"),
     }
-    with open(paths["stats"], "w") as f:
-        f.write(stats_header(description, ctw) + "\n")
+    kmer_files = (("mono", 1, "mono"), ("di", 2, "di_freq"),
+                  ("tri", 3, "tri_freq"), ("tetra", 4, "tetra_freq"))
+    with ExitStack() as stack:
+        fh = {key: stack.enter_context(open(p, "w")) for key, p in paths.items()}
+        fh["stats"].write(stats_header(description, ctw) + "\n")
+        for key, k, _ in kmer_files:
+            fh[key].write(kmer_header(k, description) + "\n")
         for r in rows:
-            parts = [r["id"]]
+            prefix = [r["id"]]
             if description:
-                parts.append(r.get("desc", "No description."))
-            parts += [str(r["start"]), str(r["end"])]
+                prefix.append(r.get("desc") or "No description.")
+            prefix += [str(r["start"]), str(r["end"])]
+            parts = list(prefix)
             parts += [_f(r["gc_prop"]), _f(r["gc_skew"]), _f(r["at_skew"]),
                       _f(r["shannon_entropy"])]
             if ctw:
@@ -108,27 +130,15 @@ def write_reference_tsvs(
                 _f(r["cpg_prop"]), _f(r["dinuc_shannon"]),
                 _f(r["trinuc_shannon"]), _f(r["tetranuc_shannon"]),
             ]
-            f.write("\t".join(parts) + "\n")
-
-    for key, k, vec_key in (
-        ("mono", 1, "mono"),
-        ("di", 2, "di_freq"),
-        ("tri", 3, "tri_freq"),
-        ("tetra", 4, "tetra_freq"),
-    ):
-        with open(paths[key], "w") as f:
-            f.write(kmer_header(k, description) + "\n")
-            for r in rows:
-                parts = [r["id"]]
-                if description:
-                    parts.append(r.get("desc", "No description."))
-                parts += [str(r["start"]), str(r["end"])]
-                parts += [str(int(v)) for v in r[vec_key]]
-                f.write("\t".join(parts) + "\n")
+            fh["stats"].write("\t".join(parts) + "\n")
+            for key, _, vec_key in kmer_files:
+                fh[key].write(
+                    "\t".join(prefix + [str(int(v)) for v in r[vec_key]]) + "\n"
+                )
     return paths
 
 
-def write_entropy_bed(rows: list[dict], out_dir: str, output: str) -> str:
+def write_entropy_bed(rows: Iterable[dict], out_dir: str, output: str) -> str:
     """entropy-mode BED (entropy.rs:138-148): id, start, end, entropy %.6f,
     ctw %.6f, input order preserved (rows must arrive pre-ordered)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -142,35 +152,59 @@ def write_entropy_bed(rows: list[dict], out_dir: str, output: str) -> str:
     return path
 
 
+def window_mapping_to_row(r, contains) -> dict:
+    """One window_stats(+vectors) record (any mapping: pandas Series or
+    `Row.asDict()`) -> writer row dict. `contains` tests key presence
+    (differs between pandas Series and plain dicts)."""
+    if contains("url"):
+        rid = r["url"]
+    elif contains("doc_id"):
+        rid = r["doc_id"]
+    else:
+        rid = r["id"]
+    d = {
+        "id": rid,
+        "desc": (r["desc"] if contains("desc") else None) or "No description.",
+        "start": int(r["w_start"]),
+        "end": int(r["w_end"]),
+        "gc_prop": r["gc_prop"],
+        "gc_skew": r["gc_skew"],
+        "at_skew": r["at_skew"],
+        "shannon_entropy": r["shannon_entropy"],
+        "prop_g": r["prop_g"],
+        "prop_c": r["prop_c"],
+        "prop_a": r["prop_a"],
+        "prop_t": r["prop_t"],
+        "prop_n": r["prop_n"],
+        "prop_masked": r["prop_masked"],
+        "cpg_prop": r["cpg_prop"],
+        "dinuc_shannon": r["dinuc_shannon"],
+        "trinuc_shannon": r["trinuc_shannon"],
+        "tetranuc_shannon": r["tetranuc_shannon"],
+        "mono": [r["cnt_a"], r["cnt_c"], r["cnt_g"], r["cnt_t"], r["cnt_n"]],
+        "di_freq": list(r["k2_vec"]),
+        "tri_freq": list(r["k3_vec"]),
+        "tetra_freq": list(r["k4_vec"]),
+    }
+    if contains("ctw"):
+        d["ctw"] = r["ctw"]
+    return d
+
+
 def df_windows_to_rows(pdf) -> list[dict]:
     """Adapter: window_stats(+vectors) pandas frame -> writer row dicts."""
-    out = []
-    for _, r in pdf.iterrows():
-        d = {
-            "id": r.get("url", r.get("doc_id", r.get("id"))),
-            "desc": r.get("desc", "No description."),
-            "start": int(r["w_start"]),
-            "end": int(r["w_end"]),
-            "gc_prop": r["gc_prop"],
-            "gc_skew": r["gc_skew"],
-            "at_skew": r["at_skew"],
-            "shannon_entropy": r["shannon_entropy"],
-            "prop_g": r["prop_g"],
-            "prop_c": r["prop_c"],
-            "prop_a": r["prop_a"],
-            "prop_t": r["prop_t"],
-            "prop_n": r["prop_n"],
-            "prop_masked": r["prop_masked"],
-            "cpg_prop": r["cpg_prop"],
-            "dinuc_shannon": r["dinuc_shannon"],
-            "trinuc_shannon": r["trinuc_shannon"],
-            "tetranuc_shannon": r["tetranuc_shannon"],
-            "mono": [r["cnt_a"], r["cnt_c"], r["cnt_g"], r["cnt_t"], r["cnt_n"]],
-            "di_freq": list(r["k2_vec"]),
-            "tri_freq": list(r["k3_vec"]),
-            "tetra_freq": list(r["k4_vec"]),
-        }
-        if "ctw" in r:
-            d["ctw"] = r["ctw"]
-        out.append(d)
-    return out
+    cols = set(pdf.columns)
+    return [
+        window_mapping_to_row(r, cols.__contains__) for _, r in pdf.iterrows()
+    ]
+
+
+def spark_rows_to_writer_iter(df) -> Iterator[dict]:
+    """Adapter: a SORTED window_stats DataFrame -> lazy writer-dict stream
+    via toLocalIterator (one partition in driver memory at a time). The
+    DataFrame must already be orderBy(id, w_start)-sorted; the range-
+    partitioned sort output is consumed partition-by-partition in order,
+    so global order is preserved without a driver-side collect."""
+    cols = set(df.columns)
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        yield window_mapping_to_row(row.asDict(recursive=False), cols.__contains__)

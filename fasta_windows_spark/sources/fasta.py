@@ -52,13 +52,16 @@ def parse_fasta_text(text: str) -> pd.DataFrame:
         nl = rec.find("\n")
         header, body = (rec, "") if nl < 0 else (rec[:nl], rec[nl + 1 :])
         header = header.strip()
-        sp = header.find(" ")
-        if sp < 0:
+        # id = token up to the FIRST whitespace of any kind (space or tab) —
+        # needletail's rule (entropy.rs:109-113); a tab-delimited header
+        # '>id\tdesc' must not keep the tab in seq_id.
+        parts = header.split(None, 1)
+        if len(parts) <= 1:
             ids.append(header)
             descs.append(None)
         else:
-            ids.append(header[:sp])
-            descs.append(header[sp + 1 :].strip() or None)
+            ids.append(parts[0])
+            descs.append(parts[1].strip() or None)
         seqs.append(body.replace("\n", ""))
     return pd.DataFrame({"seq_id": ids, "description": descs, "seq": seqs})
 

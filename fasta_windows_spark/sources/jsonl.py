@@ -30,10 +30,12 @@ JSONL_SCHEMA = T.StructType(
 
 
 def _to_pages(df: DataFrame) -> DataFrame:
+    # A missing html_b64 stays NULL in the html column — matching the
+    # parquet pages schema, where an absent payload is NULL, not b"".
     return df.select(
         "url",
         "warc_ts",
-        F.unbase64(F.coalesce(F.col("html_b64"), F.lit(""))).alias("html"),
+        F.unbase64(F.col("html_b64")).alias("html"),
         "text",
         "lang",
     )
@@ -72,9 +74,11 @@ def write_pages_jsonl(pdf, path: str, n_files: int = 4) -> None:
                         {
                             "url": r["url"],
                             "warc_ts": r["warc_ts"].isoformat(),
-                            "html_b64": base64.b64encode(
-                                r.get("html") or b""
-                            ).decode(),
+                            "html_b64": (
+                                base64.b64encode(r["html"]).decode()
+                                if r.get("html") is not None
+                                else None
+                            ),
                             "text": r["text"],
                             "lang": r["lang"],
                         }

@@ -8,6 +8,15 @@ operator) holds at most ONE staged cache pair per scope instead of leaking
 one per call. Within a single query execution the cache serves all
 consumers of the subtree; the next invocation of that operator releases it.
 
+Concurrency model: the registry is lock-guarded, so concurrent calls can't
+corrupt it — but the lifecycle itself assumes SEQUENTIAL operator
+invocations per scope (the driver harness and the CLI are sequential). Two
+threads running the same operator concurrently would have the second call
+unpersist a cache the first may still be scanning; Spark handles that
+safely (the plan recomputes) but the first query silently loses its
+staging benefit. If concurrent same-operator runs ever matter, key scopes
+by (SparkSession, thread) at the call sites.
+
 At 100 TB the same role is played by a bucketed intermediate TABLE write
 (explicit lifecycle), not executor cache — this helper is the local-session
 equivalent with the lifecycle made explicit.
@@ -15,28 +24,34 @@ equivalent with the lifecycle made explicit.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _STAGED: dict[str, list[DataFrame]] = {}
+_LOCK = threading.Lock()
 
 
 def stage_scoped(df: DataFrame, scope: str) -> DataFrame:
-    for prev in _STAGED.pop(scope, []):
+    with _LOCK:
+        prev_list = _STAGED.pop(scope, [])
+        staged = df.persist()
+        _STAGED[scope] = [staged]
+    for prev in prev_list:
         try:
             prev.unpersist()
         except Exception:
             pass  # session may be gone; nothing to release
-    df = df.persist()
-    _STAGED[scope] = [df]
-    return df
+    return staged
 
 
 def release(scope: str | None = None) -> None:
     """Explicitly unpersist one scope (or all scopes)."""
-    scopes = [scope] if scope is not None else list(_STAGED)
-    for sc in scopes:
-        for prev in _STAGED.pop(sc, []):
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
+    with _LOCK:
+        scopes = [scope] if scope is not None else list(_STAGED)
+        to_release = [p for sc in scopes for p in _STAGED.pop(sc, [])]
+    for prev in to_release:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass

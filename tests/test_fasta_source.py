@@ -37,6 +37,15 @@ def test_parse_fasta_text_records():
     assert list(df["seq"]) == ["ACGTacgtNNNNacgtACGT", "GGGGCCCC", "", "ACGT"]
 
 
+def test_parse_fasta_tab_delimited_header():
+    """needletail splits the id at the FIRST whitespace of any kind
+    (entropy.rs:109-113) — a tab-delimited header must not leak the tab
+    into seq_id (ADVICE r2)."""
+    df = parse_fasta_text(">id1\ttab description\there\nACGT\n")
+    assert list(df["seq_id"]) == ["id1"]
+    assert list(df["description"]) == ["tab description\there"]
+
+
 def test_parse_fasta_crlf_and_errors():
     df = parse_fasta_text(">a r\r\nACGT\r\nACGT\r\n")
     assert list(df["seq"]) == ["ACGTACGT"]

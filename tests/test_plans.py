@@ -156,3 +156,17 @@ def test_approx_distinct_within_tolerance_of_exact(spark):
         "simple",
     )
     assert "partial_approx_count_distinct" in p
+
+
+def test_sample_frames_is_pure_jvm_and_shuffle_free(spark):
+    """The vectorized frame sampler must compile to whole-stage codegen:
+    no Python eval node (ArrowEval/BatchEval), no shuffle, and a scan
+    pruned to (doc_id, text)."""
+    from fasta_windows_spark.multimodal.decode import sample_frames
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sample_frames(docs)
+    p = checks.plan_string(df, "simple")
+    assert "EvalPython" not in p and "MapInPandas" not in p, p
+    checks.assert_no_shuffle(df)
+    assert checks.scan_read_schema(df) == [["doc_id", "text"]]

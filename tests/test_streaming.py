@@ -452,3 +452,52 @@ def test_stream_static_broadcast_join(spark, pages_dir, pages_pdf, tmp_path):
     assert len(got) > 0
     assert (got["n_pages"] == expected["n_pages"]).all()
     assert (got["total_chars"] == expected["total_chars"]).all()
+
+
+def test_salted_host_agg_equals_unsalted_and_spreads_state(spark, tmp_path):
+    """Hot-host skew (north_rule): the salted two-stage streaming agg must
+    (a) emit rows identical to the unsalted aggregation, and (b) spread the
+    hot host's state across multiple salt keys so no single state-store key
+    (or merge task) absorbs the whole host's traffic."""
+    # 1 of 8 hosts carries ~93% of pages (100x weight)
+    pdf = P.gen_pages(n_pages=800, n_hosts=8, n_hot_hosts=1, seed=11)
+    d = str(tmp_path / "hot_src")
+    P.write_pages_parquet(pdf, d, n_files=4)
+
+    salted = S.host_window_stats_salted(
+        S.read_pages_stream(spark, d), salt_buckets=8
+    )
+    out = str(tmp_path / "salted_out")
+    q = S.write_exactly_once(salted, out, str(tmp_path / "ck_salted"))
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    expected = S.host_window_stats(P.spark_pages(spark, pdf))
+    g = got.toPandas().set_index(["w_start", "host"]).sort_index()
+    e = expected.toPandas().set_index(["w_start", "host"]).sort_index()
+    joined = g.join(e, how="left", rsuffix="_b")
+    for c in ("n_pages", "total_chars", "cnt_a", "cnt_g", "entropy6_merged", "gc_prop"):
+        col = joined[c].astype(float)
+        col_b = joined[f"{c}_b"].astype(float)
+        assert ((col == col_b) | (col.isna() & col_b.isna())).all(), c
+
+    # stage-1 partials: the hottest (window, host) must be split across
+    # several salt keys, none holding a majority of its pages
+    parts_out = str(tmp_path / "partials_out")
+    qp = S.write_exactly_once(
+        S.salted_host_window_partials(S.read_pages_stream(spark, d), salt_buckets=8),
+        parts_out,
+        str(tmp_path / "ck_partials"),
+    )
+    qp.awaitTermination(180)
+    parts = spark.read.parquet(parts_out).toPandas()
+    parts["w_start"] = parts["w"].map(lambda w: w["start"])
+    hot = (
+        parts.groupby(["w_start", "host"])["n_pages"].sum().sort_values().index[-1]
+    )
+    hot_rows = parts[(parts["w_start"] == hot[0]) & (parts["host"] == hot[1])]
+    total = hot_rows["n_pages"].sum()
+    assert total >= 20, "fixture should produce a genuinely hot window"
+    assert hot_rows["salt"].nunique() >= 4
+    assert hot_rows["n_pages"].max() <= 0.5 * total

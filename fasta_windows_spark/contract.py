@@ -2141,6 +2141,265 @@ def docs_media_resize(spark, sf_dir):
     )
 
 
+# =============================================================================
+# §5 round-3 breadth: TPC-H subquery shapes (semi/anti/IN/scalar-subquery),
+# CEP pattern detection, near-dup clustering
+# =============================================================================
+
+
+@q(
+    "tpch_q4_priority_with_returns",
+    """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+""",
+)
+def tpch_q4_priority_with_returns(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the probe
+    side never multiplies rows, so the aggregate counts orders, not
+    lineitems. (Adapted predicate: the synthetic lineitem carries no
+    commit/receipt dates, so the EXISTS condition is 'has a returned
+    lineitem'; the semi-join shape is the point.) At scale the semi-join
+    shuffles only (orderkey) pairs, and AQE can turn it into a broadcast
+    when the filtered probe side is small."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+            o.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q10_returned_revenue",
+    """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue ranking — fact-to-fact join on
+    orderkey, customer dimension joined after the aggregate would be the
+    textbook optimization; here customer is small enough that Catalyst
+    broadcasts it. TakeOrdered (orderBy+limit) replaces a global sort."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY 1 HAVING sum(l_quantity) > 250)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN + grouped-HAVING subquery — the qualifying-key
+    set is computed by a partial+final aggregate over the fact table, then
+    semi-joined back before the wide join. No LIMIT: the qualifying set is
+    intrinsically tiny (top ~1% of orders by quantity), so the result is
+    deterministic without tie-break gymnastics."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li.select("l_orderkey", "l_quantity"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@q(
+    "tpch_q22_idle_customers",
+    """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= DATE '2000-08-01')
+GROUP BY 1
+""",
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar aggregate subquery (global average account
+    balance, broadcast as a 1-row cross join — never a driver collect) +
+    NOT EXISTS decorrelated to a LEFT ANTI join. Finds rich customers with
+    no RECENT orders, grouped by nation (the synthetic orders table covers
+    every customer, so the anti-join probes the filtered recent subset —
+    same decorrelated shape as the original's phone-prefix variant)."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-08-01"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@q(
+    "events_error_burst_then_purchase",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bursts AS (
+  SELECT user_id, ts AS burst_ts FROM seq
+  WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+),
+purch AS (SELECT user_id, ts AS purchase_ts FROM events
+          WHERE event_type = 'purchase')
+SELECT b.user_id,
+       epoch_us(b.burst_ts)::BIGINT AS burst_us,
+       epoch_us(min(p.purchase_ts))::BIGINT AS purchase_us
+FROM bursts b JOIN purch p
+  ON p.user_id = b.user_id
+ AND p.purchase_ts > b.burst_ts
+ AND p.purchase_ts <= b.burst_ts + INTERVAL 24 HOUR
+GROUP BY 1, b.burst_ts
+""",
+)
+def events_error_burst_then_purchase(spark, sf_dir):
+    """CEP pattern detection (the north_rule's 'CEP engine' axis), batch
+    form: MATCH_RECOGNIZE-style `error{3} ... purchase` within 24 h per
+    user — three consecutive errors (event-time order, event_id
+    tie-break) followed by the FIRST purchase inside the horizon.
+    Expressed relationally: lag window functions mark burst ends, an
+    event-time range join finds the follow-up, min() picks the first.
+    The streaming twin runs the same pattern incrementally in
+    `streaming/cep.py` with watermark-ordered state."""
+    from pyspark.sql import Window as PW
+
+    ev = _events(spark, sf_dir)
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    bursts = seq.where(
+        (F.col("event_type") == "error")
+        & (F.col("p1") == "error")
+        & (F.col("p2") == "error")
+    ).select("user_id", F.col("ts").alias("burst_ts"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        bursts.join(
+            purch,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("purchase_ts") > F.col("burst_ts"))
+            & (F.col("purchase_ts") <= F.col("burst_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("user_id", "burst_ts")
+        .agg(F.min("purchase_ts").alias("purchase_ts"))
+        .select(
+            "user_id",
+            # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+            # an identity relabel before the micros extraction
+            F.unix_micros(F.col("burst_ts").cast("timestamp")).alias("burst_us"),
+            F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias(
+                "purchase_us"
+            ),
+        )
+    )
+
+
+@q(
+    "docs_dup_components",
+    f"""
+WITH RECURSIVE {_SQL_MINHASH},
+bands AS (
+  SELECT doc_id, 0 AS band, sig_0 AS b0, sig_1 AS b1, sig_2 AS b2, sig_3 AS b3 FROM sig
+  UNION ALL
+  SELECT doc_id, 1, sig_4, sig_5, sig_6, sig_7 FROM sig
+),
+prs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.b0 = r.b0 AND l.b1 = r.b1
+   AND l.b2 = r.b2 AND l.b3 = r.b3 AND l.doc_id < r.doc_id
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON reach.id = e.a
+)
+SELECT id AS doc_id, min(r)::BIGINT AS component_id
+FROM reach GROUP BY id
+""",
+)
+def docs_dup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERING: connected components over the MinHash
+    band-pair candidate graph (iterative min-label propagation,
+    `operators/dedup.connected_components`) — every doc labeled with its
+    cluster's smallest doc_id, singletons included. This is the missing
+    step between pair generation and an actual dedup policy (keep one doc
+    per component). The oracle computes the same fixpoint as a DuckDB
+    recursive CTE (transitive reachability + min)."""
+    docs = _docs(spark, sf_dir)
+    pairs = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs))
+    return _dedup.connected_components(pairs, docs.select("doc_id"))
+
+
 @q(
     "docs_media_bmp",
     """
@@ -2184,6 +2443,13 @@ _ROTATION_FIRST = [
     "emb_knn_topk_exact",
     "emb_near_dup_pairs",
     "docs_media_bmp",
+    # new in round 3
+    "tpch_q4_priority_with_returns",
+    "tpch_q10_returned_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "events_error_burst_then_purchase",
+    "docs_dup_components",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -239,3 +239,57 @@ def rare_shingle_jaccard_pairs(
         .where(F.col("jaccard") >= min_jaccard)
     )
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a candidate-pair graph: min-label
+    propagation to a fixpoint — every node ends labeled with the smallest
+    id reachable through the (undirected) pair edges; docs with no pair
+    stay their own singleton component. The downstream dedup policy is
+    then one row per component (e.g. keep min doc_id).
+
+    Scale notes: each round is one shuffle join + one min-aggregation;
+    rounds needed = graph diameter, and near-dup graphs are
+    shallow (clusters are cliques-ish from LSH banding). At 10^12-doc
+    scale swap the fixpoint loop for alternating large-star/small-star
+    rounds (the standard MapReduce connected-components construction,
+    O(log n) rounds of the SAME join/agg primitives). `localCheckpoint`
+    truncates plan lineage per round so the driver never re-plans an
+    iteration-deep DAG; on a cluster use reliable `checkpoint` instead."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.select(F.col("id").alias("dst"), "comp"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("old_comp")), "id"
+            )
+            .where(F.col("comp") < F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))

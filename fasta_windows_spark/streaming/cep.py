@@ -1,0 +1,163 @@
+"""Streaming CEP: incremental `error{k} -> purchase within horizon` pattern
+detection per user (the north_rule's CEP axis, streaming form of the batch
+`events_error_burst_then_purchase` contract query).
+
+Why not window functions: the pattern needs per-user EVENT-TIME ORDER, and
+a stream delivers events in arrival order. The operator therefore buffers
+events in state and only advances the pattern over the watermark-FINALIZED
+prefix (ts <= current watermark), sorted by (ts, event_id) — by watermark
+contract no earlier event can still arrive, so the processed prefix is
+exactly the batch engine's sort order and emission is deterministic under
+micro-batch replay (exactly-once safe).
+
+State per user (RocksDB row): the unfinalized event buffer + the
+consecutive-error run length at the processed frontier + open bursts
+awaiting their first purchase. Every component is watermark-bounded: the
+buffer holds at most one watermark-delay of events, open bursts expire
+`horizon` past their timestamp, and quiet users are evicted by an
+event-time timeout `horizon` past their last event — state cannot grow
+with stream length, which is the 10^12-row requirement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = (
+    "buf_ts ARRAY<LONG>, buf_eid ARRAY<LONG>, buf_is_err ARRAY<BOOLEAN>, "
+    "buf_is_pur ARRAY<BOOLEAN>, run_len LONG, open_bursts ARRAY<LONG>, "
+    "max_ts LONG"
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("burst_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+    ]
+)
+
+
+def _advance(buf, run_len, open_bursts, wm_us, k, horizon_us, user_id, rows):
+    """Advance the pattern over the finalized prefix of `buf` (ts <= wm_us,
+    sorted by ts then event_id); returns (remaining_buf, run_len,
+    open_bursts). Appends emitted (user, burst, purchase) matches to rows."""
+    buf.sort()
+    remaining = []
+    for ts, eid, is_err, is_pur in buf:
+        if ts > wm_us:
+            remaining.append((ts, eid, is_err, is_pur))
+            continue
+        # bursts whose deadline precedes the CURRENT event can never match
+        # a later-processed purchase (processing is ts-ordered) — pruning
+        # against the watermark here instead would drop a burst before its
+        # in-horizon purchase is reached when draining a long prefix
+        open_bursts = [b for b in open_bursts if b + horizon_us >= ts]
+        if is_err:
+            run_len += 1
+            if run_len >= k:
+                open_bursts.append(ts)
+        else:
+            if is_pur:
+                matched = [b for b in open_bursts if b < ts <= b + horizon_us]
+                for b in matched:
+                    rows.append(
+                        {"user_id": user_id, "burst_us": b, "purchase_us": ts}
+                    )
+                open_bursts = [b for b in open_bursts if b not in matched]
+            run_len = 0
+    # state bound: a burst whose deadline the watermark has passed cannot
+    # match any future finalized purchase
+    open_bursts = [b for b in open_bursts if b + horizon_us >= wm_us]
+    return remaining, run_len, open_bursts
+
+
+def make_update(k: int, horizon_us: int):
+    def update(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[dict] = []
+
+        if state.hasTimedOut:
+            # quiet user: everything buffered is final — drain and evict
+            buf_ts, buf_eid, be, bp, run_len, open_bursts, _ = state.get
+            buf = list(zip(buf_ts, buf_eid, be, bp))
+            _advance(buf, run_len, list(open_bursts), wm_us, k, horizon_us,
+                     user_id, rows)
+            state.remove()
+            yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
+
+        if state.exists:
+            buf_ts, buf_eid, be, bp, run_len, open_bursts, max_ts = state.get
+            buf = list(zip(buf_ts, buf_eid, be, bp))
+            open_bursts = list(open_bursts)
+        else:
+            buf, run_len, open_bursts, max_ts = [], 0, [], 0
+
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            eids = pdf["event_id"].tolist()
+            types = pdf["event_type"].tolist()
+            for ts, eid, et in zip(ts_us, eids, types):
+                buf.append((int(ts), int(eid), et == "error", et == "purchase"))
+                max_ts = max(max_ts, int(ts))
+
+        buf, run_len, open_bursts = _advance(
+            buf, run_len, open_bursts, wm_us, k, horizon_us, user_id, rows
+        )
+        state.update(
+            (
+                [b[0] for b in buf],
+                [b[1] for b in buf],
+                [b[2] for b in buf],
+                [b[3] for b in buf],
+                run_len,
+                open_bursts,
+                max_ts,
+            )
+        )
+        # evict the user once the watermark is `horizon` past their last
+        # event (ms) — drains any remainder and bounds the key count
+        state.setTimeoutTimestamp(max_ts // 1000 + horizon_us // 1000)
+        yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return update
+
+
+def burst_purchase_stream(
+    events: DataFrame,
+    k: int = 3,
+    horizon: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """k consecutive errors then the first purchase within `horizon`,
+    incrementally per user. Emits each (user, burst, first purchase) once,
+    as soon as both sides are watermark-finalized."""
+    n, unit = horizon.split()
+    horizon_us = int(n) * {"hours": 3_600, "hour": 3_600, "minutes": 60,
+                           "minute": 60, "seconds": 1, "second": 1}[unit] * 1_000_000
+    # parquet-sourced ts may arrive as TIMESTAMP_NTZ, which watermarks
+    # reject; the cast is an identity relabel under the UTC session TZ
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_update(k, horizon_us),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -501,3 +501,51 @@ def test_salted_host_agg_equals_unsalted_and_spreads_state(spark, tmp_path):
     assert total >= 20, "fixture should produce a genuinely hot window"
     assert hot_rows["salt"].nunique() >= 4
     assert hot_rows["n_pages"].max() <= 0.5 * total
+
+
+def test_cep_burst_purchase_stream_matches_batch(spark, tmp_path):
+    """Streaming CEP (error{3} -> first purchase within 24 h, watermark-
+    ordered state) must emit EXACTLY the batch pattern matches whose
+    purchase the final watermark finalized — same rows, no extras, no
+    duplicates."""
+    import pandas as pd
+
+    from fasta_windows_spark import contract
+    from fasta_windows_spark.streaming.cep import burst_purchase_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    import numpy as np
+
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "cep_out")
+    q = S.write_exactly_once(
+        burst_purchase_stream(stream, k=3, horizon="24 hours", watermark="1 hour"),
+        out,
+        str(tmp_path / "cep_ck"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas().dropna()
+    got_set = {tuple(int(v) for v in r) for r in got.to_numpy()}
+    assert len(got_set) == len(got), "duplicate emissions"
+
+    batch = contract.queries()["events_error_burst_then_purchase"](
+        spark, sf_dir
+    ).toPandas()
+    wm_final_us = int(ev["ts"].max().value // 1_000) - 3_600 * 1_000_000
+    exp = batch[batch["purchase_us"] <= wm_final_us]
+    exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
+    assert len(exp_set) > 0, "fixture produced no finalized matches"
+    assert got_set == exp_set

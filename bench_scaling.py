@@ -576,7 +576,7 @@ understated.
   above shows logical bytes identical at both levels and quantifies the
   gap as whole-tree busy-time inflation (DRAM stalls) + serial
   micro-batch machinery; kernel-only scaling at the same core counts is
-  0.99 (L2-resident), and the CPU-bound entropy mode scores 0.927 on
+  0.99 (L2-resident), and the CPU-bound entropy mode scores 0.941 on
   2->8 — the partitioning is shown sound by both. The stats 2->8 ratio
   itself is volatile on this host: protocol-compliant attempts this
   round measured 0.80 (min-of-2) and 0.696 (min-of-3, recorded — the

@@ -2362,6 +2362,56 @@ def events_error_burst_then_purchase(spark, sf_dir):
 
 
 @q(
+    "events_asof_last_error",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_ts
+  FROM events
+)
+SELECT user_id,
+       epoch_us(ts)::BIGINT AS purchase_us,
+       epoch_us(last_err_ts)::BIGINT AS last_error_us
+FROM marked WHERE event_type = 'purchase'
+""",
+)
+def events_asof_last_error(spark, sf_dir):
+    """AS-OF JOIN (build brief's named example of an operator Spark lacks):
+    for every purchase, the most recent error AT-OR-BEFORE it for the same
+    user. NOT implemented as a range join (which explodes to candidate
+    pairs then argmaxes — quadratic in per-user density): both event kinds
+    ride ONE sorted window pass with `last(..., ignorenulls)` over the
+    merged per-user timeline — the union-and-carry-forward form, linear
+    after the single partition-by-user sort, which is how an as-of join
+    stays viable at 10^12 rows. NULL when no prior error exists."""
+    from pyspark.sql import Window as PW
+
+    ev = _events(spark, sf_dir)
+    w = (
+        PW.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(PW.unboundedPreceding, PW.currentRow)
+    )
+    marked = ev.select(
+        "user_id", "ts", "event_type",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_err_ts"),
+    )
+    return marked.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("last_err_ts").cast("timestamp")).alias(
+            "last_error_us"
+        ),
+    )
+
+
+@q(
     "docs_dup_components",
     f"""
 WITH RECURSIVE {_SQL_MINHASH},
@@ -2450,6 +2500,7 @@ _ROTATION_FIRST = [
     "tpch_q22_idle_customers",
     "events_error_burst_then_purchase",
     "docs_dup_components",
+    "events_asof_last_error",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

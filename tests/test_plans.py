@@ -170,3 +170,40 @@ def test_sample_frames_is_pure_jvm_and_shuffle_free(spark):
     assert "EvalPython" not in p and "MapInPandas" not in p, p
     checks.assert_no_shuffle(df)
     assert checks.scan_read_schema(df) == [["doc_id", "text"]]
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """EXISTS must decorrelate to a semi join (no row multiplication
+    before the count)."""
+    df = contract.queries()["tpch_q4_priority_with_returns"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "LeftSemi" in p, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    """NOT EXISTS -> LEFT ANTI; the scalar-average subquery must ride a
+    broadcast (1-row) join, never a driver collect."""
+    df = contract.queries()["tpch_q22_idle_customers"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "LeftAnti" in p, p
+    assert "Broadcast" in p, p
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must be the union-and-carry-forward window form:
+    ONE shuffle (partition by user), NO join operator anywhere — the
+    quadratic range-join formulation would show a Join node."""
+    df = contract.queries()["events_asof_last_error"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_cep_burst_join_uses_equi_key(spark):
+    """The CEP burst->purchase correlation must join on the user equi-key
+    (hash/sort-merge), not degrade to a nested-loop cartesian with the
+    time-range predicate as the only condition."""
+    df = contract.queries()["events_error_burst_then_purchase"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "NestedLoop" not in p, p

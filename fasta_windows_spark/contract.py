@@ -2362,6 +2362,145 @@ def events_error_burst_then_purchase(spark, sf_dir):
 
 
 @q(
+    "docs_top_tokens",
+    """
+WITH toks AS (
+  SELECT lower(unnest(string_split(text, ' '))) AS tok
+  FROM documents WHERE length(text) > 0
+),
+c AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks WHERE tok <> '' GROUP BY 1)
+SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50
+""",
+)
+def docs_top_tokens(spark, sf_dir):
+    """Heavy hitters / vocabulary head: corpus-wide top-50 tokens — the
+    first step of tokenizer-vocab construction over a training corpus.
+    Map-side partial counts collapse each split to its distinct tokens
+    before the one shuffle; orderBy+limit is TakeOrdered (no global sort).
+    Deterministic under ties via the (count desc, token asc) total order."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.where(F.length("text") > 0)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(50)
+    )
+
+
+@q(
+    "docs_tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS tok
+  FROM documents WHERE length(text) > 0
+),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+       WHERE tok <> '' GROUP BY 1, 2),
+idf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE length(text) > 0),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, idf.df,
+         tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, idf.df ASC, tf.tok) AS rk
+  FROM tf JOIN idf USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf FROM scored WHERE rk <= 3
+""",
+)
+def docs_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF salient terms: top-3 per doc. The document-frequency table
+    and the corpus size are both tiny aggregates — df rides a shuffle
+    join keyed by token (broadcastable when the vocab fits), n_docs a
+    1-row broadcast cross join. RANKING uses only integers
+    (tf desc, df asc, token) so the float tfidf score never decides a
+    boundary — engines may differ in ln() by an ulp, values compare at
+    1e-9 but ranks must be exact."""
+    from pyspark.sql import Window as PW
+
+    docs = _docs(spark, sf_dir).where(F.length("text") > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = PW.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), "tok")
+    return (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )
+
+
+@q(
+    "events_session_dynamic_gap",
+    """
+WITH g AS (
+  SELECT user_id, ts, epoch_us(ts)::BIGINT AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 43200 ELSE 14400 END
+           * 1000000::BIGINT AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT *,
+         max(ts_us + gap_us) OVER (PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                 THEN 1 ELSE 0 END AS new_session
+  FROM marked
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us + gap_us) AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def events_session_dynamic_gap(spark, sf_dir):
+    """DYNAMIC-GAP session windows (Spark 3.2+): the gap is a per-ROW
+    expression — purchases keep a session alive 12 h, everything else
+    4 h. The oracle derives identical sessions relationally
+    (gaps-and-islands with a RUNNING-MAX end, because a merged session's
+    end is the max of ts+gap over members, not the last row's), which
+    also pins Spark's half-open boundary rule: an event landing exactly
+    at the session end starts a new session."""
+    ev = _events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("12 hours")
+    ).otherwise(F.lit("4 hours"))
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@q(
     "events_asof_last_error",
     """
 WITH marked AS (
@@ -2501,6 +2640,9 @@ _ROTATION_FIRST = [
     "events_error_burst_then_purchase",
     "docs_dup_components",
     "events_asof_last_error",
+    "docs_top_tokens",
+    "docs_tfidf_top_terms",
+    "events_session_dynamic_gap",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="./fw_out")
     p.add_argument("--streaming", action="store_true")
     p.add_argument(
+        "--salt-buckets",
+        type=int,
+        default=0,
+        help="streaming mode: salt the host-window aggregation across N "
+        "state keys per host (hot-host skew; 0 = unsalted)",
+    )
+    p.add_argument(
         "--format",
         default=None,
         choices=["parquet", "fasta"],
@@ -90,7 +97,12 @@ def main(argv=None) -> int:
             from .streaming import pipeline as S
 
             stream = S.read_pages_stream(spark, args.input)
-            agg = S.host_window_stats(stream)
+            if args.salt_buckets > 0:
+                agg = S.host_window_stats_salted(
+                    stream, salt_buckets=args.salt_buckets
+                )
+            else:
+                agg = S.host_window_stats(stream)
             q = S.write_exactly_once(
                 agg,
                 f"{args.out_dir}/{args.output}_host_windows",

@@ -116,3 +116,15 @@ def test_cli_streaming_mode(tmp_path, spark):
     got = spark.read.parquet(os.path.join(out_dir, "s_host_windows"))
     assert got.count() > 0
     assert {"host", "n_pages", "total_chars"} <= set(got.columns)
+
+    # salted hot-host path produces the identical result schema + rows
+    rc = cli.main(
+        ["-f", src, "-o", "ss", "--streaming", "--salt-buckets", "4",
+         "--out-dir", out_dir]
+    )
+    assert rc == 0
+    salted = spark.read.parquet(os.path.join(out_dir, "ss_host_windows"))
+    g = got.orderBy("w_start", "host").toPandas()
+    s = salted.orderBy("w_start", "host").toPandas()
+    assert list(g.columns) == list(s.columns)
+    assert g.equals(s)

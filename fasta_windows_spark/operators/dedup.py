@@ -255,14 +255,18 @@ def connected_components(
     stay their own singleton component. The downstream dedup policy is
     then one row per component (e.g. keep min doc_id).
 
-    Scale notes: each round is one shuffle join + one min-aggregation;
-    rounds needed = graph diameter, and near-dup graphs are
-    shallow (clusters are cliques-ish from LSH banding). At 10^12-doc
-    scale swap the fixpoint loop for alternating large-star/small-star
-    rounds (the standard MapReduce connected-components construction,
-    O(log n) rounds of the SAME join/agg primitives). `localCheckpoint`
-    truncates plan lineage per round so the driver never re-plans an
-    iteration-deep DAG; on a cluster use reliable `checkpoint` instead."""
+    Scale notes: each round is one neighbor-propagation join + one
+    min-aggregation + one POINTER-JUMPING join (each node also adopts its
+    current label's OWN label — the shortcutting that turns a
+    diameter-round walk into O(log n) rounds, so a pathological chain
+    graph converges as fast as the clique-ish clusters LSH banding
+    actually produces). Raises if the fixpoint is not reached within
+    max_iter (silently returning unconverged labels would be a wrong
+    answer). At 10^12-doc scale the same primitives rearranged as
+    alternating large-star/small-star give the classic MapReduce form.
+    `localCheckpoint` truncates plan lineage per round so the driver
+    never re-plans an iteration-deep DAG; on a cluster use reliable
+    `checkpoint` instead."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -276,12 +280,24 @@ def connected_components(
         neighbor = edges.join(
             labels.select(F.col("id").alias("dst"), "comp"), "dst"
         ).select(F.col("src").alias("id"), "comp")
-        new_labels = (
+        merged = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
+        # pointer jumping: comp := label(comp) when smaller — labels are
+        # node ids, so the label node's own label is a valid (closer-to-
+        # root) label for us too; doubles the propagation distance/round
+        jumped = merged.join(
+            merged.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+            ),
+            "comp",
+            "left",
+        ).select(
+            "id", F.least("comp", F.coalesce("comp2", "comp")).alias("comp")
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.join(
                 labels.select("id", F.col("comp").alias("old_comp")), "id"
@@ -292,4 +308,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))

@@ -122,3 +122,42 @@ def test_widen_scan_adaptive(spark):
     assert widened.rdd.getNumPartitions() == target
     already = spark.range(0, 1000, 1, target + 4)
     assert widen_scan(already) is already  # no shuffle added when wide enough
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Pointer jumping must collapse a 64-node CHAIN (diameter 63 — the
+    worst case for plain min-label propagation) within the default round
+    budget, alongside a disjoint triangle and a singleton."""
+    from fasta_windows_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]          # 0-1-2-...-63
+    tri = [(100, 101), (101, 102), (100, 102)]       # separate component
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain + tri, columns=["doc_a", "doc_b"])
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(64)) + [100, 101, 102, 999]})
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert all(got[i] == 0 for i in range(64)), "chain must collapse to 0"
+    assert got[100] == got[101] == got[102] == 100
+    assert got[999] == 999  # singleton stays its own component
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """Refusing to return unconverged labels: with max_iter=1 a chain
+    cannot reach its fixpoint and the operator must raise, not silently
+    emit wrong components."""
+    import pytest as _pytest
+
+    from fasta_windows_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(20)], columns=["doc_a", "doc_b"])
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(21))}))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=1)

@@ -331,6 +331,44 @@ def dedup_urls_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFr
     )
 
 
+def write_topn_hosts_per_window(
+    agg: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    n: int = 3,
+    once: bool = True,
+):
+    """Streaming top-N (hosts by total_chars per event-time window) via
+    foreachBatch: ranking is not expressible inside an append-mode
+    streaming aggregation, but every (window, host) row of a given window
+    FINALIZES in the same micro-batch (the watermark crosses the window
+    end exactly once), so a per-batch window-local rank over the emitted
+    rows is exact — the foreachBatch post-processing pattern the reference
+    TSV sinks also use (SURVEY.md §2.1 S4). Idempotent under micro-batch
+    replay: output files are keyed by batch id via the file sink's commit
+    protocol inside foreachBatch's batch-scoped write."""
+    from pyspark.sql import Window as PW
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        w = PW.partitionBy("w_start").orderBy(
+            F.desc("total_chars"), F.asc("host")
+        )
+        top = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+        )
+        top.write.mode("append").parquet(out_path)
+
+    w = (
+        agg.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def sink_format(spark: SparkSession) -> str:
     """Iceberg when the runtime is on the classpath, else the parquet file
     sink (same exactly-once commit contract in this sandbox)."""

@@ -549,3 +549,38 @@ def test_cep_burst_purchase_stream_matches_batch(spark, tmp_path):
     exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
     assert len(exp_set) > 0, "fixture produced no finalized matches"
     assert got_set == exp_set
+
+
+def test_foreachbatch_topn_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
+    """foreachBatch post-aggregation ranking: top-3 hosts per finalized
+    window must equal the batch computation on the same windows — valid
+    because a window's rows all finalize in one micro-batch."""
+    agg = S.host_window_stats(S.read_pages_stream(spark, pages_dir))
+    out = str(tmp_path / "topn_out")
+    q = S.write_topn_hosts_per_window(
+        agg, out, str(tmp_path / "topn_ck"), n=3
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+    assert (got.groupby("w_start")["host"].count() <= 3).all()
+
+    import pandas as pd
+    from pyspark.sql import Window as PW
+
+    batch = S.host_window_stats(P.spark_pages(spark, pages_pdf))
+    w = PW.partitionBy("w_start").orderBy(
+        F.desc("total_chars"), F.asc("host")
+    )
+    exp = (
+        batch.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("w_start", "host", "total_chars", "rank")
+        .toPandas()
+    )
+    exp = exp[exp["w_start"].isin(set(got["w_start"]))]  # emitted windows only
+    g = got[["w_start", "host", "total_chars", "rank"]].sort_values(
+        ["w_start", "rank"]
+    ).reset_index(drop=True)
+    e = exp.sort_values(["w_start", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)

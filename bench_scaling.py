@@ -2,18 +2,23 @@
 """Two-cluster-size scaling benchmark (BASELINE.md protocol).
 
 Runs the SAME streaming job on the SAME input at two parallelism levels
-(default local[8] vs local[32] — the sandbox stand-in for N vs 4N
-executors), reports throughput at both plus
-``efficiency = (tp_high / tp_low) / (cores_high / cores_low)`` and writes
-BENCH/BASELINE.md. Each run is a fresh subprocess (own JVM) so the two
-measurements share nothing but the input files.
+(default local[2] vs local[8], taskset-pinned — the span where this VM's
+hypervisor doesn't throttle; the sandbox stand-in for N vs 4N executors),
+reports throughput at both plus
+``efficiency = (tp_high / tp_low) / (cores_high / cores_low)``, attaches a
+measured bytes/CPU ledger per run (Spark event-log task metrics + a /proc
+whole-tree CPU probe), and writes BENCH/BASELINE.md. Each run is a fresh
+subprocess (own JVM) so the two measurements share nothing but the input
+files.
 
 The job is the flagship pipeline: pages stream -> per-page positional
-window statistics (full kernel, W=1000) -> watermarked 10-minute host
-window aggregation -> exactly-once parquet sink.
+window statistics (W=1000; --mode stats = full kernel, --mode entropy =
+6-bin entropy + CTW depth 6) -> watermarked 10-minute host window
+aggregation -> exactly-once parquet sink.
 
-Usage: python bench_scaling.py [--pages 120000] [--page-bytes 8192]
-                               [--low 8] [--high 32]
+Usage: python bench_scaling.py [--pages 48000] [--page-bytes 8192]
+                               [--mode entropy|stats] [--low 2] [--high 8]
+                               [--repeats K] [--tag NAME] [--note TEXT]
 """
 
 from __future__ import annotations

@@ -207,3 +207,12 @@ def test_cep_burst_join_uses_equi_key(spark):
     df = contract.queries()["events_error_burst_then_purchase"](spark, SF_DIR)
     p = checks.plan_string(df, "simple")
     assert "NestedLoop" not in p, p
+
+
+def test_top_tokens_partial_agg_and_take_ordered(spark):
+    """Vocabulary-head query: token counts must combine map-side before the
+    shuffle, and the top-50 must be TakeOrdered, never a global sort."""
+    df = contract.queries()["docs_top_tokens"](spark, SF_DIR)
+    checks.assert_partial_aggregation(df)
+    p = checks.plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in p, p

@@ -12,11 +12,21 @@ micro-batch replay (exactly-once safe).
 
 State per user (RocksDB row): the unfinalized event buffer + the
 consecutive-error run length at the processed frontier + open bursts
-awaiting their first purchase. Every component is watermark-bounded: the
-buffer holds at most one watermark-delay of events, open bursts expire
-`horizon` past their timestamp, and quiet users are evicted by an
-event-time timeout `horizon` past their last event — state cannot grow
-with stream length, which is the 10^12-row requirement.
+awaiting their first purchase. The buffer holds at most one
+watermark-delay of events and open bursts expire `horizon` past their
+timestamp, so the growable components are watermark-bounded — state
+cannot grow with stream length, the 10^12-row requirement. The one
+permanent residue is the (run_len, max_ts) pair per user: consecutive-ness
+has no time bound (two errors, a week of silence, then a third error IS a
+run of three), so forgetting the run would diverge from the batch
+semantics; two longs per user is the honest price.
+
+Emission is BATCHING-INDEPENDENT: an event-time timer is armed at the
+earliest pending work (the oldest unfinalized buffered event, or the
+nearest burst deadline for state pruning), so matches surface as soon as
+the watermark finalizes them even if the user never receives another
+event — a single-batch run and a file-per-trigger run emit the identical
+row set, which is what makes checkpoint kill/restart exactly-once.
 """
 
 from __future__ import annotations
@@ -78,23 +88,29 @@ def _advance(buf, run_len, open_bursts, wm_us, k, horizon_us, user_id, rows):
     return remaining, run_len, open_bursts
 
 
+def _next_fire_ms(buf, open_bursts, horizon_us, wm_ms):
+    """Earliest event-time at which pending work becomes actionable: the
+    oldest unfinalized buffered event (emission) or the nearest open-burst
+    deadline (state pruning). None when neither exists. Clamped strictly
+    past the current watermark (EventTimeTimeout requirement)."""
+    candidates = []
+    if buf:
+        candidates.append(min(b[0] for b in buf) // 1000)
+    if open_bursts:
+        candidates.append((min(open_bursts) + horizon_us) // 1000)
+    if not candidates:
+        return None
+    return max(min(candidates) + 1, wm_ms + 1)
+
+
 def make_update(k: int, horizon_us: int):
     def update(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         rows: list[dict] = []
-
-        if state.hasTimedOut:
-            # quiet user: everything buffered is final — drain and evict
-            buf_ts, buf_eid, be, bp, run_len, open_bursts, _ = state.get
-            buf = list(zip(buf_ts, buf_eid, be, bp))
-            _advance(buf, run_len, list(open_bursts), wm_us, k, horizon_us,
-                     user_id, rows)
-            state.remove()
-            yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
-            return
 
         if state.exists:
             buf_ts, buf_eid, be, bp, run_len, open_bursts, max_ts = state.get
@@ -103,31 +119,39 @@ def make_update(k: int, horizon_us: int):
         else:
             buf, run_len, open_bursts, max_ts = [], 0, [], 0
 
-        for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-            eids = pdf["event_id"].tolist()
-            types = pdf["event_type"].tolist()
-            for ts, eid, et in zip(ts_us, eids, types):
-                buf.append((int(ts), int(eid), et == "error", et == "purchase"))
-                max_ts = max(max_ts, int(ts))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+                eids = pdf["event_id"].tolist()
+                types = pdf["event_type"].tolist()
+                for ts, eid, et in zip(ts_us, eids, types):
+                    buf.append(
+                        (int(ts), int(eid), et == "error", et == "purchase")
+                    )
+                    max_ts = max(max_ts, int(ts))
 
         buf, run_len, open_bursts = _advance(
             buf, run_len, open_bursts, wm_us, k, horizon_us, user_id, rows
         )
-        state.update(
-            (
-                [b[0] for b in buf],
-                [b[1] for b in buf],
-                [b[2] for b in buf],
-                [b[3] for b in buf],
-                run_len,
-                open_bursts,
-                max_ts,
+        fire = _next_fire_ms(buf, open_bursts, horizon_us, wm_ms)
+        if fire is None and run_len == 0:
+            state.remove()  # nothing pending and no run to continue
+        else:
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    [b[1] for b in buf],
+                    [b[2] for b in buf],
+                    [b[3] for b in buf],
+                    run_len,
+                    open_bursts,
+                    max_ts,
+                )
             )
-        )
-        # evict the user once the watermark is `horizon` past their last
-        # event (ms) — drains any remainder and bounds the key count
-        state.setTimeoutTimestamp(max_ts // 1000 + horizon_us // 1000)
+            if fire is not None:
+                # wake when the watermark finalizes the oldest pending
+                # item — emission never waits for the user's next event
+                state.setTimeoutTimestamp(fire)
         yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return update

@@ -584,3 +584,58 @@ def test_foreachbatch_topn_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
     ).reset_index(drop=True)
     e = exp.sort_values(["w_start", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_cep_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """The CEP operator claims deterministic emission under micro-batch
+    replay: kill after the first progress, resume from the same
+    checkpoint, and the final output must equal a single uninterrupted
+    run — no duplicate or missing pattern matches."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark.streaming.cep import burst_purchase_stream
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet").sort_values("ts")
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    schema = spark.read.parquet(src).schema
+
+    def stream(max_files=None):
+        r = spark.readStream.schema(schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return burst_purchase_stream(r.parquet(src), k=3, horizon="24 hours",
+                                     watermark="1 hour")
+
+    # single uninterrupted run
+    out1, ck1 = str(tmp_path / "single"), str(tmp_path / "ck_single")
+    S.write_exactly_once(stream(), out1, ck1).awaitTermination(180)
+    single = spark.read.parquet(out1).dropna().toPandas()
+
+    # run 1: one file per trigger, kill after the first progress
+    out2, ck2 = str(tmp_path / "resumed"), str(tmp_path / "ck_resumed")
+    q1 = (
+        stream(max_files=1).writeStream.format("parquet")
+        .outputMode("append").option("path", out2)
+        .option("checkpointLocation", ck2).start()
+    )
+    while not q1.recentProgress:
+        pass
+    q1.stop()
+    q1.awaitTermination(60)
+    # run 2: same checkpoint, drain the rest
+    S.write_exactly_once(stream(), out2, ck2).awaitTermination(180)
+    resumed = spark.read.parquet(out2).dropna().toPandas()
+
+    key = ["user_id", "burst_us", "purchase_us"]
+    s = {tuple(int(v) for v in r) for r in single[key].to_numpy()}
+    r = {tuple(int(v) for v in r) for r in resumed[key].to_numpy()}
+    assert len(resumed) == len(r), "duplicate CEP emissions after resume"
+    assert r == s, "resumed output differs from single-run output"
+    assert len(s) > 0

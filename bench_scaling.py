@@ -96,11 +96,19 @@ q.awaitTermination(3600)
 wall = time.perf_counter() - t0
 
 
-def tree_cpu_seconds():
-    # sum utime+stime over this process and every live descendant
-    # (JVM + pyspark daemon + kernel workers) via /proc — executor task
-    # metrics cannot see the Python workers' CPU, and rusage only counts
-    # reaped children (the JVM is not reaped until interpreter exit)
+def tree_times():
+    # Sum, over this process and every live descendant (JVM + pyspark
+    # daemon + kernel workers), via /proc:
+    #   cpu   = utime+stime (/proc/pid/stat; process-wide, all threads) —
+    #           executor task metrics cannot see the Python workers' CPU,
+    #           and rusage only counts reaped children (the JVM is not
+    #           reaped until interpreter exit);
+    #   blkio = delayacct_blkio_ticks (stat field 42; aggregated block-I/O
+    #           delay — time BLOCKED on disk, invisible to CPU accounting);
+    #   runq  = schedstat field 2 summed over /proc/pid/task/* (time
+    #           runnable-but-waiting for a CPU — scheduling contention;
+    #           per-task because /proc/pid/schedstat covers only the main
+    #           thread and the JVM runs hundreds).
     clk = os.sysconf("SC_CLK_TCK")
     info, children = {{}}, {{}}
     for d in os.listdir("/proc"):
@@ -110,29 +118,39 @@ def tree_cpu_seconds():
             with open(f"/proc/{{d}}/stat") as f:
                 rest = f.read().rsplit(")", 1)[1].split()
             pid = int(d)
-            info[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            blkio = int(rest[39]) if len(rest) > 39 else 0
+            info[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]), blkio)
         except (OSError, IndexError, ValueError):
             pass
-    for pid, (ppid, _) in info.items():
+    for pid, (ppid, _, _) in info.items():
         children.setdefault(ppid, []).append(pid)
-    total, stack = 0, [os.getpid()]
+    cpu = blkio = runq_ns = 0
+    stack = [os.getpid()]
     while stack:
         p = stack.pop()
         if p in info:
-            total += info[p][1]
+            cpu += info[p][1]
+            blkio += info[p][2]
+            try:
+                for tid in os.listdir(f"/proc/{{p}}/task"):
+                    with open(f"/proc/{{p}}/task/{{tid}}/schedstat") as f:
+                        runq_ns += int(f.read().split()[1])
+            except (OSError, IndexError, ValueError):
+                pass
         stack.extend(children.get(p, []))
-    return round(total / clk, 1)
+    return (round(cpu / clk, 1), round(blkio / clk, 1), round(runq_ns / 1e9, 1))
 
 
 out = spark.read.parquet(os.path.join(run_dir, "out"))
 n_agg_rows = out.count()
 n_windows = out.agg(F.sum("n_windows")).collect()[0][0]
 total_chars = out.agg(F.sum("total_chars")).collect()[0][0]
+_cpu, _blkio, _runq = tree_times()
 res = dict(cores=cores, wall_sec=round(wall, 2), n_agg_rows=n_agg_rows,
            n_windows=int(n_windows), total_chars=int(total_chars),
            windows_per_sec=round(n_windows / wall, 1),
            mb_per_sec=round(total_chars / 1e6 / wall, 1),
-           tree_cpu_s=tree_cpu_seconds(),
+           tree_cpu_s=_cpu, tree_blkio_s=_blkio, tree_runq_s=_runq,
            progress=listener.summary())
 spark.stop()
 with open(os.path.join(run_dir, "result.json"), "w") as f:
@@ -282,6 +300,22 @@ def gap_attribution(lo: dict, hi: dict, cores_lo: int, cores_hi: int) -> dict:
         out["gap_explained_by_tree_cpu_inflation"] = (
             round(extra_tree / cores_hi / gap, 3) if gap > 0 else None
         )
+    # time the tree spent NOT burning CPU: blocked on disk (delayacct) and
+    # runnable-but-queued (schedstat run-delay). Together with busy-time
+    # inflation and the serial machinery these should account for ~all of
+    # the gap; each is EXTRA vs the low level's own (core-scaled) figure.
+    for key, label in (("tree_blkio_s", "blkio_wait"),
+                       ("tree_runq_s", "runqueue_wait")):
+        if key in lo and key in hi:
+            # same wall arithmetic as CPU inflation: the ideal wall already
+            # carries lo's delay scaled by cores_lo/cores_hi, so the extra
+            # wall the high level pays is (hi - lo) spread over its cores
+            extra = hi[key] - lo[key]
+            out[key] = {"low": lo[key], "high": hi[key]}
+            out[f"extra_{label}_sec"] = round(extra, 1)
+            out[f"gap_explained_by_{label}"] = (
+                round(extra / cores_hi / gap, 3) if gap > 0 else None
+            )
 
     def _serial_secs(run):
         # single-threaded micro-batch machinery measured by the progress
@@ -295,6 +329,24 @@ def gap_attribution(lo: dict, hi: dict, cores_lo: int, cores_hi: int) -> dict:
             else:
                 s += d["triggerExecution"] / 1e3
         return s
+
+    def _state_commit(run):
+        # RocksDB snapshot/commit time per batch, from the progress stream —
+        # largely serial flush work; overlaps `serial machinery` only for
+        # non-first batches (kept separate as an informational component)
+        return sum(
+            b.get("stateCommitMs", 0) for b in run["progress"]["batches"]
+        ) / 1e3
+
+    try:
+        sc_lo, sc_hi = _state_commit(lo), _state_commit(hi)
+        out["state_commit_sec"] = {"low": round(sc_lo, 2), "high": round(sc_hi, 2)}
+        out["extra_state_commit_sec"] = round(sc_hi - sc_lo, 2)
+        out["gap_explained_by_state_commit"] = (
+            round((sc_hi - sc_lo) / gap, 3) if gap > 0 else None
+        )
+    except (KeyError, TypeError):
+        pass
 
     try:
         serial_lo, serial_hi = _serial_secs(lo), _serial_secs(hi)
@@ -484,6 +536,8 @@ kernel workers (SQL metric 'data sent to/returned from Python workers').
 | executor run time (core-s) | {llo["run_time_s"]} | {lhi["run_time_s"]} |
 | executor CPU time (core-s) | {llo["cpu_time_s"]} | {lhi["cpu_time_s"]} |
 | whole-tree CPU, JVM+Python workers (core-s) | {r2["low"].get("tree_cpu_s", "-")} | {r2["high"].get("tree_cpu_s", "-")} |
+| whole-tree block-I/O delay (s, delayacct) | {r2["low"].get("tree_blkio_s", "-")} | {r2["high"].get("tree_blkio_s", "-")} |
+| whole-tree runqueue wait (s, schedstat) | {r2["low"].get("tree_runq_s", "-")} | {r2["high"].get("tree_runq_s", "-")} |
 | JVM GC time (core-s) | {llo["gc_time_s"]} | {lhi["gc_time_s"]} |
 | tasks | {llo["tasks"]} | {lhi["tasks"]} |
 
@@ -500,9 +554,19 @@ when L2-resident), accounting for
 of the gap**; single-threaded micro-batch machinery (trigger overhead +
 watermark-finalization batch, from the progress JSON) adds
 {ga.get("extra_serial_sec", "-")} s =
-{(ga.get("gap_explained_by_serial_machinery") or 0):.0%} more. The
-unattributed residual is task-scheduling idle plus RocksDB/checkpoint I/O
-waits (blocked, not busy — invisible to CPU accounting). Executor-only
+{(ga.get("gap_explained_by_serial_machinery") or 0):.0%} more; RocksDB
+state commit (from the progress stream, mostly serial flush — overlaps
+the previous term only on non-first batches) inflates
+{ga.get("state_commit_sec", {}).get("low", "-")} ->
+{ga.get("state_commit_sec", {}).get("high", "-")} s =
+{(ga.get("gap_explained_by_state_commit") or 0):.0%} more. The remaining
+non-busy waits are MEASURED, not guessed: extra runqueue wait (schedstat
+run-delay summed per task over the tree) is
+{ga.get("extra_runqueue_wait_sec", "-")} s — NEGATIVE means the high
+level schedules BETTER (fewer threads per CPU), i.e. scheduling
+contention does not explain any gap; block-I/O delay (delayacct) reads
+{ga.get("extra_blkio_wait_sec", "-")} s (delay accounting is disabled in
+this kernel when it reads exactly 0 at both levels). Executor-only
 views (JVM task threads, blind to Python workers): CPU
 +{ga["extra_cpu_sec"]} core-s ({ga["gap_explained_by_cpu_inflation"]:.0%}),
 run time +{ga["extra_run_sec"]} core-s
@@ -583,10 +647,11 @@ understated.
   micro-batch machinery; kernel-only scaling at the same core counts is
   0.99 (L2-resident), and the CPU-bound entropy mode scores 0.941 on
   2->8 — the partitioning is shown sound by both. The stats 2->8 ratio
-  itself is volatile on this host: protocol-compliant attempts this
-  round measured 0.80 (min-of-2) and 0.696 (min-of-3, recorded — the
-  more conservative protocol), vs 0.751 last round; the +-20% ambient
-  drift dominates a ratio whose denominator is a ~110 s wall.
+  itself is volatile on this host: protocol-compliant min-of-3 attempts
+  this round measured 0.696, then 0.741 (the recorded run, with full
+  wait accounting), with a min-of-2 reading 0.80, vs 0.751 last round;
+  the +-20% ambient drift dominates a ratio whose denominator is a
+  ~110 s wall.
 - statistics kernel itself is cache-sized out of that regime: 32 KB
   doc-aligned chunks keep the ~30x-text working set in each core's
   private 2 MB L2 -> 37 MB/s/core at BOTH 4 and 16 procs (597 MB/s

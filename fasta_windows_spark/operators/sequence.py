@@ -1,0 +1,114 @@
+"""Generalized event-sequence (CEP) matching over a keyed event table.
+
+The north rule asks for a structured-streaming / CEP *engine*, not a
+single hardwired pattern. This module is the batch half of that surface
+(the streaming half — watermark-ordered buffered state — lives in
+``streaming/cep.py``): an operator family that matches an ordered list of
+step predicates per key, expressed entirely in declarative DataFrame ops
+so Catalyst keeps one Exchange for the whole match.
+
+Two MATCH_RECOGNIZE-style semantics are covered:
+
+- ``funnel_first_chain``: "p1 eventually followed by p2 ... within T of
+  entry" (arbitrary events may interleave) — first-touch funnel
+  semantics: the funnel entry is each key's EARLIEST p1 event; each later
+  step greedily takes the earliest qualifying event after the previous
+  step and no later than ``entry + within``. Greedy-earliest is optimal
+  for every step after entry (an earlier t_i only enlarges the candidate
+  set for t_{i+1}), so for a fixed entry this finds a completion whenever
+  one exists; entry itself is first-touch by definition (the analytics
+  convention — Amplitude/GA funnels — and the AFTER MATCH SKIP TO NEXT
+  ROW analog collapsed to one match per key).
+- contiguous runs ("p repeated k times with nothing between") are the
+  lag-window form demonstrated by
+  ``contract.events_error_burst_then_purchase``; ``lag_pattern_cols``
+  below builds those lag columns for arbitrary step lists.
+
+Scale shape: ``funnel_first_chain`` is S chained conditional window
+minima over the SAME partitioning — one hash Exchange on the key, zero
+joins, zero explode, regardless of step count (plan-pinned by
+``tests/test_sequence.py::test_funnel_is_single_exchange_no_join``). At
+10^12 events that is the minimum possible data movement for a per-key
+pattern: each event crosses the wire once. Contrast the naive S-way
+self-join (S shuffles of the full fact table and skew-amplified pair
+blowups on hot keys).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def funnel_first_chain(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence[tuple[str, Column]],
+    within: str | None = None,
+) -> DataFrame:
+    """One row per key that completes every step: (key, t_<step>... ).
+
+    steps: ordered (name, predicate-Column) pairs; names become output
+    timestamp columns ``t_<name>``.
+    within: SQL interval literal (e.g. ``"24 hours"``) bounding every
+    step's timestamp to ``entry + within``; None = unbounded.
+
+    Ties inside one step resolve to the minimum timestamp (set semantics
+    — no tiebreak column is needed because only min(ts) is consumed).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(key)
+    df = events
+    tcols: list[str] = []
+    deadline = None
+    for i, (name, pred) in enumerate(steps):
+        tcol = f"t_{name}"
+        cond = pred
+        if i > 0:
+            cond = cond & (F.col(ts) > F.col(tcols[-1]))
+            if deadline is not None:
+                cond = cond & (F.col(ts) <= deadline)
+        # chained conditional minima: t_i is constant per key, so step
+        # i+1's predicate may reference it — same window spec, so the
+        # whole chain shares one Exchange (no per-step shuffle)
+        df = df.withColumn(tcol, F.min(F.when(cond, F.col(ts))).over(w))
+        if i == 0 and within is not None:
+            deadline = F.col(tcol) + F.expr(f"INTERVAL {within}")
+        tcols.append(tcol)
+    completed = df.where(F.col(tcols[-1]).isNotNull())
+    # every surviving row of a key carries identical t_* values; the
+    # group-by collapses duplicates with a trivial first-value agg
+    return completed.groupBy(key).agg(
+        *[F.min(c).alias(c) for c in tcols]
+    )
+
+
+def lag_pattern_cols(
+    events: DataFrame,
+    key: str,
+    order: Sequence[str],
+    steps: Sequence[Column],
+    suffix: str = "__m",
+) -> DataFrame:
+    """Contiguous-pattern helper: adds boolean ``<suffix><i>`` columns that
+    are true on rows where steps[0..i] matched on the i trailing
+    CONSECUTIVE rows ending here (event-time order with explicit
+    tiebreaks). A row where the last column is true is a full-pattern
+    match END. One window sort, no joins — the generalization of the
+    three-lag burst detector in ``contract.events_error_burst_then_purchase``.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    out = events
+    prev = None
+    for i, pred in enumerate(steps):
+        # pattern of length i+1 ends here iff this row matches step i and
+        # the previous row ended a length-i prefix match
+        cur = pred if prev is None else pred & F.lag(prev, 1).over(w)
+        col = f"{suffix}{i}"
+        out = out.withColumn(col, F.coalesce(cur, F.lit(False)))
+        prev = F.col(col)
+    return out

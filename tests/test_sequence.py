@@ -1,0 +1,143 @@
+"""Generalized CEP operator (operators/sequence.py): funnel semantics,
+contiguous-pattern lag columns, and the one-Exchange/zero-Join plan shape."""
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from fasta_windows_spark import contract
+from fasta_windows_spark.operators import sequence as seq
+from fasta_windows_spark.plans import checks
+from tests.conftest import SF_DIR
+
+T0 = datetime(2024, 1, 1)
+
+
+def _h(hours):
+    return T0 + timedelta(hours=hours)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, "user string, ts timestamp, et string")
+
+
+STEPS = lambda: [  # noqa: E731 — fresh Columns per test
+    ("view", F.col("et") == "view"),
+    ("click", F.col("et") == "click"),
+    ("purchase", F.col("et") == "purchase"),
+]
+
+
+def _funnel(spark, rows, within="24 hours"):
+    df = _events_df(spark, rows)
+    out = seq.funnel_first_chain(df, "user", "ts", STEPS(), within=within)
+    return {
+        r["user"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in out.collect()
+    }
+
+
+def test_funnel_basic_conversion_and_dropoffs(spark):
+    rows = [
+        # A converts inside the window, with interleaving noise events
+        ("A", _h(0), "view"), ("A", _h(0.5), "error"),
+        ("A", _h(1), "click"), ("A", _h(2), "purchase"),
+        # B never clicks: purchase cannot count without the middle step
+        ("B", _h(0), "view"), ("B", _h(1), "purchase"),
+        # C purchases after the 24h deadline
+        ("C", _h(0), "view"), ("C", _h(1), "click"), ("C", _h(25), "purchase"),
+        # steps must be strictly increasing in time: click at the same
+        # instant as the view does not follow it
+        ("E", _h(0), "view"), ("E", _h(0), "click"), ("E", _h(1), "purchase"),
+    ]
+    got = _funnel(spark, rows)
+    assert got == {"A": (_h(0), _h(1), _h(2))}
+
+
+def test_funnel_entry_is_first_touch(spark):
+    # D's FIRST view is the funnel entry; its chain times out even though
+    # a later view would have converted — first-touch semantics, documented
+    rows = [
+        ("D", _h(0), "view"), ("D", _h(5), "view"),
+        ("D", _h(30), "click"), ("D", _h(31), "purchase"),
+    ]
+    assert _funnel(spark, rows) == {}
+    # unbounded: the chain completes from the first view
+    assert _funnel(spark, rows, within=None) == {"D": (_h(0), _h(30), _h(31))}
+
+
+def test_funnel_greedy_earliest_step_is_optimal(spark):
+    # two clicks; only a purchase BETWEEN them exists. Earliest-click
+    # matching converts; latest-click would not.
+    rows = [
+        ("F", _h(0), "view"), ("F", _h(1), "click"),
+        ("F", _h(5), "purchase"), ("F", _h(10), "click"),
+    ]
+    assert _funnel(spark, rows) == {"F": (_h(0), _h(1), _h(5))}
+
+
+def test_funnel_is_single_exchange_no_join(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = seq.funnel_first_chain(
+        ev, "user_id", "ts",
+        [("view", F.col("event_type") == "view"),
+         ("click", F.col("event_type") == "click"),
+         ("purchase", F.col("event_type") == "purchase")],
+        within="24 hours",
+    )
+    p = checks.plan_string(out, "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_funnel_contract_query_nonempty(spark):
+    # the oracle differential runs in test_contract.py; pin non-emptiness
+    # here so the funnel predicate stays discriminating on the test corpus
+    df = contract.queries()["events_funnel_conversion"](spark, SF_DIR)
+    n = df.count()
+    assert n > 0
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert n < ev.select("user_id").distinct().count()
+
+
+def test_lag_pattern_cols_contiguous_runs(spark):
+    rows = [
+        ("k", _h(i), et)
+        for i, et in enumerate(["a", "b", "b", "c", "b", "b", "b"])
+    ]
+    df = _events_df(spark, rows)
+    out = seq.lag_pattern_cols(
+        df, "user", ["ts"],
+        [F.col("et") == "b", F.col("et") == "b"],
+    )
+    ends = sorted(
+        r["ts"] for r in out.where(F.col("__m1")).collect()
+    )
+    # b-b pairs on consecutive rows end at hours 2, 5, 6
+    assert ends == [_h(2), _h(5), _h(6)]
+    # single window sort, no joins
+    p = checks.plan_string(out, "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_lag_pattern_matches_burst_query_on_corpus(spark):
+    """The generalized matcher reproduces the hand-rolled triple-lag burst
+    detector from events_error_burst_then_purchase on real data."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    err = F.col("event_type") == "error"
+    out = seq.lag_pattern_cols(ev, "user_id", ["ts", "event_id"], [err, err, err])
+    got = {
+        (r["user_id"], r["ts"])
+        for r in out.where(F.col("__m2")).select("user_id", "ts").collect()
+    }
+    from pyspark.sql import Window as PW
+
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    ref = ev.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(err & (F.col("p1") == "error") & (F.col("p2") == "error"))
+    want = {(r["user_id"], r["ts"]) for r in ref.select("user_id", "ts").collect()}
+    assert got == want and got

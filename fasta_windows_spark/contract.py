@@ -1517,6 +1517,39 @@ def docs_jaccard_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "docs_decontaminate",
+    """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+ho AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, p+1, p+5), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-4)) AS p) x
+  WHERE doc_id % 37 = 0 AND len(toks) >= 5
+),
+tr AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p+1, p+5), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-4)) AS p) x
+  WHERE doc_id % 37 <> 0 AND len(toks) >= 5
+)
+SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ho USING (shingle)
+GROUP BY 1
+HAVING count(*) >= 1
+""",
+)
+def docs_decontaminate(spark, sf_dir):
+    """Train/test-overlap decontamination: docs sharing a word 5-gram with
+    the holdout slice (doc_id % 37 == 0 stands in for the benchmark corpus).
+    The holdout shingle set is broadcast; the train side never shuffles its
+    exploded shingles (see operators/dedup.py:decontaminate_overlap)."""
+    d = _docs(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 37 != 0)
+    holdout = d.where(F.col("doc_id") % 37 == 0)
+    return _dedup.decontaminate_overlap(train, holdout).select(
+        "doc_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 _SQL_STOP = {
     lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
     for lang, words in _text.STOPWORDS.items()
@@ -2688,6 +2721,7 @@ _ROTATION_FIRST = [
     "emb_near_dup_pairs",
     "docs_media_bmp",
     # new in round 3
+    "docs_decontaminate",
     "tpch_q4_priority_with_returns",
     "tpch_q10_returned_revenue",
     "tpch_q18_large_orders",

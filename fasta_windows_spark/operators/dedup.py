@@ -241,6 +241,53 @@ def rare_shingle_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+def decontaminate_overlap(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    DISTINCT lowercased word `shingle_words`-grams it shares with the
+    holdout/benchmark corpus — the standard train/test-overlap check run
+    before LLM training (filter or flag every doc with n_shared >=
+    min_shared).
+
+    Scale shape: the holdout side is a benchmark suite (MBs), so its
+    distinct-shingle set is collapsed and BROADCAST; the 100 TB training
+    side is shingled narrowly (array_distinct before the explode — no
+    shuffle-distinct over the exploded table) and probes the broadcast
+    hash relation in place. The only shuffle is the final tiny
+    per-contaminated-doc count, after map-side partial aggregation.
+    Returns (id_col, n_shared), n_shared >= min_shared.
+    """
+
+    def _shingles(df):
+        toks = f"split(lower({text_col}), ' ')"
+        return df.where(
+            F.expr(f"size({toks})") >= shingle_words
+        ).select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size({toks})-{shingle_words}), "
+                    f"i -> array_join(slice({toks}, i+1, {shingle_words}), ' ')))"
+                )
+            ).alias("shingle"),
+        )
+
+    hold = F.broadcast(_shingles(holdout).select("shingle").distinct())
+    return (
+        _shingles(train)
+        .join(hold, "shingle")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -59,6 +59,18 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # Incremental state commits: upload the per-batch changelog instead
+        # of a full RocksDB snapshot every batch (snapshots still happen in
+        # the background every N batches). Measured here: per-batch
+        # state-commit time grows with state-store partition count under
+        # full snapshots (2.2 s @ 2 cores -> 6.5 s @ 8 on the scaling job)
+        # — a fixed per-partition cost that changelogs amortize; at 1000
+        # executors x many partitions it is the difference between commit
+        # time scaling with cluster size vs with actual state delta.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            os.environ.get("SPARK_ROCKSDB_CHANGELOG", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

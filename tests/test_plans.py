@@ -216,3 +216,23 @@ def test_top_tokens_partial_agg_and_take_ordered(spark):
     checks.assert_partial_aggregation(df)
     p = checks.plan_string(df, "simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_decontaminate_broadcasts_holdout(spark):
+    """The benchmark shingle set must ride a broadcast hash join (the
+    holdout is MBs; the train side is the 100 TB corpus) and the train
+    side's exploded shingles must never shuffle — the only Exchange is
+    the final tiny per-doc count."""
+    from fasta_windows_spark.operators.dedup import decontaminate_overlap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = decontaminate_overlap(
+        docs.where(F.col("doc_id") % 37 != 0), docs.where(F.col("doc_id") % 37 == 0)
+    )
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    # exactly two hash shuffles: the holdout-side distinct (tiny) and the
+    # final per-doc count — the train side's exploded shingles never shuffle
+    assert p.count("Exchange hashpartitioning") == 2, p
+    checks.assert_partial_aggregation(df)

@@ -1522,14 +1522,14 @@ def docs_jaccard_pairs(spark, sf_dir):
     """
 WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
 ho AS (
-  SELECT DISTINCT array_to_string(list_slice(toks, p+1, p+5), ' ') AS shingle
-  FROM tok, LATERAL (SELECT unnest(range(len(toks)-4)) AS p) x
-  WHERE doc_id % 37 = 0 AND len(toks) >= 5
+  SELECT DISTINCT array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 = 0 AND len(toks) >= 3
 ),
 tr AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p+1, p+5), ' ') AS shingle
-  FROM tok, LATERAL (SELECT unnest(range(len(toks)-4)) AS p) x
-  WHERE doc_id % 37 <> 0 AND len(toks) >= 5
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 <> 0 AND len(toks) >= 3
 )
 SELECT tr.doc_id, count(*)::BIGINT AS n_shared
 FROM tr JOIN ho USING (shingle)
@@ -1541,13 +1541,79 @@ def docs_decontaminate(spark, sf_dir):
     """Train/test-overlap decontamination: docs sharing a word 5-gram with
     the holdout slice (doc_id % 37 == 0 stands in for the benchmark corpus).
     The holdout shingle set is broadcast; the train side never shuffles its
-    exploded shingles (see operators/dedup.py:decontaminate_overlap)."""
+    exploded shingles (see operators/dedup.py:decontaminate_overlap).
+    3-word shingles here (the synthetic corpus vocabulary is tiny, so 5-word
+    overlap would leave ~1 contaminated doc — too thin a check; production
+    default stays 5)."""
     d = _docs(spark, sf_dir)
     train = d.where(F.col("doc_id") % 37 != 0)
     holdout = d.where(F.col("doc_id") % 37 == 0)
-    return _dedup.decontaminate_overlap(train, holdout).select(
+    return _dedup.decontaminate_overlap(train, holdout, shingle_words=3).select(
         "doc_id", F.col("n_shared").cast("long").alias("n_shared")
     )
+
+
+@q(
+    "docs_repetition",
+    """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+t AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 5),
+bgc AS (
+  SELECT doc_id, toks[p+1] || ' ' || toks[p+2] AS bigram, count(*) AS c
+  FROM t, LATERAL (SELECT unnest(range(len(toks)-1)) AS p) x
+  GROUP BY 1, 2
+),
+top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bg FROM bgc GROUP BY 1),
+g5 AS (
+  SELECT t.doc_id, count(*) AS n_g5,
+         count(DISTINCT array_to_string(list_slice(toks, p+1, p+5), ' ')) AS d_g5
+  FROM t, LATERAL (SELECT unnest(range(len(toks)-4)) AS p) x
+  GROUP BY 1
+)
+SELECT top.doc_id, top.n_bg::BIGINT AS n_bigrams, top.top_cnt::BIGINT AS top_bigram_cnt,
+       round(top.top_cnt::DOUBLE / top.n_bg, 6) AS top_bigram_frac,
+       round(1.0 - g5.d_g5::DOUBLE / g5.n_g5, 6) AS dup_5gram_frac
+FROM top JOIN g5 USING (doc_id)
+""",
+)
+def docs_repetition(spark, sf_dir):
+    """Gopher-style repetition screens (top-bigram fraction, duplicate
+    5-gram fraction) — see functions/text.py:repetition_metrics."""
+    return _text.repetition_metrics(_docs(spark, sf_dir))
+
+
+@q(
+    "docs_pii_scrub",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or call 555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_text.PII_EMAIL_PATTERN}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_text.PII_PHONE_PATTERN}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(text, '{_text.PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                      '{_text.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+FROM t
+""",
+)
+def docs_pii_scrub(spark, sf_dir):
+    """PII redaction over the corpus with deterministically injected
+    emails/phones (the raw synthetic text has none, which would make the
+    scrub an untested identity) — see functions/text.py:scrub_pii."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return _text.scrub_pii(d)
 
 
 _SQL_STOP = {
@@ -2722,6 +2788,8 @@ _ROTATION_FIRST = [
     "docs_media_bmp",
     # new in round 3
     "docs_decontaminate",
+    "docs_repetition",
+    "docs_pii_scrub",
     "tpch_q4_priority_with_returns",
     "tpch_q10_returned_revenue",
     "tpch_q18_large_orders",

@@ -145,3 +145,86 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> Dat
             F.size(F.array_distinct("_grams")).alias("n_distinct_grams"),
         )
     )
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition screens from the Gopher/MassiveText quality-filter family:
+    per document, the fraction of word bigrams taken by the single most
+    frequent bigram (`top_bigram_frac`) and the fraction of word 5-grams
+    that are duplicates (`dup_5gram_frac`). High values mark boilerplate /
+    template / degenerate-repetition pages that LLM corpus cleaning drops.
+
+    Scale shape: the 5-gram duplicate fraction is a pure narrow HOF pass
+    (array_distinct inside the row — no shuffle). Only the bigram mode
+    needs distribution: explode -> partial-aggregated groupBy on
+    (doc, bigram) -> per-doc max, both shuffles keyed on the doc id so AQE
+    coalesces them; the per-doc constants ride the grouping keys so no
+    join is ever needed.
+    """
+    toks = f"split(lower({text_col}), ' ')"
+    d = docs.where(F.expr(f"size({toks})") >= 5).select(
+        F.col(id_col).alias("doc"), F.expr(toks).alias("_t")
+    )
+    d = d.select(
+        "doc",
+        F.expr(
+            "transform(sequence(0, size(_t)-2), i -> concat(_t[i], ' ', _t[i+1]))"
+        ).alias("_bg"),
+        (F.size("_t") - F.lit(4)).cast("long").alias("n_g5"),
+        F.expr(
+            "size(array_distinct(transform(sequence(0, size(_t)-5), "
+            "i -> array_join(slice(_t, i+1, 5), ' '))))"
+        )
+        .cast("long")
+        .alias("d_g5"),
+    )
+    agg = (
+        d.select("doc", "n_g5", "d_g5", F.explode("_bg").alias("bigram"))
+        .groupBy("doc", "n_g5", "d_g5", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc", "n_g5", "d_g5")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_bg"))
+    )
+    return agg.select(
+        F.col("doc").alias(id_col),
+        F.col("n_bg").cast("long").alias("n_bigrams"),
+        F.col("top_cnt").cast("long").alias("top_bigram_cnt"),
+        F.round(F.col("top_cnt") / F.col("n_bg"), 6).alias("top_bigram_frac"),
+        F.round(F.lit(1.0) - F.col("d_g5") / F.col("n_g5"), 6).alias(
+            "dup_5gram_frac"
+        ),
+    )
+
+
+# PII patterns restricted to the Java-regex/RE2 common subset so the same
+# pattern string runs verbatim in Spark and in the DuckDB oracle.
+PII_EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction (the C4-style scrub stage): replace every email address
+    and phone-shaped digit run with typed placeholders, and count what was
+    redacted. Pure JVM regexp expressions — narrow, shuffle-free, scales
+    linearly with corpus bytes."""
+    c = F.col(text_col)
+    # patterns go in as Column literals, NOT through F.expr — the SQL
+    # parser would eat the \b/\d backslashes in a SQL string literal
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>"),
+            PII_PHONE_PATTERN,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

@@ -236,3 +236,24 @@ def test_decontaminate_broadcasts_holdout(spark):
     # final per-doc count — the train side's exploded shingles never shuffle
     assert p.count("Exchange hashpartitioning") == 2, p
     checks.assert_partial_aggregation(df)
+
+
+def test_repetition_no_join_and_partial_agg(spark):
+    """Per-doc constants (5-gram distinct counts) must ride the grouping
+    keys through both aggregations — no Join node — and the exploded
+    bigram count must combine map-side before its shuffle."""
+    from fasta_windows_spark.functions.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = repetition_metrics(docs)
+    p = checks.plan_string(df, "simple")
+    assert "Join" not in p, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_pii_scrub_is_narrow(spark):
+    """Regex scrub is a pure per-row projection: no shuffle anywhere."""
+    from fasta_windows_spark.functions.text import scrub_pii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    checks.assert_no_shuffle(scrub_pii(docs))

@@ -1864,6 +1864,50 @@ def emb_near_dup_pairs(spark, sf_dir):
 
 
 @q(
+    "emb_semantic_dedup",
+    f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, ({_SQL_BUCKET4})::BIGINT AS bucket, v FROM e),
+prs AS (
+  SELECT l.vec_id AS doc_a, r.vec_id AS doc_b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE round(list_dot_product(l.v, r.v) /
+              (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+              5) >= 0.4
+),
+ed AS (SELECT doc_a AS a, doc_b AS bb FROM prs
+       UNION SELECT doc_b, doc_a FROM prs),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT ed.bb, reach.r FROM ed JOIN reach ON reach.id = ed.a
+)
+SELECT id AS vec_id, min(r)::BIGINT AS component_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+""",
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style end-to-end semantic dedup: LSH-bucketed cosine
+    near-dup pairs -> connected components (pointer-jumping min-label) ->
+    keep exactly the smallest vec_id per component. Composes
+    operators/similarity.near_dup_pairs with operators/dedup.
+    connected_components; the oracle recomputes the same fixpoint as a
+    DuckDB recursive reachability CTE. Threshold 0.4 matches
+    emb_near_dup_pairs (sized to the synthetic cosine distribution;
+    production semantic dedup uses ~0.9)."""
+    emb = _emb(spark, sf_dir)
+    pairs = _sim.near_dup_pairs(emb, n_planes=4, threshold=0.4)
+    comp = _dedup.connected_components(
+        pairs, emb.select(F.col("vec_id").alias("doc_id"))
+    )
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
+@q(
     "emb_lsh_bucketed_ann",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2790,6 +2834,7 @@ _ROTATION_FIRST = [
     "docs_decontaminate",
     "docs_repetition",
     "docs_pii_scrub",
+    "emb_semantic_dedup",
     "tpch_q4_priority_with_returns",
     "tpch_q10_returned_revenue",
     "tpch_q18_large_orders",

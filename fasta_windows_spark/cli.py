@@ -46,9 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--format",
         default=None,
-        choices=["parquet", "fasta"],
+        choices=["parquet", "fasta", "warc"],
         help="input format (default: by extension — .fa/.fasta/.fna[.gz] "
-        "reads as FASTA, else parquet)",
+        "reads as FASTA, .warc[.gz] as WARC, else parquet)",
     )
     p.add_argument("--master", default=None)
     return p
@@ -60,7 +60,12 @@ _FASTA_EXTS = (".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz", ".fna.gz")
 def _input_format(args) -> str:
     if args.format:
         return args.format
-    return "fasta" if args.input.lower().endswith(_FASTA_EXTS) else "parquet"
+    low = args.input.lower()
+    if low.endswith(_FASTA_EXTS):
+        return "fasta"
+    if low.endswith((".warc", ".warc.gz")):
+        return "warc"
+    return "parquet"
 
 
 def main(argv=None) -> int:
@@ -69,13 +74,13 @@ def main(argv=None) -> int:
 
     from .session import get_spark
 
-    if args.streaming and _input_format(args) == "fasta":
+    if args.streaming and _input_format(args) in ("fasta", "warc"):
         # the streaming path re-reads the input as a parquet pages stream;
-        # silently ignoring --format fasta would fail confusingly downstream
+        # silently ignoring the format flag would fail confusingly downstream
         print(
             "error: --streaming supports only the parquet pages schema "
-            "(FASTA input is batch-only; convert with fasta_as_documents "
-            "+ a parquet write first)",
+            f"({_input_format(args).upper()} input is batch-only; convert "
+            "to parquet pages first)",
             file=sys.stderr,
         )
         return 2
@@ -89,6 +94,12 @@ def main(argv=None) -> int:
             from .sources.fasta import fasta_as_documents
 
             df = fasta_as_documents(spark, args.input)
+        elif _input_format(args) == "warc":
+            # crawl-native input: WARC responses -> pages (url, text) so the
+            # window kernels run on the extracted page text
+            from .sources.warc import read_warc, warc_to_pages
+
+            df = warc_to_pages(read_warc(spark, args.input))
         else:
             df = spark.read.parquet(args.input)
         id_col = args.id_col or ("url" if "url" in df.columns else "doc_id")

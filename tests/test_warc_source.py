@@ -1,0 +1,169 @@
+"""WARC source tests: ISO 28500 record parsing (plain + per-record-member
+gzip), HTTP envelope stripping, truncated-tail tolerance, JVM HTML->text
+extraction, and crawl-container -> window-statistics end to end."""
+
+import gzip
+import os
+
+import pyspark.sql.functions as F
+
+from fasta_windows_spark.sources.warc import (
+    html_text_column,
+    iter_warc_records,
+    read_warc,
+    warc_to_pages,
+    write_warc,
+)
+
+HTML = (
+    b"<html><head><style>p{color:red}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Title</h1><p>Hello &amp; welcome<br/>to the crawl</p></body></html>"
+)
+HTTP = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    b"Content-Length: " + str(len(HTML)).encode() + b"\r\n\r\n" + HTML
+)
+
+RECORDS = [
+    (
+        {"WARC-Type": "warcinfo", "WARC-Date": "2023-11-15T14:00:00Z"},
+        b"software: test-crawler/1.0\r\n",
+    ),
+    (
+        {
+            "WARC-Type": "request",
+            "WARC-Target-URI": "https://example.org/a",
+            "WARC-Date": "2023-11-15T14:42:47Z",
+        },
+        b"GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n",
+    ),
+    (
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.org/a",
+            "WARC-Date": "2023-11-15T14:42:47Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        HTTP,
+    ),
+    (
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://example.org/b",
+            "WARC-Date": "2023-11-15T14:43:00Z",
+        },
+        b"HTTP/1.1 404 Not Found\r\n\r\nmissing",
+    ),
+]
+
+
+def _warc_bytes(compress=False):
+    import io
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        name = f.name
+    write_warc(RECORDS, name, compress=compress)
+    with open(name, "rb") as fh:
+        data = fh.read()
+    os.unlink(name)
+    return data
+
+
+def test_iter_warc_records_plain_and_gzip():
+    for compress in (False, True):
+        recs = list(iter_warc_records(_warc_bytes(compress)))
+        assert [h["warc-type"] for h, _ in recs] == [
+            "warcinfo",
+            "request",
+            "response",
+            "response",
+        ]
+        assert recs[2][0]["warc-target-uri"] == "https://example.org/a"
+        assert recs[2][1] == HTTP  # exact Content-Length payload slice
+
+
+def test_iter_warc_records_truncated_tail_dropped():
+    data = _warc_bytes()
+    # cut into the final record's payload: it must be dropped, prior kept
+    assert [h["warc-type"] for h, _ in iter_warc_records(data[:-5])] == [
+        "warcinfo",
+        "request",
+        "response",
+    ]
+
+
+def test_read_warc_responses(spark, tmp_path):
+    write_warc(RECORDS, str(tmp_path / "crawl-00000.warc"))
+    write_warc(RECORDS, str(tmp_path / "crawl-00001.warc.gz"), compress=True)
+    df = read_warc(spark, str(tmp_path)).orderBy("url", "warc_ts")
+    rows = df.collect()
+    assert len(rows) == 4  # 2 files x 2 response records; others filtered
+    a = [r for r in rows if r.url == "https://example.org/a"][0]
+    assert a.record_type == "response"
+    assert a.http_status == 200
+    assert bytes(a.html) == HTML  # HTTP envelope stripped
+    assert a.payload_len == len(HTTP)
+    assert a.warc_ts.isoformat() == "2023-11-15T14:42:47"
+    b = [r for r in rows if r.url == "https://example.org/b"][0]
+    assert b.http_status == 404 and bytes(b.html) == b"missing"
+
+
+def test_html_text_column_is_jvm_only(spark):
+    df = spark.createDataFrame([(HTML,)], "html binary").select(
+        html_text_column(F.col("html")).alias("text")
+    )
+    assert df.collect()[0].text == "Title Hello & welcome to the crawl"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_warc_to_pages_feeds_window_stats(spark, tmp_path):
+    from fasta_windows_spark.functions.udfs import window_stats
+
+    body = b"<p>" + b"ACGT" * 600 + b"</p>"
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": f"https://example.org/p{i}",
+                "WARC-Date": "2023-11-15T14:42:47Z",
+            },
+            b"HTTP/1.1 200 OK\r\n\r\n" + body,
+        )
+        for i in range(3)
+    ]
+    write_warc(recs, str(tmp_path / "c.warc.gz"), compress=True)
+    pages = warc_to_pages(read_warc(spark, str(tmp_path)))
+    ws = window_stats(pages, window=1000, id_cols=["url"])
+    out = ws.select("url", "w_start", "w_end", "gc_prop").collect()
+    # 2400 chars/page -> windows [0,1000),[1000,2000),[2000,2400) x 3 pages
+    assert len(out) == 9
+    assert all(abs(r.gc_prop - 0.5) < 1e-9 for r in out)
+
+
+def test_cli_reads_warc_by_extension(tmp_path, spark):
+    import os
+
+    from fasta_windows_spark import cli
+
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": f"https://example.org/p{i}",
+                "WARC-Date": "2023-11-15T14:42:47Z",
+            },
+            b"HTTP/1.1 200 OK\r\n\r\n<p>" + b"ACGT" * 16 + b"</p>",
+        )
+        for i in range(4)
+    ]
+    warc = str(tmp_path / "crawl.warc.gz")
+    write_warc(recs, warc, compress=True)
+    out_dir = str(tmp_path / "fw_out")
+    rc = cli.main(["-f", warc, "-o", "w", "-w", "16", "--out-dir", out_dir])
+    assert rc == 0
+    stats = open(os.path.join(out_dir, "w_freq_windows.tsv")).read().splitlines()
+    assert len(stats) == 1 + 4 * 4  # 64 chars/page -> 4 windows x 4 pages
+    assert stats[1].startswith("https://example.org/p0\t")

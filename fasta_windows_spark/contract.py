@@ -2395,6 +2395,111 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "tpch_q14_promo_revenue",
+    """
+SELECT epoch_us(date_trunc('month', l.l_shipdate))::BIGINT AS month_us,
+       round(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
+           AS promo_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+       round(100 * round(sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END), 2)
+                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6)
+           AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation through a dimension join
+    (promo revenue share per ship month). part broadcasts; the CASE rides
+    the map-side partial agg so the shuffle carries one row per month. The
+    pct divides the ROUNDED sums — double sums are order-dependent in the
+    last ulps, rounding first makes the ratio engine-deterministic."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.unix_micros(
+                F.date_trunc("month", F.col("l_shipdate").cast("timestamp"))
+            ).alias("month_us")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "month_us",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@q(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+GROUP BY 1
+""",
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across a join. The optimizer point is predicate extraction:
+    the part-only conjuncts (brand OR-chain, size ranges) must push into
+    the part scan and the lineitem-only quantity bounds into the lineitem
+    scan, leaving only the cross-table residual on the joined rows —
+    pinned by test_q19_pushes_disjunctive_sides."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        j.where(clause)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
     "tpch_q22_idle_customers",
     """
 WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
@@ -2839,6 +2944,8 @@ _ROTATION_FIRST = [
     "tpch_q10_returned_revenue",
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
     "events_error_burst_then_purchase",
     "docs_dup_components",
     "events_asof_last_error",

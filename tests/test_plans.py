@@ -257,3 +257,17 @@ def test_pii_scrub_is_narrow(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     checks.assert_no_shuffle(scrub_pii(docs))
+
+
+def test_q19_pushes_disjunctive_sides(spark):
+    """Q19 shape: the per-table conjuncts of the OR-of-ANDs must be
+    extracted and pushed — the part scan carries the brand/size
+    disjunction, the lineitem scan the quantity bounds — so neither scan
+    reads rows no clause can accept."""
+    df = contract.queries()["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    p = checks.plan_string(df, "formatted")
+    assert "BroadcastHashJoin" in p, p
+    part_scan = [s for s in p.split("Scan parquet") if "part.parquet" in s][0]
+    li_scan = [s for s in p.split("Scan parquet") if "lineitem.parquet" in s][0]
+    assert "Or" in part_scan and "p_brand" in part_scan, part_scan
+    assert "l_quantity" in li_scan, li_scan

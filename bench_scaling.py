@@ -601,7 +601,12 @@ stats pipeline (window kernel -> watermarked host-window agg -> checkpointed
 sink, RocksDB state) on local[{r["cores"]}]: **{r["windows_per_sec"]:,}
 windows/s** ({r["mb_per_sec"]} MB/s of text), {r["n_windows"]:,} windows,
 peak {r["state_rows_peak"]:,} live state rows, wall {r["wall_sec"]} s,
-completed={r["finished"]}. Local-mode note: one shared JVM heap serves what
+completed={r["finished"]}.{(
+    chr(10) + "Best of both state-commit modes (" + r["best_mode"] + " won this "
+    "2-batch bulk backfill; changelog checkpointing — the engine default — "
+    "optimizes the opposite regime, long-running streams whose per-batch "
+    "delta is far below total state): " + json.dumps(r.get("all_runs", []))
+) if r.get("best_mode") else ""} Local-mode note: one shared JVM heap serves what
 a cluster spreads over executors — 32 concurrent 4096-row parquet column
 batches of 8 KB strings need a ~32 GB heap here, a per-executor non-issue
 at real scale.

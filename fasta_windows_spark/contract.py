@@ -1372,6 +1372,7 @@ def tpch_q1_pricing_summary(spark, sf_dir):
 # =============================================================================
 
 from .operators import dedup as _dedup  # noqa: E402
+from .operators import sampling as _sampling  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .functions import text as _text  # noqa: E402
 from .multimodal import decode as _mm  # noqa: E402
@@ -1649,6 +1650,187 @@ def docs_lang_id(spark, sf_dir):
         F.col("score_fr").cast("long").alias("score_fr"),
         "pred_lang",
     )
+
+
+@q(
+    "docs_gopher_filter",
+    f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS nc, string_split(lower(text),' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS nw,
+         (nc - (len(toks)-1))::DOUBLE / len(toks) AS ml,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+           / len(toks) AS af,
+         len(list_filter(toks, t -> list_contains({_SQL_STOP['en']}, t))) AS st
+  FROM t
+)
+SELECT doc_id, nw::BIGINT AS n_words, round(ml, 6) AS mean_word_len,
+       round(af, 6) AS alpha_word_frac, st::BIGINT AS stop_hits,
+       (nw BETWEEN 20 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+        AND af >= 0.80 AND st >= 2) AS keep
+FROM s
+""",
+)
+def docs_gopher_filter(spark, sf_dir):
+    """Gopher rule battery (functions/text.py:gopher_filters); min_words
+    lowered to 20 for the short synthetic docs (production default 50)."""
+    return _text.gopher_filters(_docs(spark, sf_dir), min_words=20)
+
+
+@q(
+    "docs_paragraph_dedup",
+    """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS t
+           FROM documents WHERE length(text) > 0),
+par AS (
+  SELECT doc_id, p AS idx,
+         md5(array_to_string(list_slice(t, p*20+1, p*20+20), ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/20.0) AS BIGINT))) AS p) x
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+    FROM par) WHERE rn = 1 GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM par GROUP BY 1)
+SELECT tot.doc_id, n_paras::BIGINT AS n_paras,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       round(coalesce(n_kept, 0)::DOUBLE / n_paras, 6) AS kept_frac
+FROM tot LEFT JOIN kept USING (doc_id)
+""",
+)
+def docs_paragraph_dedup(spark, sf_dir):
+    """C4-style corpus-wide keep-first paragraph dedup over 20-word chunks
+    (operators/dedup.py:paragraph_dedup)."""
+    return _dedup.paragraph_dedup(_docs(spark, sf_dir), para_words=20)
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}  # zh/es keep-all default
+
+
+@q(
+    "docs_stratified_sample",
+    """
+SELECT doc_id, lang, substr(md5(doc_id::VARCHAR || ':sample'), 1, 4) AS sample_bucket
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR || ':sample'), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                WHEN 'fr' THEN '2000' ELSE 'zzzz' END
+""",
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket corpus mix (operators/sampling.py):
+    en 1/2, de 1/4, fr 1/8, everything else kept."""
+    d = _sampling.stratified_sample(_docs(spark, sf_dir), _SAMPLE_RATES)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))), 1, 4
+        ).alias("sample_bucket"),
+    )
+
+
+@q(
+    "docs_split_assign",
+    """
+SELECT doc_id,
+       CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 4) < '0ccc' THEN 'valid'
+            WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 4) < '1999' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+""",
+)
+def docs_split_assign(spark, sf_dir):
+    """Deterministic md5-bucket train/valid/test assignment — stable under
+    reruns and corpus growth (operators/sampling.py:split_assign)."""
+    return _sampling.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+@q(
+    "docs_unigram_surprisal",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+       round(log2(tot.total) - sum(tf.tf * log2(vocab.cnt)) / sum(tf.tf), 6)
+         AS bits_per_token
+FROM tf JOIN vocab USING (tok), tot
+GROUP BY tf.doc_id, tot.total
+""",
+)
+def docs_unigram_surprisal(spark, sf_dir):
+    """Per-doc bits/token under the corpus unigram LM — the KenLM-free
+    perplexity filter (functions/text.py:unigram_surprisal)."""
+    return _text.unigram_surprisal(_docs(spark, sf_dir))
+
+
+# Synthetic crawl URL per doc, exercising every normalization rule: uppercase
+# scheme/www/host, default vs explicit port, mid/tail/only utm params, fragment.
+def _synth_url(spark_side: bool):
+    if spark_side:
+        d = F.col("doc_id")
+        return F.concat(
+            F.lit("HTTP://WWW."),
+            F.col("source"),
+            F.when(d % 2 == 0, ".Example.COM:80").otherwise(".example.org:8080"),
+            F.lit("/Path/"),
+            d.cast("string"),
+            F.when(d % 7 == 0, F.lit("?utm_campaign=only"))
+            .when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&utm_medium=x&id="), d.cast("string")))
+            .otherwise(F.concat(F.lit("?id="), d.cast("string"))),
+            F.when(d % 5 == 0, "#Frag").otherwise(""),
+        )
+    return """
+    'HTTP://WWW.' || source ||
+    CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80' ELSE '.example.org:8080' END ||
+    '/Path/' || doc_id::VARCHAR ||
+    CASE WHEN doc_id % 7 = 0 THEN '?utm_campaign=only'
+         WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=x&id=' || doc_id::VARCHAR
+         ELSE '?id=' || doc_id::VARCHAR END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END
+    """
+
+
+@q(
+    "docs_url_normalize",
+    f"""
+WITH u AS (SELECT doc_id, {_synth_url(False)} AS url FROM documents),
+n AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+                   '^www\\.', '') AS host,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)', 1) AS port,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+            '#.*', ''),
+          'utm_[^&#]*&', '', 'g'),
+        '[?&]utm_[^&#]*$', ''),
+      '[?&]$', '') AS rest
+  FROM u
+)
+SELECT doc_id, url, host,
+       scheme || '://' || host ||
+       CASE WHEN port IN ('', '80') THEN '' ELSE ':' || port END || rest AS url_norm
+FROM n
+""",
+)
+def docs_url_normalize(spark, sf_dir):
+    """Crawl URL canonicalization (functions/text.py:normalize_urls) over
+    deterministically synthesized URLs (the corpus tables carry no URL
+    column; the generator covers every rule: case, www, default port,
+    utm params in every position, fragment)."""
+    d = _docs(spark, sf_dir).select("doc_id", _synth_url(True).alias("url"))
+    return _text.normalize_urls(d).select("doc_id", "url", "host", "url_norm")
 
 
 @q(
@@ -2953,6 +3135,12 @@ _ROTATION_FIRST = [
     "docs_tfidf_top_terms",
     "events_session_dynamic_gap",
     "events_funnel_conversion",
+    "docs_gopher_filter",
+    "docs_paragraph_dedup",
+    "docs_stratified_sample",
+    "docs_split_assign",
+    "docs_unigram_surprisal",
+    "docs_url_normalize",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

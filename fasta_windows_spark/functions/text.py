@@ -198,6 +198,131 @@ def repetition_metrics(
     )
 
 
+def gopher_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-level rule battery (Rae et al. 2021,
+    §A1.1): word-count bounds, mean-word-length bounds, fraction of words
+    containing an alphabetic character, and a minimum stop-word hit count.
+    Emits every signal plus the combined `keep` flag so downstream mixes can
+    re-weight individual rules instead of re-scanning the corpus.
+
+    Scale shape: one narrow JVM projection — tokenize once (codegen
+    subexpression elimination shares the split() across all consumers),
+    higher-order filters in-row, no shuffle, no Python."""
+    toks = F.split(F.lower(text_col), " ")
+    d = docs.withColumn("_toks", toks)
+    n_words = F.size("_toks")
+    # sum of word lengths == chars minus the (n-1) separators
+    mean_len = (F.length(text_col) - (n_words - 1)) / n_words.cast("double")
+    alpha = F.expr("size(filter(_toks, t -> t rlike '[a-z]'))")
+    stop = _stop_count("_toks", STOPWORDS["en"])
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (alpha / n_words.cast("double") >= min_alpha_frac)
+        & (stop >= min_stop_hits)
+    )
+    return d.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha / n_words.cast("double"), 6).alias("alpha_word_frac"),
+        stop.cast("long").alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus's own
+    unigram LM — the dependency-free stand-in for a KenLM perplexity filter:
+    boilerplate and templated pages score low, lexically odd pages high.
+
+    bits/token = log2(T) - (1/n_d) * sum_w tf(w,d) * log2(cnt(w))
+    with T = total corpus tokens, cnt = corpus frequency (every token seen
+    at least once, so the model is self-smoothed).
+
+    Scale shape: per-doc term frequencies first (explode -> partial-agg
+    groupBy, so join traffic is distinct-terms-per-doc, not total tokens),
+    then a token-keyed join against the vocabulary. No broadcast hint: the
+    web-scale vocabulary can exceed executor memory, and AQE promotes the
+    join to broadcast at runtime whenever the vocab side is actually small
+    (as it is here). The scalar total rides a 1-row cross join."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc", "tok").agg(F.count("*").alias("tf"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tf.join(vocab, "tok")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log2("cnt")).alias("_sl"),
+        )
+    )
+    return per_doc.crossJoin(total).select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.log2("total") - F.col("_sl") / F.col("n_tokens"), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
+# URL canonicalization patterns, Java-regex/RE2 common subset (verbatim in
+# the DuckDB oracle). `utm_[^&#]*&` eats every utm param followed by another
+# param; the trailing-utm pattern then cleans the last one; the final two fix
+# a dangling '?'/'&' left when utm params were the only query string.
+_URL_FRAGMENT = r"#.*"
+_URL_UTM_MID = r"utm_[^&#]*&"
+_URL_UTM_TAIL = r"[?&]utm_[^&#]*$"
+_URL_DANGLING = r"[?&]$"
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl URL canonicalization: lowercase scheme+host, strip a leading
+    `www.`, drop default port 80, drop the fragment, drop `utm_*` tracking
+    params. Adds `host` (the canonical host key used for partitioning /
+    sessionization) and `url_norm`; dedup on `url_norm` collapses the
+    tracking-param aliases a crawler sees for the same page.
+
+    Pure JVM regexp projection — narrow, shuffle-free."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1)
+    port_part = F.when(port.isin("", "80"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    rest = F.regexp_replace(rest, _URL_FRAGMENT, "")
+    rest = F.regexp_replace(rest, _URL_UTM_MID, "")
+    rest = F.regexp_replace(rest, _URL_UTM_TAIL, "")
+    rest = F.regexp_replace(rest, _URL_DANGLING, "")
+    return df.withColumn("host", host).withColumn(
+        "url_norm", F.concat(scheme, F.lit("://"), host, port_part, rest)
+    )
+
+
 # PII patterns restricted to the Java-regex/RE2 common subset so the same
 # pattern string runs verbatim in Spark and in the DuckDB oracle.
 PII_EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"

@@ -288,6 +288,63 @@ def decontaminate_overlap(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 20,
+) -> DataFrame:
+    """Corpus-level paragraph deduplication (the C4 cleaning step that
+    removes every repeated paragraph, keeping only its first occurrence in
+    corpus order). Paragraph identity is md5 of the unit text; "first" is
+    the smallest (doc, position) pair, so the result is deterministic under
+    any execution order. The synthetic corpus has no newlines, so the unit
+    here is consecutive `para_words`-word chunks — on crawl text pass the
+    '\\n'-split paragraphs through the same keep-first machinery.
+
+    Scale shape: NO join on the exploded paragraph table. Two partial-
+    aggregated shuffles — (1) groupBy paragraph hash keeping the min
+    (doc, idx), (2) regroup the per-hash winners by doc — then a per-doc
+    join of two DOC-sized aggregates (AQE broadcasts the smaller). The
+    winner is min over (doc << 21 | idx) packed into ONE bigint: a struct
+    min would force SortAggregate (struct agg buffers aren't mutable), the
+    packed long keeps the whole reduction in HashAggregate with no sort —
+    same trick as the IVF argmin (similarity.py). Bounds: idx < 2^21
+    paragraphs per doc (oversized docs are segmented upstream) and doc ids
+    < 2^42. Returns per-doc (n_paras, n_kept, kept_frac); n_kept = 0 when
+    every paragraph already appeared earlier in the corpus.
+    """
+    pack = 1 << 21
+    toks = f"split({text_col}, ' ')"
+    paras = docs.where(F.length(text_col) > 0).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size({toks})/{para_words}.0) as int) - 1), "
+                f"i -> md5(array_join(slice({toks}, i*{para_words} + 1, {para_words}), ' ')))"
+            )
+        ).alias("idx", "h"),
+    )
+    totals = paras.groupBy("doc").agg(F.count("*").alias("n_paras"))
+    winners = (
+        paras.groupBy("h")
+        .agg(F.min(F.col("doc") * pack + F.col("idx")).alias("w"))
+        .groupBy(F.expr(f"w DIV {pack}").alias("doc"))
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        totals.join(winners, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_paras").cast("double"), 6
+            ).alias("kept_frac"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -1,0 +1,86 @@
+"""Deterministic hash-based sampling and split assignment for training-data
+pipelines.
+
+Both operators key every decision on the md5 of a stable row key, never on
+rand(): re-running the job, resuming a stream from checkpoint, or adding
+executors CANNOT change which rows are sampled — the property that makes
+corpus mixes reproducible and lets an incremental pipeline sample new shards
+consistently with old ones. md5-derived buckets also make every decision
+reproducible in an ANSI-SQL oracle.
+
+Scale shape: pure narrow JVM projections + filter — no shuffle, no Python;
+the sample predicate pushes below downstream aggregations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# 16-bit bucket space: the first 4 hex chars of md5 compare lexicographically
+# exactly like the integer they encode (fixed width, lowercase in both Spark
+# and DuckDB), so rate thresholds are plain string literals in SQL.
+_BUCKET_HEX_CHARS = 4
+_BUCKET_SPACE = 16 ** _BUCKET_HEX_CHARS
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1,
+                       _BUCKET_HEX_CHARS)
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Threshold such that P(bucket < threshold) == floor(rate * 2^16)/2^16.
+    rate >= 1.0 returns 'zzzz', which sorts above every hex bucket (keep all)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return "zzzz" if rate >= 1.0 else format(int(rate * _BUCKET_SPACE), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its 16-bit md5
+    bucket falls below the stratum's rate threshold. The corpus-mix
+    primitive: down-weight over-represented languages/domains to target
+    proportions without a shuffle and with exactly reproducible membership
+    (stable under reruns, resume, and repartitioning, unlike rand()-based
+    df.sample)."""
+    bucket = _bucket(F.col(key_col), salt)
+    thresh = None
+    for stratum, rate in sorted(rates.items()):
+        lit = F.lit(rate_threshold_hex(rate))
+        thresh = F.when(F.col(stratum_col) == stratum, lit) if thresh is None \
+            else thresh.when(F.col(stratum_col) == stratum, lit)
+    thresh = thresh.otherwise(F.lit(rate_threshold_hex(default_rate))) \
+        if thresh is not None else F.lit(rate_threshold_hex(default_rate))
+    return df.where(bucket < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    valid_frac: float = 0.05,
+    test_frac: float = 0.05,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by md5 bucket: the split a
+    document lands in is a pure function of its key, so re-ingesting a shard
+    or growing the corpus never moves old documents across splits (no
+    leakage between runs). Adds a `split` column."""
+    if valid_frac + test_frac >= 1.0:
+        raise ValueError("valid_frac + test_frac must be < 1")
+    bucket = _bucket(F.col(key_col), salt)
+    v_hi = rate_threshold_hex(valid_frac)
+    t_hi = rate_threshold_hex(valid_frac + test_frac)
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(v_hi), "valid")
+        .when(bucket < F.lit(t_hi), "test")
+        .otherwise("train"),
+    )

@@ -320,6 +320,23 @@ def join_lang_stream(
     )
 
 
+def filter_blocklist_stream(
+    pages: DataFrame, hosts: DataFrame, anti: bool = True
+) -> DataFrame:
+    """Stream-static join: filter the page stream against a STATIC host
+    table — the crawl-hygiene step (spam/adult/opt-out domain blocklists,
+    or a curated allowlist). The static side re-resolves per micro-batch
+    (so an updated blocklist table takes effect on the next trigger) and
+    plans as a broadcast hash semi/anti join: unlike a stream-stream join
+    this touches NO state store and needs no watermark, so it adds zero
+    state at 10^12-row scale. anti=True drops listed hosts (LEFT ANTI);
+    anti=False keeps only listed hosts (LEFT SEMI)."""
+    p = with_host(pages)
+    return p.join(
+        F.broadcast(hosts.select("host")), "host", "left_anti" if anti else "left_semi"
+    )
+
+
 def dedup_urls_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact deduplication by url within the watermark horizon
     (``dropDuplicatesWithinWatermark``): the training-pipeline guard against

@@ -271,3 +271,53 @@ def test_q19_pushes_disjunctive_sides(spark):
     li_scan = [s for s in p.split("Scan parquet") if "lineitem.parquet" in s][0]
     assert "Or" in part_scan and "p_brand" in part_scan, part_scan
     assert "l_quantity" in li_scan, li_scan
+
+
+def test_gopher_filter_is_narrow(spark):
+    """The Gopher rule battery is one JVM projection: no shuffle, and the
+    scan reads only (doc_id, text)."""
+    from fasta_windows_spark.functions.text import gopher_filters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = gopher_filters(docs, min_words=20)
+    checks.assert_no_shuffle(df)
+    assert checks.scan_read_schema(df) == [["doc_id", "text"]]
+
+
+def test_url_normalize_and_sampling_are_narrow(spark):
+    """URL canonicalization and hash sampling/splitting are pure
+    projections/filters — no shuffle anywhere."""
+    from fasta_windows_spark.functions.text import normalize_urls
+    from fasta_windows_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    urls = docs.select("doc_id", F.concat(F.lit("http://h/"), "doc_id").alias("url"))
+    checks.assert_no_shuffle(normalize_urls(urls))
+    checks.assert_no_shuffle(
+        sampling.stratified_sample(docs, {"en": 0.5, "de": 0.25})
+    )
+    checks.assert_no_shuffle(sampling.split_assign(docs))
+
+
+def test_paragraph_dedup_no_sort_no_big_join(spark):
+    """Keep-first paragraph dedup: the packed-long argmin must stay in
+    HashAggregate (no Sort / SortAggregate over the exploded paragraphs),
+    and the only join is between the two per-doc aggregates."""
+    from fasta_windows_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = paragraph_dedup(docs)
+    p = checks.plan_string(df, "simple")
+    assert "SortAggregate" not in p, p
+    assert "Sort " not in p.replace("SortMergeJoin", ""), p
+    assert "SortMergeJoin" not in p, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_unigram_surprisal_partial_agg(spark):
+    """tf-first shape: term frequencies partial-aggregate map-side, so the
+    vocab join moves distinct (doc, token) pairs, not every token."""
+    from fasta_windows_spark.functions.text import unigram_surprisal
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    checks.assert_partial_aggregation(unigram_surprisal(docs))

@@ -1,0 +1,98 @@
+"""Deterministic sampling/split + paragraph dedup semantics."""
+
+import hashlib
+
+import pytest
+
+from fasta_windows_spark.operators import sampling
+from fasta_windows_spark.operators.dedup import paragraph_dedup
+from tests.conftest import SF_DIR
+
+
+def test_rate_threshold_edges():
+    assert sampling.rate_threshold_hex(0.0) == "0000"
+    assert sampling.rate_threshold_hex(0.5) == "8000"
+    assert sampling.rate_threshold_hex(1.0) == "zzzz"
+    with pytest.raises(ValueError):
+        sampling.rate_threshold_hex(1.5)
+
+
+def test_stratified_sample_deterministic_and_subset_stable(spark):
+    """Membership is a pure function of the key: a rerun returns the same
+    rows, and sampling HALF the corpus returns exactly the full-corpus
+    sample restricted to that half (the property rand()-based sampling
+    breaks, and the one incremental ingestion relies on)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.125}
+    ids1 = {r[0] for r in sampling.stratified_sample(docs, rates).select("doc_id").collect()}
+    ids2 = {r[0] for r in sampling.stratified_sample(docs, rates).select("doc_id").collect()}
+    assert ids1 == ids2
+    half = docs.where("doc_id % 2 = 0")
+    ids_half = {r[0] for r in sampling.stratified_sample(half, rates).select("doc_id").collect()}
+    assert ids_half == {i for i in ids1 if i % 2 == 0}
+
+
+def test_stratified_sample_rates_within_tolerance(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg({"*": "count"})
+              .withColumnRenamed("count(1)", "n").collect()}
+    got = {r["lang"]: r["n"] for r in sampling.stratified_sample(docs, rates)
+           .groupBy("lang").agg({"*": "count"}).withColumnRenamed("count(1)", "n").collect()}
+    # binomial 4-sigma tolerance per stratum
+    for lang, rate in rates.items():
+        n = totals[lang]
+        mean, sd = n * rate, (n * rate * (1 - rate)) ** 0.5
+        assert abs(got.get(lang, 0) - mean) <= 4 * sd + 1, (lang, got.get(lang), mean)
+    # default rate 1.0: untargeted strata fully kept
+    for lang in totals:
+        if lang not in rates:
+            assert got.get(lang) == totals[lang], lang
+
+
+def test_split_assign_matches_python_md5_and_partitions(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sampling.split_assign(docs, valid_frac=0.05, test_frac=0.05).select(
+        "doc_id", "split"
+    ).collect()
+    assert len(rows) == docs.count()
+    v_hi = sampling.rate_threshold_hex(0.05)
+    t_hi = sampling.rate_threshold_hex(0.10)
+    for r in rows:
+        b = hashlib.md5(f"{r['doc_id']}:split".encode()).hexdigest()[:4]
+        want = "valid" if b < v_hi else ("test" if b < t_hi else "train")
+        assert r["split"] == want, (r, b)
+
+
+def test_paragraph_dedup_matches_python_reference(spark):
+    """Tiny constructed corpus with in-doc and cross-doc duplicate
+    paragraphs, exact-duplicate docs, and a short tail chunk — compared
+    against a transparent python keep-first scan."""
+    para_words = 3
+    texts = {
+        1: "a b c d e f",          # paras: [a b c][d e f]
+        2: "a b c x y z g",        # [a b c] dup of doc1, [x y z], tail [g]
+        3: "a b c d e f",          # exact dup of doc 1 -> keeps nothing
+        4: "x y z x y z",          # in-doc duplicate -> keeps 1 of 2
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(docs, para_words=para_words).collect()
+    }
+    seen, want = set(), {}
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].split(" ")
+        paras = [
+            " ".join(toks[i : i + para_words])
+            for i in range(0, len(toks), para_words)
+        ]
+        kept = 0
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept += 1
+        want[doc_id] = (len(paras), kept)
+    assert got == want

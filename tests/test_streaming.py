@@ -639,3 +639,41 @@ def test_cep_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert len(resumed) == len(r), "duplicate CEP emissions after resume"
     assert r == s, "resumed output differs from single-run output"
     assert len(s) > 0
+
+
+def test_blocklist_stream_static_join_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
+    """Stream-static broadcast anti-join (host blocklist): the streamed
+    result must equal the same anti-join run in batch, drop every listed
+    host, and keep every unlisted page (and the allowlist/semi variant must
+    be its exact complement)."""
+    batch = P.spark_pages(spark, pages_pdf)
+    hosts = sorted(
+        r["host"] for r in S.with_host(batch).select("host").distinct().collect()
+    )
+    blocked = spark.createDataFrame([(h,) for h in hosts[:3]], ["host"])
+
+    stream = S.read_pages_stream(spark, pages_dir)
+    out = str(tmp_path / "blk_out")
+    ckpt = str(tmp_path / "blk_ckpt")
+    q = S.write_exactly_once(
+        S.filter_blocklist_stream(stream, blocked).select("url", "host"), out, ckpt
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    kept_urls = {r["url"] for r in got.collect()}
+    got_hosts = {r["host"] for r in got.select("host").distinct().collect()}
+    assert got_hosts.isdisjoint(set(hosts[:3]))
+
+    batch_kept = S.filter_blocklist_stream(batch, blocked)
+    assert kept_urls == {r["url"] for r in batch_kept.select("url").collect()}
+
+    allow = {
+        r["url"]
+        for r in S.filter_blocklist_stream(batch, blocked, anti=False)
+        .select("url")
+        .collect()
+    }
+    all_urls = {r["url"] for r in batch.select("url").collect()}
+    assert kept_urls | allow == all_urls and kept_urls.isdisjoint(allow)
+    assert len(kept_urls) > 0 and len(allow) > 0

@@ -1372,6 +1372,7 @@ def tpch_q1_pricing_summary(spark, sf_dir):
 # =============================================================================
 
 from .operators import dedup as _dedup  # noqa: E402
+from .operators import delta as _delta  # noqa: E402
 from .operators import sampling as _sampling  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .functions import text as _text  # noqa: E402
@@ -1831,6 +1832,77 @@ def docs_url_normalize(spark, sf_dir):
     utm params in every position, fragment)."""
     d = _docs(spark, sf_dir).select("doc_id", _synth_url(True).alias("url"))
     return _text.normalize_urls(d).select("doc_id", "url", "host", "url_norm")
+
+
+@q(
+    "docs_crawl_delta",
+    """
+WITH prev AS (
+  SELECT doc_id, md5(text) AS prev_fp FROM documents WHERE doc_id % 10 <> 0
+),
+curr AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS curr_fp
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT doc_id,
+       CASE WHEN prev_fp IS NULL THEN 'added'
+            WHEN curr_fp IS NULL THEN 'deleted'
+            WHEN prev_fp = curr_fp THEN 'same'
+            ELSE 'changed' END AS status,
+       prev_fp, curr_fp
+FROM prev FULL OUTER JOIN curr USING (doc_id)
+""",
+)
+def docs_crawl_delta(spark, sf_dir):
+    """Incremental crawl diff (operators/delta.py:snapshot_delta): two
+    snapshots synthesized deterministically from the corpus — 10%% of pages
+    new in the current crawl, 1/13 dropped, every 7th re-crawled with
+    changed content."""
+    d = _docs(spark, sf_dir)
+    prev = d.where(F.col("doc_id") % 10 != 0)
+    curr = d.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return _delta.snapshot_delta(prev, curr)
+
+
+@q(
+    "docs_length_quantile_filter",
+    """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.05) AS p05, quantile_cont(n_chars, 0.95) AS p95
+  FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       round(p05, 6) AS p05, round(p95, 6) AS p95
+FROM documents, q
+WHERE n_chars >= p05 AND n_chars <= p95
+""",
+)
+def docs_length_quantile_filter(spark, sf_dir):
+    """Outlier trim by EXACT corpus quantiles: keep docs whose length lies
+    in [p5, p95]. The two-job shape (tiny exact-percentile aggregate
+    broadcast back over the scan) is the standard 100 TB pattern for
+    data-dependent thresholds; Spark's exact percentile and DuckDB's
+    quantile_cont share the (n-1)*p linear-interpolation definition."""
+    d = _docs(spark, sf_dir)
+    qs = d.agg(
+        F.percentile("n_chars", [0.05, 0.95]).alias("q")
+    ).select(F.col("q")[0].alias("p05"), F.col("q")[1].alias("p95"))
+    return (
+        d.crossJoin(F.broadcast(qs))
+        .where((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            _r6(F.col("p05")).alias("p05"),
+            _r6(F.col("p95")).alias("p95"),
+        )
+    )
 
 
 @q(
@@ -3141,6 +3213,8 @@ _ROTATION_FIRST = [
     "docs_split_assign",
     "docs_unigram_surprisal",
     "docs_url_normalize",
+    "docs_crawl_delta",
+    "docs_length_quantile_filter",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -96,3 +96,16 @@ def test_paragraph_dedup_matches_python_reference(spark):
                 kept += 1
         want[doc_id] = (len(paras), kept)
     assert got == want
+
+
+def test_snapshot_delta_statuses(spark):
+    from fasta_windows_spark.operators.delta import snapshot_delta
+
+    prev = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    curr = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_delta(prev, curr).collect()}
+    assert got == {1: "deleted", 2: "same", 3: "changed", 4: "added"}

@@ -1906,6 +1906,56 @@ def docs_length_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "docs_length_quantiles_by_lang",
+    """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY lang
+""",
+)
+def docs_length_quantiles_by_lang(spark, sf_dir):
+    """Grouped EXACT quantiles (per-language length profile) — the
+    per-stratum twin of docs_length_quantile_filter. Exact percentile is a
+    typed-buffer aggregate, so the plan is ObjectHashAggregate with
+    map-side partials: per-group state is O(group values) — at 100 TB use
+    the approx_percentile twin for heavy groups (events_value_percentiles
+    demonstrates the tolerance protocol)."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_chars", [0.25, 0.50, 0.75]).alias("q"),
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        _r6(F.col("q")[0]).alias("p25"),
+        _r6(F.col("q")[1]).alias("p50"),
+        _r6(F.col("q")[2]).alias("p75"),
+    )
+
+
+@q("emb_pca_project")  # rows-only: eigen-decomposition is not SQL-expressible
+def emb_pca_project(spark, sf_dir):
+    """Tall-skinny PCA over the embedding table (operators/linalg.py):
+    partition-local numpy Gramian partials -> driver eigh on the d x d
+    covariance -> broadcast k x d projection. Driver traffic is
+    O(partitions * d^2), row-count independent. Differentially tested
+    against an in-memory numpy reference (tests/test_linalg.py);
+    sign-canonicalized so output is run-reproducible."""
+    from .operators import linalg as _linalg
+
+    emb = _emb(spark, sf_dir)
+    mean, comps, _ = _linalg.pca_fit(emb, k=2)
+    return _linalg.pca_project(emb, mean, comps).select(
+        "vec_id",
+        _r6(F.col("pc")[0]).alias("pc1"),
+        _r6(F.col("pc")[1]).alias("pc2"),
+    )
+
+
+@q(
     "docs_quality",
     f"""
 WITH t AS (
@@ -3215,6 +3265,8 @@ _ROTATION_FIRST = [
     "docs_url_normalize",
     "docs_crawl_delta",
     "docs_length_quantile_filter",
+    "docs_length_quantiles_by_lang",
+    "emb_pca_project",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -208,12 +208,15 @@ def gopher_filters(
     max_mean_word_len: float = 10.0,
     min_alpha_frac: float = 0.80,
     min_stop_hits: int = 2,
+    project: bool = True,
 ) -> DataFrame:
     """The Gopher/MassiveText document-level rule battery (Rae et al. 2021,
     §A1.1): word-count bounds, mean-word-length bounds, fraction of words
     containing an alphabetic character, and a minimum stop-word hit count.
     Emits every signal plus the combined `keep` flag so downstream mixes can
     re-weight individual rules instead of re-scanning the corpus.
+    project=False appends the signal columns to the input row instead of
+    projecting (`keep` plus prefixed metrics), for pipeline/stream use.
 
     Scale shape: one narrow JVM projection — tokenize once (codegen
     subexpression elimination shares the split() across all consumers),
@@ -233,6 +236,12 @@ def gopher_filters(
         & (alpha / n_words.cast("double") >= min_alpha_frac)
         & (stop >= min_stop_hits)
     )
+    if not project:
+        return (
+            d.withColumn("gopher_n_words", n_words.cast("long"))
+            .withColumn("gopher_keep", keep)
+            .drop("_toks")
+        )
     return d.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
@@ -330,26 +339,39 @@ PII_PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
 
 
 def scrub_pii(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    project: bool = True,
 ) -> DataFrame:
     """PII redaction (the C4-style scrub stage): replace every email address
     and phone-shaped digit run with typed placeholders, and count what was
-    redacted. Pure JVM regexp expressions — narrow, shuffle-free, scales
-    linearly with corpus bytes."""
+    redacted. project=False replaces `text_col` in place (plus counts) for
+    pipeline/stream use. Pure JVM regexp expressions — narrow, shuffle-free,
+    scales linearly with corpus bytes."""
     c = F.col(text_col)
     # patterns go in as Column literals, NOT through F.expr — the SQL
     # parser would eat the \b/\d backslashes in a SQL string literal
+    n_emails = F.size(
+        F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), F.lit(0))
+    ).cast("long")
+    n_phones = F.size(
+        F.regexp_extract_all(c, F.lit(PII_PHONE_PATTERN), F.lit(0))
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>"),
+        PII_PHONE_PATTERN,
+        "<PHONE>",
+    )
+    if not project:
+        return (
+            docs.withColumn("n_emails", n_emails)
+            .withColumn("n_phones", n_phones)
+            .withColumn(text_col, redacted)
+        )
     return docs.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), F.lit(0)))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_PATTERN), F.lit(0)))
-        .cast("long")
-        .alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>"),
-            PII_PHONE_PATTERN,
-            "<PHONE>",
-        ).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redacted.alias("redacted"),
     )

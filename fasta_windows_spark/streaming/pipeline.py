@@ -337,6 +337,36 @@ def filter_blocklist_stream(
     )
 
 
+def clean_pages_stream(
+    pages: DataFrame,
+    blocklist: DataFrame | None = None,
+    watermark: str = "10 minutes",
+    min_words: int = 20,
+) -> DataFrame:
+    """End-to-end streaming corpus curation — the full C4/Gopher cleaning
+    pass as ONE streaming plan: host blocklist (broadcast anti-join, no
+    state) -> URL dedup within the watermark horizon (the only stateful
+    stage, state bounded by the horizon) -> Gopher quality gate -> PII
+    scrub (both stateless JVM projections). Emits cleaned page rows ready
+    for an exactly-once sink or the window-statistics aggregation.
+
+    The same call composes in BATCH mode, where the dedup stage is plain
+    dropDuplicates on url (dropDuplicatesWithinWatermark rejects static
+    Datasets) — which is what the stream==batch differential test
+    exploits."""
+    from ..functions.text import gopher_filters, scrub_pii
+
+    s = with_host(pages)
+    if blocklist is not None:
+        s = s.join(F.broadcast(blocklist.select("host")), "host", "left_anti")
+    s = dedup_urls_stream(s, watermark) if s.isStreaming else s.dropDuplicates(["url"])
+    s = gopher_filters(
+        s, text_col="text", id_col="url", min_words=min_words, project=False
+    )
+    s = s.where(F.col("gopher_keep")).drop("gopher_keep")
+    return scrub_pii(s, text_col="text", id_col="url", project=False)
+
+
 def dedup_urls_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact deduplication by url within the watermark horizon
     (``dropDuplicatesWithinWatermark``): the training-pipeline guard against

@@ -677,3 +677,49 @@ def test_blocklist_stream_static_join_matches_batch(spark, pages_dir, pages_pdf,
     all_urls = {r["url"] for r in batch.select("url").collect()}
     assert kept_urls | allow == all_urls and kept_urls.isdisjoint(allow)
     assert len(kept_urls) > 0 and len(allow) > 0
+
+
+def test_clean_pages_stream_matches_batch(spark, tmp_path):
+    """Full streaming curation pass (blocklist -> URL dedup -> Gopher gate
+    -> PII scrub) == the SAME composition run in batch mode, on a corpus
+    with duplicate urls, short pages, a blocked host, and injected emails."""
+    pdf = P.gen_pages(n_pages=300, n_hosts=6, seed=7)
+    texts = []
+    for i in range(len(pdf)):
+        words = "the quick brown fox %d " % i * (i % 40)
+        if i % 5 == 0:
+            words += "contact a%d@b.com" % i
+        texts.append(words.strip())
+    pdf = pdf.assign(text=texts)
+    pdf = __import__("pandas").concat([pdf, pdf.iloc[:100]], ignore_index=True)
+
+    d = str(tmp_path / "clean_src")
+    P.write_pages_parquet(pdf, d, n_files=4)
+    batch = spark.read.parquet(d)
+    hosts = sorted(r["host"] for r in S.with_host(batch).select("host").distinct().collect())
+    blocked = spark.createDataFrame([(hosts[0],)], ["host"])
+
+    out, ckpt = str(tmp_path / "clean_out"), str(tmp_path / "clean_ck")
+    q = S.write_exactly_once(
+        S.clean_pages_stream(S.read_pages_stream(spark, d), blocked).select(
+            "url", "host", "text", "n_emails"
+        ),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+
+    want = {
+        (r["url"], r["text"], r["n_emails"])
+        for r in S.clean_pages_stream(batch, blocked)
+        .select("url", "text", "n_emails")
+        .collect()
+    }
+    assert {(r["url"], r["text"], r["n_emails"]) for r in got} == want
+    assert len(got) == len({r["url"] for r in got}), "duplicate urls survived"
+    assert hosts[0] not in {r["host"] for r in got}, "blocked host survived"
+    joined = " ".join(r["text"] for r in got)
+    assert "@b.com" not in joined and "<EMAIL>" in joined
+    # the word-count gate actually dropped something and kept something
+    assert 0 < len(got) < len({r["url"] for r in batch.select("url").collect()})

@@ -1906,6 +1906,79 @@ def docs_length_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "events_cohort_retention",
+    """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+coh AS (SELECT user_id, first_ts::DATE AS cohort_day FROM f),
+act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+r AS (
+  SELECT coh.cohort_day, datediff('day', coh.cohort_day, act.day) AS day_offset,
+         count(DISTINCT act.user_id) AS n_users
+  FROM act JOIN coh USING (user_id) GROUP BY 1, 2
+)
+SELECT floor(epoch(cohort_day::TIMESTAMP))::BIGINT AS cohort_day_s,
+       day_offset::BIGINT AS day_offset, n_users::BIGINT AS n_users
+FROM r
+""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention (the canonical product-analytics rollup): users
+    bucketed by first-touch day, distinct-active counted per day offset.
+    Scale shape: first-touch and activity aggregates both key on user_id
+    (partial-aggregated), the cohort join reuses the user_id hash
+    partitioning, and the final (cohort, offset) aggregate is tiny."""
+    e = _events(spark, sf_dir)
+    coh = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.to_date("first_ts").alias("cohort_day"))
+    )
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    r = (
+        act.join(coh, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return r.select(
+        F.unix_timestamp(F.col("cohort_day").cast("timestamp")).alias("cohort_day_s"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+@q(
+    "docs_bigram_surprisal",
+    """
+WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+  FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+),
+tf AS (SELECT doc_id, prev, cur, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+bg AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+uni AS (SELECT unnest(toks) AS tok FROM t),
+cnts AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM cnts)
+SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+       round(-sum(tf.tf * log2(
+           0.75 * (bg.c2::DOUBLE / cp.cnt::DOUBLE)
+         + 0.25 * (cc.cnt::DOUBLE / tot.total::DOUBLE)
+       )) / sum(tf.tf), 6) AS bits_per_bigram
+FROM tf
+JOIN bg USING (prev, cur)
+JOIN cnts cp ON cp.tok = tf.prev
+JOIN cnts cc ON cc.tok = tf.cur, tot
+GROUP BY tf.doc_id, tot.total
+""",
+)
+def docs_bigram_surprisal(spark, sf_dir):
+    """Interpolated bigram-LM scoring (functions/text.py:bigram_surprisal,
+    lam=0.75) — catches garbled text whose unigram profile looks normal."""
+    return _text.bigram_surprisal(_docs(spark, sf_dir))
+
+
+@q(
     "docs_length_quantiles_by_lang",
     """
 SELECT lang, count(*)::BIGINT AS n_docs,
@@ -3267,6 +3340,8 @@ _ROTATION_FIRST = [
     "docs_length_quantile_filter",
     "docs_length_quantiles_by_lang",
     "emb_pca_project",
+    "docs_bigram_surprisal",
+    "events_cohort_retention",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -293,6 +293,68 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document bits/bigram under an interpolated bigram LM trained on
+    the corpus itself: p(cur|prev) = lam * c(prev,cur)/c(prev) +
+    (1-lam) * c(cur)/T. The next step up from unigram_surprisal — template
+    boilerplate scores even lower (its bigrams are near-deterministic),
+    shuffled/garbled text scores high even when its unigram profile is
+    normal, which is exactly the failure mode unigram filters miss.
+
+    Scale shape: per-doc bigram term frequencies first (tf-first, as in
+    unigram_surprisal), then three token-keyed shuffle joins (bigram
+    counts, prev-unigram, cur-unigram) — each partial-aggregated before
+    its shuffle, AQE broadcasting whichever side fits. The arithmetic is
+    written operand-for-operand identically to the SQL oracle so both
+    engines produce the same doubles."""
+    toks = F.split(F.lower(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc"), toks.alias("_t")).where(
+        F.size("_t") >= 2
+    )
+    pairs = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t)-1), "
+                "i -> struct(_t[i-1] as prev, _t[i] as cur))"
+            )
+        ).alias("p"),
+    ).select("doc", "p.prev", "p.cur")
+    tf = pairs.groupBy("doc", "prev", "cur").agg(F.count("*").alias("tf"))
+    bg = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("total"))
+    j = (
+        tf.join(bg, ["prev", "cur"])
+        .join(uni.select(F.col("tok").alias("prev"), F.col("cnt").alias("c_prev")), "prev")
+        .join(uni.select(F.col("tok").alias("cur"), F.col("cnt").alias("c_cur")), "cur")
+        .crossJoin(total)
+    )
+    p = F.lit(lam) * (
+        F.col("c2").cast("double") / F.col("c_prev").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("c_cur").cast("double") / F.col("total").cast("double")
+    )
+    per_doc = j.groupBy("doc").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.log2(p)).alias("_sl"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(-F.col("_sl") / F.col("n_bigrams"), 6).alias("bits_per_bigram"),
+    )
+
+
 # URL canonicalization patterns, Java-regex/RE2 common subset (verbatim in
 # the DuckDB oracle). `utm_[^&#]*&` eats every utm param followed by another
 # param; the trailing-utm pattern then cleans the last one; the final two fix

@@ -337,6 +337,34 @@ def filter_blocklist_stream(
     )
 
 
+def host_window_distinct_urls(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Streaming unique-visitors metric: approx distinct urls per
+    (event-time window, host) via HLL++ sketches merged in the state store.
+    The sketch register array is the per-group state — constant size per
+    group regardless of url cardinality, which is the point at 10^12 rows:
+    exact distinct state grows with the key universe, the sketch does not.
+    Register merge is a commutative max, so the streamed estimate is
+    IDENTICAL to the batch estimate on the same input (asserted in
+    tests), not merely close."""
+    return (
+        with_host(pages)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "host")
+        .agg(
+            F.approx_count_distinct("url", rsd).alias("n_urls_approx"),
+            F.count("*").alias("n_pages"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "host", "n_urls_approx", "n_pages"
+        )
+    )
+
+
 def clean_pages_stream(
     pages: DataFrame,
     blocklist: DataFrame | None = None,

@@ -723,3 +723,38 @@ def test_clean_pages_stream_matches_batch(spark, tmp_path):
     assert "@b.com" not in joined and "<EMAIL>" in joined
     # the word-count gate actually dropped something and kept something
     assert 0 < len(got) < len({r["url"] for r in batch.select("url").collect()})
+
+
+def test_streaming_distinct_urls_equals_batch(spark, pages_dir, pages_pdf, tmp_path):
+    """HLL++ register merge is commutative max, so the streamed
+    approx-distinct per (window, host) must EQUAL the batch estimate on
+    the same input — and both must sit near the exact distinct count."""
+    out, ckpt = str(tmp_path / "du_out"), str(tmp_path / "du_ck")
+    q = S.write_exactly_once(
+        S.host_window_distinct_urls(S.read_pages_stream(spark, pages_dir)), out, ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"], r["host"]): (r["n_urls_approx"], r["n_pages"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got
+
+    batch = P.spark_pages(spark, pages_pdf)
+    want = {
+        (r["w_start"], r["host"]): (r["n_urls_approx"], r["n_pages"])
+        for r in S.host_window_distinct_urls(batch).collect()
+    }
+    for k, v in got.items():  # every emitted window matches batch exactly
+        assert want[k] == v, (k, v, want[k])
+
+    exact = {
+        (r["w_start"], r["host"]): r["n"]
+        for r in S.with_host(batch)
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "host")
+        .agg(F.countDistinct("url").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "host", "n")
+        .collect()
+    }
+    for k, (approx, _) in got.items():
+        assert abs(approx - exact[k]) <= max(2, 0.15 * exact[k]), (k, approx, exact[k])

@@ -1653,25 +1653,36 @@ def docs_lang_id(spark, sf_dir):
     )
 
 
-@q(
-    "docs_gopher_filter",
-    f"""
-WITH t AS (
-  SELECT doc_id, length(text) AS nc, string_split(lower(text),' ') AS toks
+# Gopher rule CTE + keep predicate, shared by the per-doc battery and the
+# per-source curation report so the two oracles cannot drift apart.
+_SQL_GOPHER_S = f"""
+t AS (
+  SELECT doc_id, source, length(text) AS nc, md5(text) AS th,
+         string_split(lower(text),' ') AS toks
   FROM documents
 ),
 s AS (
-  SELECT doc_id, len(toks) AS nw,
+  SELECT doc_id, source, th, len(toks) AS nw,
          (nc - (len(toks)-1))::DOUBLE / len(toks) AS ml,
          len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
            / len(toks) AS af,
          len(list_filter(toks, t -> list_contains({_SQL_STOP['en']}, t))) AS st
   FROM t
 )
+"""
+_SQL_GOPHER_KEEP = (
+    "(nw BETWEEN 20 AND 100000 AND ml BETWEEN 3.0 AND 10.0"
+    " AND af >= 0.80 AND st >= 2)"
+)
+
+
+@q(
+    "docs_gopher_filter",
+    f"""
+WITH {_SQL_GOPHER_S}
 SELECT doc_id, nw::BIGINT AS n_words, round(ml, 6) AS mean_word_len,
        round(af, 6) AS alpha_word_frac, st::BIGINT AS stop_hits,
-       (nw BETWEEN 20 AND 100000 AND ml BETWEEN 3.0 AND 10.0
-        AND af >= 0.80 AND st >= 2) AS keep
+       {_SQL_GOPHER_KEEP} AS keep
 FROM s
 """,
 )
@@ -1903,6 +1914,53 @@ def docs_length_quantile_filter(spark, sf_dir):
             _r6(F.col("p95")).alias("p95"),
         )
     )
+
+
+@q(
+    "docs_source_curation_report",
+    f"""
+WITH {_SQL_GOPHER_S}
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT th)::BIGINT AS n_unique,
+       round(1.0 - count(DISTINCT th)::DOUBLE / count(*), 6) AS dup_frac,
+       round(sum(CASE WHEN {_SQL_GOPHER_KEEP} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS keep_frac,
+       round(sum(nw)::DOUBLE / count(*), 6) AS avg_words
+FROM s GROUP BY source
+""",
+)
+def docs_source_curation_report(spark, sf_dir):
+    """Per-source curation dashboard — the rollup a data-mixing team reads
+    before setting source weights: volume, exact-dup fraction, Gopher keep
+    rate, mean length. One pass: the gopher signals ride project=False
+    columns into a source-keyed partial-aggregated groupBy (distinct text
+    hashes via count(DISTINCT md5), two shuffles total)."""
+    d = _text.gopher_filters(_docs(spark, sf_dir), min_words=20, project=False)
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.sum(F.col("gopher_keep").cast("int")).alias("_keep"),
+        F.sum("gopher_n_words").alias("_words"),
+    )
+    return g.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        _r6(F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs")).alias(
+            "dup_frac"
+        ),
+        _r6(F.col("_keep").cast("double") / F.col("n_docs")).alias("keep_frac"),
+        _r6(F.col("_words").cast("double") / F.col("n_docs")).alias("avg_words"),
+    )
+
+
+@q("docs_compression_ratio")  # rows-only: no SQL engine exposes deflate
+def docs_compression_ratio(spark, sf_dir):
+    """zlib-compressibility quality signal
+    (functions/text.py:with_compression_ratio) — two-sided filter:
+    boilerplate compresses too well, garbage too poorly. Pinned by a
+    direct python-zlib differential test (tests/test_sampling.py)."""
+    return _text.with_compression_ratio(_docs(spark, sf_dir))
 
 
 @q(
@@ -3342,6 +3400,8 @@ _ROTATION_FIRST = [
     "emb_pca_project",
     "docs_bigram_surprisal",
     "events_cohort_retention",
+    "docs_compression_ratio",
+    "docs_source_curation_report",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -4,6 +4,7 @@ expressions (no Python in the hot path), oracle-reproducible in ANSI SQL."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -290,6 +291,42 @@ def unigram_surprisal(
         F.round(F.log2("total") - F.col("_sl") / F.col("n_tokens"), 6).alias(
             "bits_per_token"
         ),
+    )
+
+
+def with_compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal — the classic two-sided filter:
+    boilerplate/template text compresses far below normal prose (drop the
+    low tail), random garbage barely compresses (drop the high tail).
+    ratio = deflate_bytes / utf8_bytes.
+
+    Codec-shaped work (per-row C calls inside an Arrow-batched pandas UDF,
+    like the multimodal decode path) — the stage is narrow and scales
+    linearly with corpus bytes. No SQL engine exposes deflate, so the
+    contract entry is rows-only, pinned by a direct python-zlib
+    differential test."""
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        _ratio(F.col(text_col)).alias("compression_ratio"),
     )
 
 

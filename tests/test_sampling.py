@@ -109,3 +109,24 @@ def test_snapshot_delta_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_delta(prev, curr).collect()}
     assert got == {1: "deleted", 2: "same", 3: "changed", 4: "added"}
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+
+    from fasta_windows_spark.functions.text import with_compression_ratio
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in with_compression_ratio(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else None
+        assert got[r["doc_id"]] == want, r["doc_id"]
+    # sane range: >0 always; >1 only possible for very short docs where the
+    # ~11-byte zlib envelope dominates
+    vals = [v for v in got.values() if v is not None]
+    assert vals and all(0.0 < v < 1.5 for v in vals)
+    assert sum(v < 1.0 for v in vals) > len(vals) * 0.9

@@ -1954,6 +1954,85 @@ def docs_source_curation_report(spark, sf_dir):
     )
 
 
+@q(
+    "docs_minhash_recall_eval",
+    f"""
+WITH {_SQL_MINHASH},
+bands AS (
+  SELECT doc_id, 0 AS band, sig_0 AS b0, sig_1 AS b1, sig_2 AS b2, sig_3 AS b3 FROM sig
+  UNION ALL
+  SELECT doc_id, 1, sig_4, sig_5, sig_6, sig_7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.b0 = r.b0 AND l.b1 = r.b1
+   AND l.b2 = r.b2 AND l.b3 = r.b3 AND l.doc_id < r.doc_id
+),
+jt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+jshg AS (
+  SELECT DISTINCT doc_id, l[p+1]||' '||l[p+2]||' '||l[p+3] AS shingle
+  FROM jt, LATERAL (SELECT unnest(range(len(l)-2)) AS p) x
+  WHERE len(l) >= 3
+),
+jrare AS (SELECT shingle FROM jshg GROUP BY shingle HAVING count(*) <= 20),
+jrsh AS (SELECT jshg.doc_id, jshg.shingle FROM jshg JOIN jrare USING (shingle)),
+jsizes AS (SELECT doc_id, count(*) AS n_sh FROM jrsh GROUP BY doc_id),
+jcommon AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM jrsh l JOIN jrsh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT c.doc_a, c.doc_b FROM jcommon c
+  JOIN jsizes sa ON c.doc_a = sa.doc_id
+  JOIN jsizes sb ON c.doc_b = sb.doc_id
+  WHERE round(c.n_common::DOUBLE/(sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.4
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))::BIGINT AS n_hit,
+       round((SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))::DOUBLE
+             / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+       round((SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))::DOUBLE
+             / nullif((SELECT count(*) FROM cand), 0), 6) AS precision
+""",
+)
+def docs_minhash_recall_eval(spark, sf_dir):
+    """Candidate-generation quality evaluation — the tuning loop for the
+    band/row tradeoff: recall and precision of the MinHash LSH candidate
+    pairs against the exact rare-shingle Jaccard >= 0.4 truth set, as one
+    summary row. Both sides are the engine's own oracle-checked operators,
+    so this meta-operator is itself fully SQL-checkable."""
+    docs = _docs(spark, sf_dir)
+    truth = _dedup.rare_shingle_jaccard_pairs(docs).select("doc_a", "doc_b")
+    cand = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs)).select(
+        "doc_a", "doc_b"
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            _r6(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_true"), F.lit(0))
+            ).alias("recall"),
+            _r6(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0))
+            ).alias("precision"),
+        )
+    )
+
+
 @q("docs_compression_ratio")  # rows-only: no SQL engine exposes deflate
 def docs_compression_ratio(spark, sf_dir):
     """zlib-compressibility quality signal
@@ -3402,6 +3481,7 @@ _ROTATION_FIRST = [
     "events_cohort_retention",
     "docs_compression_ratio",
     "docs_source_curation_report",
+    "docs_minhash_recall_eval",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

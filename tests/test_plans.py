@@ -321,3 +321,17 @@ def test_unigram_surprisal_partial_agg(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     checks.assert_partial_aggregation(unigram_surprisal(docs))
+
+
+def test_source_curation_report_no_join(spark):
+    """The per-source rollup rides one grouped pass — no Join node — with
+    map-side partial aggregation."""
+    df = contract.queries()["docs_source_curation_report"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "Join" not in p, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_bigram_and_cohort_partial_agg(spark):
+    for name in ("docs_bigram_surprisal", "events_cohort_retention"):
+        checks.assert_partial_aggregation(contract.queries()[name](spark, SF_DIR))

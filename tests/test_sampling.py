@@ -130,3 +130,52 @@ def test_compression_ratio_matches_python_zlib(spark):
     vals = [v for v in got.values() if v is not None]
     assert vals and all(0.0 < v < 1.5 for v in vals)
     assert sum(v < 1.0 for v in vals) > len(vals) * 0.9
+
+
+def test_url_normalize_is_idempotent(spark):
+    """Canonicalization must be a projection onto its own fixed points:
+    normalizing an already-normalized URL changes nothing."""
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.functions.text import normalize_urls
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/Path/1?utm_source=x&id=1#f",
+        "https://example.org:8080/a?id=2&utm_medium=y",
+        "http://www.a.b/?utm_a=1&utm_b=2",
+        "ftp://Host.Name/Path",
+        "http://x.y/p?id=3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = normalize_urls(df).select(F.col("url_norm").alias("url"))
+    twice = normalize_urls(once)
+    rows = twice.select("url", "url_norm").collect()
+    assert all(r["url"] == r["url_norm"] for r in rows), rows
+
+
+def test_paragraph_dedup_conserves_distinct_count(spark):
+    """Keep-first invariant: summed kept paragraphs == corpus-wide
+    distinct paragraph count, and no doc keeps more than it has."""
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = paragraph_dedup(docs, para_words=20).collect()
+    kept = sum(r["n_kept"] for r in out)
+    toks = "split(text, ' ')"
+    distinct = (
+        docs.where(F.length("text") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size({toks})/20.0) as int) - 1), "
+                    f"i -> md5(array_join(slice({toks}, i*20 + 1, 20), ' ')))"
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept == distinct
+    assert all(0 <= r["n_kept"] <= r["n_paras"] for r in out)

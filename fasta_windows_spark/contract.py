@@ -3431,6 +3431,198 @@ def events_funnel_conversion(spark, sf_dir):
     )
 
 
+# =============================================================================
+# §12 graph centrality, line-level cleaning, corpus mixing
+# =============================================================================
+
+_PR_N_HOSTS = 24
+_PR_SCALE = 10**12
+
+# One unrolled fixed-point PageRank iteration (see operators/graph.py for
+# why every quantity is BIGINT: floor-division arithmetic is bit-identical
+# across engines, so ranks hash-match with no float rounding protocol).
+# DuckDB sum(BIGINT) returns HUGEINT — every aggregate is cast back.
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+s{i} AS (SELECT node AS s, (r // deg)::BIGINT AS share
+         FROM r{i - 1} JOIN outdeg ON node = src),
+m{i} AS (SELECT dst, sum(share)::BIGINT AS insum
+         FROM edges JOIN s{i} ON edges.src = s{i}.s GROUP BY dst),
+dg{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS dang FROM r{i - 1}
+          WHERE node NOT IN (SELECT src FROM outdeg)),
+r{i} AS (SELECT node,
+                (({_PR_SCALE} * 15) // (100 * n)
+                 + (85 * (coalesce(insum, 0) + (dang // n))) // 100)::BIGINT AS r
+         FROM nodes CROSS JOIN nn CROSS JOIN dg{i}
+         LEFT JOIN m{i} ON node = dst)"""
+
+
+_SQL_PAGERANK = f"""
+WITH e0 AS (
+  SELECT 'h' || (doc_id % {_PR_N_HOSTS})::VARCHAR AS src,
+         'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                  % {_PR_N_HOSTS})::VARCHAR) AS dst
+  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j) js
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, ({_PR_SCALE} // n)::BIGINT AS r FROM nodes CROSS JOIN nn),
+{_pr_iter_sql(1)},
+{_pr_iter_sql(2)},
+{_pr_iter_sql(3)}
+SELECT node AS host, r AS rank_fp FROM r3
+"""
+
+
+@q("docs_host_pagerank", _SQL_PAGERANK)
+def docs_host_pagerank(spark, sf_dir):
+    """Host authority: 3-iteration fixed-point PageRank (damping 0.85,
+    dangling-mass redistribution) over a deterministic host link graph
+    derived from the corpus (each doc's host md5-links to 3 hosts — the
+    batch stand-in for edges extracted from page HTML by
+    `sources/warc.html_text_column`'s sibling link extractor). Integer
+    arithmetic end-to-end: the oracle's unrolled recurrence matches
+    bit-for-bit with no rounding. See operators/graph.py for the
+    10^12-page shape (per-iteration partial-agg shuffle + broadcast
+    dangling scalar)."""
+    from .operators.graph import pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e0 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % _PR_N_HOSTS).cast("string")
+        ).alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    )
+    e0 = e0.select(
+        "src",
+        F.concat(
+            F.lit("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _PR_N_HOSTS
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    edges = e0.where(F.col("src") != F.col("dst")).distinct()
+    out = pagerank(edges, iterations=3, scale=_PR_SCALE)
+    return out.select(F.col("node").alias("host"), "rank_fp")
+
+
+_SQL_C4_LINES = """
+WITH lined AS (
+  SELECT doc_id,
+         (doc_id % 7 + 3)::BIGINT AS lw,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+lt AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, ((len(toks) + lw - 1) // lw)::BIGINT),
+           i -> list_slice(toks, i * lw + 1, i * lw + lw)
+         ) AS lines
+  FROM lined
+),
+flt AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+                     ln -> len(ln) >= 5 AND NOT list_contains(ln, 'slow')) AS kept
+  FROM lt
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is '' —
+       -- coalesce so the all-lines-dropped doc hashes the empty string too
+       md5(coalesce(
+         array_to_string(list_transform(kept, ln -> array_to_string(ln, ' ')),
+                         chr(10)), '')) AS kept_md5
+FROM flt
+"""
+
+
+@q("docs_c4_line_filter", _SQL_C4_LINES)
+def docs_c4_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning via `functions/text.filter_lines`:
+    drop lines with < 5 words or containing a blocklisted boilerplate
+    marker ('slow' stands in for C4's "javascript"/"cookie" markers on the
+    synthetic vocabulary), keep the rest. The corpus has no newlines, so
+    the query first rebuilds line structure deterministically (doc_id%7+3
+    words per line) — the same injection precedent as docs_pii_scrub.
+    Output carries md5(clean_text) so result rows stay narrow. One
+    shuffle-free JVM HOF projection (plan test)."""
+    from .functions.text import filter_lines
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lw = (F.col("doc_id") % 7 + 3).cast("int")
+    toks = F.split(F.col("text"), " ")
+    n_ln = ((F.size(toks) + lw - F.lit(1)) / lw).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_ln - 1),
+                lambda i: F.array_join(F.slice(toks, i * lw + 1, lw), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = filter_lines(lined, min_words=5, blocklist=("slow",))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.md5(F.col("clean_text")).alias("kept_md5"),
+    )
+
+
+_SQL_MIXTURE = """
+WITH per AS (
+  SELECT source AS grp, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+pp AS (SELECT grp, n_docs, n_tokens, sqrt(n_tokens) AS p FROM per),
+tot AS (SELECT sum(p) AS tp FROM pp)
+SELECT grp AS source, n_docs, n_tokens, round(p / tp, 9) AS weight
+FROM pp CROSS JOIN tot
+"""
+
+
+@q("docs_source_mixture_weights", _SQL_MIXTURE)
+def docs_source_mixture_weights(spark, sf_dir):
+    """Sampling-temperature corpus mixing (`operators/sampling.
+    mixture_weights`, alpha=0.5): per-source weight proportional to
+    n_tokens^0.5, normalized — the standard scheme for re-balancing a
+    heterogeneous crawl mix. sqrt is IEEE-correctly-rounded (identical in
+    every engine); the 20-term denominator sum is rounded 6 orders of
+    magnitude above its worst-case cross-engine ulp drift. One
+    map-side-combined aggregation + broadcast scalar."""
+    from .operators.sampling import mixture_weights
+
+    d = _docs(spark, sf_dir).select("source", "text")
+    return mixture_weights(d, by="source", alpha=0.5)
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every
@@ -3482,6 +3674,9 @@ _ROTATION_FIRST = [
     "docs_compression_ratio",
     "docs_source_curation_report",
     "docs_minhash_recall_eval",
+    "docs_host_pagerank",
+    "docs_c4_line_filter",
+    "docs_source_mixture_weights",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -474,3 +474,52 @@ def scrub_pii(
         n_phones.alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+def filter_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    blocklist: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    project: bool = True,
+) -> DataFrame:
+    """C4-style LINE-level cleaning: split `text_col` on '\\n', keep lines
+    with >= min_words whitespace tokens and no blocklisted token, rejoin
+    with '\\n'. (C4 additionally requires terminal punctuation and drops
+    lines containing "javascript"/"cookie" boilerplate markers — the
+    blocklist parameter is that hook; the punctuation rule is meaningless
+    on tokenized corpora so it is not hard-coded.)
+
+    Finer-grained than document filters (gopher_filters) and different from
+    paragraph DEDUP: this drops low-signal lines within a kept document.
+
+    Scale shape: one narrow JVM higher-order-function projection per row —
+    no explode, no shuffle, no Python. project=False rewrites `text_col`
+    in place (plus counts) for pipeline/stream composition.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(ln):
+        toks = F.split(ln, " ")
+        cond = F.size(toks) >= F.lit(min_words)
+        for w in blocklist:
+            cond = cond & ~F.array_contains(toks, w)
+        return cond
+
+    kept = F.filter(lines, _keep)
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    clean = F.array_join(kept, "\n")
+    if not project:
+        return (
+            docs.withColumn("n_lines", n_lines)
+            .withColumn("n_kept_lines", n_kept)
+            .withColumn(text_col, clean)
+        )
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        clean.alias("clean_text"),
+    )

@@ -1,0 +1,100 @@
+"""Host-graph centrality: fixed-point integer PageRank over a (src, dst)
+edge DataFrame.
+
+Why this exists: a web-scale curation pipeline weights/filters documents by
+the authority of their host (seed-list expansion, spam demotion, crawl
+prioritization). The reference engine has no graph operator; this is part of
+the training-data-pipeline surface the build brief asks for, alongside the
+connected-components used by dedup (operators/dedup.py:348).
+
+Why INTEGER fixed-point: PageRank is iterated floating-point sums, and
+float addition is order-dependent — a distributed sum and a single-node
+oracle would drift by ulps that compound across iterations. All rank mass
+here is carried as BIGINT in units of 1/SCALE, every division is integer
+floor division, and every sum is exact — so Spark and any other engine
+(the DuckDB oracle in contract.py) produce BIT-IDENTICAL ranks, hashable
+by the driver with no rounding protocol.
+
+Scale notes (10^12 pages => ~10^8 hosts, ~10^9 host-level edges):
+- edges and out-degrees are computed once and cached; each iteration is
+  one partial-aggregated shuffle on dst (sum of BIGINT shares — map-side
+  combine applies) plus a broadcast of the 1-row dangling-mass aggregate.
+  Nothing driver-side except the node count (a scalar).
+- rank updates join nodes->insum on the same key each round; on a
+  bucketed lakehouse the edge table's dst-bucketing makes the per-round
+  shuffle a local exchange.
+- iterations are a fixed small constant (the contract uses 3); lineage
+  depth is bounded, no checkpointing needed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank. `edges` must be distinct (src, dst) string
+    pairs without self-loops. Returns (node, rank_fp) where rank_fp is the
+    rank scaled by `scale` and floored — exact integer arithmetic
+    throughout, so results are engine- and partitioning-independent.
+
+    Update rule (all integer ops, `div` = floor division on positives):
+      share(v)   = r(v) div outdeg(v)
+      insum(u)   = sum over edges (v,u) of share(v)
+      dangling   = sum of r(v) over nodes with no out-edges
+      r'(u)      = (scale*(den-num)) div (den*N)
+                   + (num * (insum(u) + dangling div N)) div den
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()  # scalar only; ~1e8 rows reduce to one long at 10^12 docs
+    # distinct column names everywhere: every derived frame re-joins `edges`,
+    # and shared lineage makes same-named columns ambiguous to the analyzer
+    outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).cache()
+    teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
+
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iterations):
+        shares = (
+            ranks.join(outdeg, F.col("node") == F.col("od_node"), "inner")
+            .select(F.col("node").alias("s"), F.expr("r div deg").alias("share"))
+        )
+        insum = (
+            edges.join(shares, F.col("src") == F.col("s"), "inner")
+            .groupBy(F.col("dst").alias("m_node"))
+            .agg(F.sum("share").alias("insum"))
+        )
+        dangling = (
+            ranks.join(outdeg, F.col("node") == F.col("od_node"), "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(insum, F.col("node") == F.col("m_node"), "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(insum, 0)"
+                        f" + (dang div {n}))) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -84,3 +84,48 @@ def split_assign(
         .when(bucket < F.lit(t_hi), "test")
         .otherwise("train"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    by: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled corpus-mixture weights per group: weight(g) is
+    proportional to n_tokens(g)^alpha, normalized to sum to 1. alpha=1
+    reproduces natural proportions; alpha -> 0 flattens toward uniform —
+    the standard multi-source sampling-temperature scheme for assembling a
+    training mix from heterogeneous crawl sources.
+
+    Scale shape: ONE map-side-combined aggregation down to |groups| rows
+    (thousands at most) — staged so the 1-row total derives from the tiny
+    aggregate, not a second corpus scan (without staging Spark plans two
+    full passes: the subtrees differ after pruning, so ReuseExchange never
+    fires) — then a broadcast 1-row total joins back. Output: (group,
+    n_docs, n_tokens, weight) where weight is rounded to 9 dp — the
+    per-group power is deterministic, and the 20-source denominator sum
+    differs across engines by <1e-15, far below the rounding step.
+
+    alpha=0.5 is computed via sqrt(), which IEEE-754 requires to be
+    correctly rounded — identical in every engine — while pow() carries no
+    such guarantee. Other alphas use pow() and may differ in the last ulp.
+    """
+    from ..staging import stage_scoped
+
+    per = df.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+    )
+    if alpha == 0.5:
+        p = F.sqrt(F.col("n_tokens"))
+    else:
+        p = F.pow(F.col("n_tokens"), F.lit(alpha))
+    per = stage_scoped(per.withColumn("p", p), scope="mixture_weights")
+    tot = per.agg(F.sum("p").alias("tp"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(by),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p") / F.col("tp"), 9).alias("weight"),
+    )

@@ -1,0 +1,70 @@
+"""Fixed-point PageRank: exact agreement with an independent pure-Python
+reference, partition invariance, and structural sanity."""
+
+import pyspark.sql.functions as F
+
+from fasta_windows_spark.operators.graph import SCALE, pagerank
+
+
+def _py_pagerank(edges, iterations=3, scale=SCALE):
+    """Dict-based reference using the same integer recurrence, written
+    against the spec (not the Spark code): floor division throughout."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        insum = {v: 0 for v in nodes}
+        for s, d in edges:
+            insum[d] += r[s] // out[s]
+        dang = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: (scale * 15) // (100 * n)
+            + (85 * (insum[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "a"), ("e", "d"),
+    # 'f' is dangling (in-edges only)
+    ("a", "f"), ("b", "f"),
+]
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df).collect()}
+    assert got == _py_pagerank(EDGES)
+
+
+def test_pagerank_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    a = {r["node"]: r["rank_fp"] for r in pagerank(df).collect()}
+    b = {r["node"]: r["rank_fp"] for r in pagerank(df.repartition(7)).collect()}
+    assert a == b
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # a directed ring: perfect symmetry => every node gets the same rank,
+    # and total mass stays within floor-loss of SCALE
+    ring = [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)]
+    df = spark.createDataFrame(ring, ["src", "dst"])
+    ranks = [r["rank_fp"] for r in pagerank(df).collect()]
+    assert len(set(ranks)) == 1
+    total = sum(ranks)
+    # each of 8 nodes loses < 2 units per floor op, 3 iterations
+    assert SCALE - 200 < total <= SCALE
+
+
+def test_pagerank_sink_outranks_source(spark):
+    # every node points at 'hub' -> hub must hold the highest rank
+    star = [(f"s{i}", "hub") for i in range(5)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df).collect()}
+    assert got["hub"] == max(got.values())
+    assert got["hub"] > got["s0"]

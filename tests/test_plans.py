@@ -335,3 +335,41 @@ def test_source_curation_report_no_join(spark):
 def test_bigram_and_cohort_partial_agg(spark):
     for name in ("docs_bigram_surprisal", "events_cohort_retention"):
         checks.assert_partial_aggregation(contract.queries()[name](spark, SF_DIR))
+
+
+def test_c4_line_filter_is_narrow(spark):
+    """Line-level cleaning is one JVM HOF projection: zero Exchange and a
+    (doc_id, text)-only scan (on a plain read — the contract query's only
+    Exchange is widen_scan's intentional small-input repartition)."""
+    from fasta_windows_spark.functions.text import filter_lines
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    df = filter_lines(docs, min_words=5, blocklist=("slow",))
+    checks.assert_no_shuffle(df)
+    assert checks.scan_read_schema(df) == [["doc_id", "text"]]
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    """One map-side-combined aggregation to |sources| rows, staged so the
+    1-row total derives from the TINY aggregate (exactly one corpus scan in
+    the plan), then broadcast back — never a second corpus pass or a
+    driver collect."""
+    df = contract.queries()["docs_source_mixture_weights"](spark, SF_DIR)
+    checks.assert_partial_aggregation(df)
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    # both consumers (per-group rows and the 1-row total) read the staged
+    # aggregate; the FileScan printed under InMemoryRelation is the
+    # cache-miss fallback lineage, not a second executed scan
+    assert p.count("InMemoryTableScan") == 2, p
+
+
+def test_pagerank_dangling_scalar_is_broadcast(spark):
+    """Each PageRank iteration combines the 1-row dangling aggregate via a
+    broadcast cross join (never a driver collect), and rank updates are
+    partial-aggregated sums."""
+    df = contract.queries()["docs_host_pagerank"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    checks.assert_partial_aggregation(df)

@@ -190,6 +190,44 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     )
 
 
+def extract_links_column(html_col) -> F.Column:
+    """href targets out of raw HTML as a pure JVM expression: an
+    array<string> of every absolute http(s) URL in href attributes
+    (single-, double-, or un-quoted). Relative links are skipped — host
+    attribution for them needs the base URL, which `extract_host_edges`
+    supplies separately. No Python per row."""
+    s = F.decode(html_col, "UTF-8")
+    return F.regexp_extract_all(
+        s, F.lit(r'(?i)href\s*=\s*["\']?(https?://[^"\'\s>]+)'), F.lit(1)
+    )
+
+
+def extract_host_edges(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host) edge list for the host link graph — the input
+    `operators/graph.pagerank` ranks. src is the page's own host, dst the
+    host of each absolute href (ports stripped: one host, one node);
+    self-loops dropped, edges deduped (the
+    graph is host-level, multiplicity is not rank-relevant in the
+    PageRank model used).
+
+    Scale shape: one narrow JVM pass (regexp extract + explode) then a
+    distinct on (src, dst) — the only shuffle, map-side combined. At
+    crawl scale the explode fan-out is bounded by links-per-page (~100),
+    and the distinct collapses it to the much smaller host graph."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    links = pages.select(
+        F.lower(host).alias("src"),
+        F.explode(extract_links_column(F.col(html_col))).alias("link"),
+    )
+    dst = F.regexp_extract(F.col("link"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    return (
+        links.select("src", F.lower(dst).alias("dst"))
+        .where((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
 def write_warc(records, path: str, compress: bool = False) -> None:
     """Test helper: serialize (headers-dict, payload-bytes) pairs as a WARC
     file — per-record gzip members when compress=True (the .warc.gz layout).

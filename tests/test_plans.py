@@ -373,3 +373,21 @@ def test_pagerank_dangling_scalar_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p, p
     checks.assert_partial_aggregation(df)
+
+
+def test_surprisal_buckets_staged_and_broadcast_terciles(spark):
+    """Surprisal is computed once (staged; both consumers read the cache)
+    and the 2-value tercile aggregate joins back via broadcast."""
+    df = contract.queries()["docs_surprisal_buckets"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert p.count("InMemoryTableScan") == 2, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_keep_best_ranking_is_hash_aggregate(spark):
+    """The per-component argmax rides a packed BIGINT max: pure
+    HashAggregate, never SortAggregate or a Window sort."""
+    df = contract.queries()["docs_dedup_keep_best"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "SortAggregate" not in p, p
+    assert "Window" not in p, p

@@ -167,3 +167,49 @@ def test_cli_reads_warc_by_extension(tmp_path, spark):
     stats = open(os.path.join(out_dir, "w_freq_windows.tsv")).read().splitlines()
     assert len(stats) == 1 + 4 * 4  # 64 chars/page -> 4 windows x 4 pages
     assert stats[1].startswith("https://example.org/p0\t")
+
+
+def test_extract_host_edges_from_html(spark):
+    from fasta_windows_spark.sources.warc import extract_host_edges
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/page1",
+                b'<a HREF="https://B.example/x">b</a> '
+                b"<a href='http://c.example:8080/y?z=1'>c</a> "
+                b'<a href=https://a.example/self>self</a> '
+                b'<a href="/relative/skipped">rel</a>',
+            ),
+            (
+                "http://c.example/page2",
+                b'<link href="https://a.example/css"> <a href="https://b.example/dup">'
+                b'</a><a href="https://b.example/dup2"></a>',
+            ),
+            ("https://d.example/nolinks", b"<p>plain</p>"),
+        ],
+        "url string, html binary",
+    )
+    got = {(r["src"], r["dst"]) for r in extract_host_edges(pages).collect()}
+    assert got == {
+        ("a.example", "b.example"),   # case-folded host, deduped
+        ("a.example", "c.example"),  # port stripped: one host, one node
+        ("c.example", "a.example"),
+        ("c.example", "b.example"),
+    }
+
+
+def test_host_edges_feed_pagerank(spark):
+    """The crawl-native composition: WARC pages -> host edges -> PageRank."""
+    from fasta_windows_spark.operators.graph import pagerank
+    from fasta_windows_spark.sources.warc import extract_host_edges
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://h{i}.example/p", f'<a href="https://hub.example/{i}">'.encode())
+            for i in range(4)
+        ],
+        "url string, html binary",
+    )
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank(extract_host_edges(pages)).collect()}
+    assert ranks["hub.example"] == max(ranks.values())

@@ -3832,6 +3832,27 @@ def emb_ivf_recall_eval(spark, sf_dir):
     )
 
 
+@q(
+    "docs_media_png",
+    """
+SELECT doc_id,
+       (1 + octet_length(encode(text)) % 29)::INT AS width,
+       (1 + doc_id % 5)::INT AS height
+FROM documents
+""",
+)
+def docs_media_png(spark, sf_dir):
+    """Second REAL image codec round trip: each doc's text bytes are
+    deflate-compressed into an actual 8-bit RGB PNG (real IHDR/IDAT/IEND
+    chunks with CRCs, a different scanline filter per doc via doc_id%5),
+    then `_decode_png` recovers the dimensions by walking the chunks,
+    zlib-inflating, and reversing the filters. The oracle predicts the
+    dims arithmetically; unlike BMP the container byte length is
+    deflate-dependent, hence not part of the contract."""
+    media = _mm.docs_as_png_media(_docs(spark, sf_dir))
+    return _mm.decode_media(media).select("doc_id", "width", "height")
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every
@@ -3889,6 +3910,7 @@ _ROTATION_FIRST = [
     "docs_surprisal_buckets",
     "docs_dedup_keep_best",
     "emb_ivf_recall_eval",
+    "docs_media_png",
     # r01-green, unchecked in r02
     "docs_media_meta",
     "docs_media_decode",

@@ -3,12 +3,13 @@
 Images/audio/video are carried as `binary` columns with a `media_type`
 string. The Spark-side plumbing (schema, Arrow batch shape, partitioning,
 UDF signatures) is real and tested. The codec layer behind
-``_decode_payload`` is REAL for two dependency-free container formats —
-uncompressed BI_RGB BMP (``image/bmp``) and PCM WAV (``audio/wav``),
-parsed from their actual headers with pure Python/numpy — and a
-deterministic fake for the remaining types (``image/fake``/``audio/fake``/
-``text/plain``), since this container has no compressed-codec libraries
-(JPEG/PNG/MP3 would need PIL/ffmpeg and slot into the same dispatch).
+``_decode_payload`` is REAL for three dependency-free formats —
+uncompressed BI_RGB BMP (``image/bmp``), PCM WAV (``audio/wav``), and
+8-bit non-interlaced PNG (``image/png``: zlib inflate + full scanline
+filter reversal, stdlib only) — and a deterministic fake for the
+remaining types (``image/fake``/``audio/fake``/``text/plain``), since
+this container has no lossy-codec libraries (JPEG/MP3 would need
+PIL/ffmpeg and slot into the same dispatch).
 """
 
 from __future__ import annotations
@@ -106,6 +107,8 @@ def _decode_payload(payload: bytes, media_type: str):
     the pipeline doesn't know, like a real decoder would."""
     if media_type == "image/bmp":
         return _decode_bmp(payload)
+    if media_type == "image/png":
+        return _decode_png(payload)
     if media_type == "audio/wav":
         return _decode_wav(payload)
     if media_type not in ("image/fake", "audio/fake", "text/plain"):
@@ -179,6 +182,195 @@ def encode_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
         + bytes(16)                                # ppm x/y, palette counts
         + rows
     )
+
+
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _png_pixels(payload: bytes):
+    """REAL PNG reader core (ISO/IEC 15948): signature, chunk walk (IHDR/
+    IDAT/IEND, CRC-carrying), zlib-inflate of the concatenated IDAT stream,
+    and full reversal of all five scanline filters (None/Sub/Up/Average/
+    Paeth). Supports 8-bit depth, color types 0/2/6, non-interlaced —
+    i.e. the overwhelmingly common PNG shape; palette/16-bit/Adam7 raise
+    like any codec on an unsupported profile. Returns (width, height,
+    channels, raw_pixel_bytes)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, width = 8, b"", None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, color_type, interlace = data[8], data[9], data[12]
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color_type}")
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride, bpp = width * channels, channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("truncated PNG scanline data")
+    out, prev = bytearray(), bytearray(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return width, height, channels, bytes(out)
+
+
+def _decode_png(payload: bytes):
+    width, height, _channels, pixels = _png_pixels(payload)
+    return width, height, _hist_features(pixels)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixel_bytes: bytes,
+    channels: int = 3,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal REAL PNG writer (8-bit gray/RGB/RGBA, non-interlaced):
+    applies the requested scanline filter FORWARD on every row (so the
+    decoder's filter reversal is exercised per type), deflates, and emits
+    signature + IHDR/IDAT/IEND with real CRCs. `_png_pixels` must invert
+    it bit-for-bit. pixel_bytes is zero-padded/truncated to fit."""
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    need = stride * height
+    px = (pixel_bytes + b"\x00" * need)[:need]
+    raw, prev = bytearray(), bytearray(stride)
+    for y in range(height):
+        row = bytearray(px[y * stride : (y + 1) * stride])
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            elif filter_type == 4:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"unknown PNG filter type {filter_type}")
+            filt[i] = (row[i] - pred) & 0xFF
+        raw += bytes([filter_type]) + filt
+        prev = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def docs_as_png_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapter: render each document's text bytes as a REAL RGB PNG whose
+    dimensions are deterministic row functions — width = 1 + length(text)
+    % 29, height = 1 + doc_id % 5 — so a SQL oracle predicts exactly what
+    `_decode_png` must parse back out of IHDR after a real zlib inflate +
+    filter reversal. (Unlike BMP, the container byte length is NOT
+    SQL-predictable: it depends on deflate output.)"""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                payloads.append(
+                    encode_png(
+                        1 + len(data) % 29,
+                        1 + int(doc_id) % 5,
+                        data,
+                        channels=3,
+                        filter_type=int(doc_id) % 5,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(compute, schema)
+
 
 
 def docs_as_bmp_media(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -370,24 +370,36 @@ def clean_pages_stream(
     blocklist: DataFrame | None = None,
     watermark: str = "10 minutes",
     min_words: int = 20,
+    line_min_words: int = 0,
+    line_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """End-to-end streaming corpus curation — the full C4/Gopher cleaning
     pass as ONE streaming plan: host blocklist (broadcast anti-join, no
     state) -> URL dedup within the watermark horizon (the only stateful
-    stage, state bounded by the horizon) -> Gopher quality gate -> PII
-    scrub (both stateless JVM projections). Emits cleaned page rows ready
-    for an exactly-once sink or the window-statistics aggregation.
+    stage, state bounded by the horizon) -> line-level cleaning
+    (`filter_lines`, when line_min_words > 0 or a line blocklist is given)
+    -> Gopher quality gate over the CLEANED text -> PII scrub (all
+    stateless JVM projections). Emits cleaned page rows ready for an
+    exactly-once sink or the window-statistics aggregation.
 
     The same call composes in BATCH mode, where the dedup stage is plain
     dropDuplicates on url (dropDuplicatesWithinWatermark rejects static
     Datasets) — which is what the stream==batch differential test
     exploits."""
-    from ..functions.text import gopher_filters, scrub_pii
+    from ..functions.text import filter_lines, gopher_filters, scrub_pii
 
     s = with_host(pages)
     if blocklist is not None:
         s = s.join(F.broadcast(blocklist.select("host")), "host", "left_anti")
     s = dedup_urls_stream(s, watermark) if s.isStreaming else s.dropDuplicates(["url"])
+    if line_min_words > 0 or line_blocklist:
+        s = filter_lines(
+            s,
+            text_col="text",
+            min_words=line_min_words,
+            blocklist=line_blocklist,
+            project=False,
+        )
     s = gopher_filters(
         s, text_col="text", id_col="url", min_words=min_words, project=False
     )

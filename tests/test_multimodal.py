@@ -148,3 +148,83 @@ def test_sample_frames_matches_python_reference(spark):
         for r in sample_frames(spark.createDataFrame(pdf)).collect()
     )
     assert got == sorted(expected)
+
+
+def test_decode_png_handbuilt_canonical():
+    """A PNG assembled by hand from the spec (NOT via encode_png, so a
+    shared encoder/decoder bug can't cancel): 2x2 RGB, row 0 filtered
+    with Sub, row 1 with Up — both computed manually."""
+    import struct
+    import zlib
+
+    from fasta_windows_spark.multimodal.decode import _png_pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1 = bytes([11, 22, 33, 44, 55, 66])
+    # Sub on row0: first pixel verbatim, second minus first
+    f0 = bytes([1]) + bytes([10, 20, 30, 30, 30, 30])
+    # Up on row1: minus row0 bytewise
+    f1 = bytes([2]) + bytes([(row1[i] - row0[i]) & 0xFF for i in range(6)])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(f0 + f1))
+        + chunk(b"IEND", b"")
+    )
+    assert _png_pixels(png) == (2, 2, 3, row0 + row1)
+
+
+def test_encode_decode_png_roundtrip_all_filters_and_channels():
+    from fasta_windows_spark.multimodal.decode import _png_pixels, encode_png
+
+    for channels in (1, 3, 4):
+        for ft in range(5):
+            w, h = 7, 4
+            px = bytes((i * 37 + ft) % 256 for i in range(w * h * channels))
+            got = _png_pixels(encode_png(w, h, px, channels=channels, filter_type=ft))
+            assert got == (w, h, channels, px), (channels, ft)
+
+
+def test_decode_png_rejects_unsupported_profiles():
+    import pytest as _pytest
+
+    from fasta_windows_spark.multimodal.decode import _png_pixels, encode_png
+
+    with _pytest.raises(ValueError):
+        _png_pixels(b"not a png at all....")
+    png = bytearray(encode_png(2, 2, bytes(12)))
+    png[8 + 8 + 8] = 16  # bit depth byte inside IHDR
+    with _pytest.raises(NotImplementedError):
+        _png_pixels(bytes(png))
+    png = bytearray(encode_png(2, 2, bytes(12)))
+    png[8 + 8 + 12] = 1  # interlace byte
+    with _pytest.raises(NotImplementedError):
+        _png_pixels(bytes(png))
+
+
+def test_spark_png_pipeline_parses_real_headers(spark):
+    """End-to-end: text -> real PNG payloads -> mapInPandas decode; dims
+    must come back out of actual IHDR bytes after zlib inflate + filter
+    reversal (every doc uses a different filter type via doc_id % 5)."""
+    from fasta_windows_spark.multimodal.decode import (
+        decode_media,
+        docs_as_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(10)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decode_media(docs_as_png_media(docs)).collect()}
+    for i in range(10):
+        n = len(("word " * (i + 1)).encode())
+        assert out[i]["width"] == 1 + n % 29
+        assert out[i]["height"] == 1 + i % 5

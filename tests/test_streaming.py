@@ -680,15 +680,22 @@ def test_blocklist_stream_static_join_matches_batch(spark, pages_dir, pages_pdf,
 
 
 def test_clean_pages_stream_matches_batch(spark, tmp_path):
-    """Full streaming curation pass (blocklist -> URL dedup -> Gopher gate
-    -> PII scrub) == the SAME composition run in batch mode, on a corpus
-    with duplicate urls, short pages, a blocked host, and injected emails."""
+    """Full streaming curation pass (blocklist -> URL dedup -> line filter
+    -> Gopher gate -> PII scrub) == the SAME composition run in batch
+    mode, on a corpus with duplicate urls, short pages, a blocked host,
+    boilerplate lines, and injected emails."""
     pdf = P.gen_pages(n_pages=300, n_hosts=6, seed=7)
     texts = []
     for i in range(len(pdf)):
         words = "the quick brown fox %d " % i * (i % 40)
         if i % 5 == 0:
             words += "contact a%d@b.com" % i
+        # boilerplate lines the line filter must drop: a cookie banner
+        # (blocklisted token) and a too-short nav line
+        if i % 3 == 0:
+            words += "\nthis site uses a cookie banner ok"
+        if i % 4 == 0:
+            words += "\nclick here now"
         texts.append(words.strip())
     pdf = pdf.assign(text=texts)
     pdf = __import__("pandas").concat([pdf, pdf.iloc[:100]], ignore_index=True)
@@ -701,9 +708,10 @@ def test_clean_pages_stream_matches_batch(spark, tmp_path):
 
     out, ckpt = str(tmp_path / "clean_out"), str(tmp_path / "clean_ck")
     q = S.write_exactly_once(
-        S.clean_pages_stream(S.read_pages_stream(spark, d), blocked).select(
-            "url", "host", "text", "n_emails"
-        ),
+        S.clean_pages_stream(
+            S.read_pages_stream(spark, d), blocked,
+            line_min_words=4, line_blocklist=("cookie",),
+        ).select("url", "host", "text", "n_emails"),
         out,
         ckpt,
     )
@@ -712,7 +720,9 @@ def test_clean_pages_stream_matches_batch(spark, tmp_path):
 
     want = {
         (r["url"], r["text"], r["n_emails"])
-        for r in S.clean_pages_stream(batch, blocked)
+        for r in S.clean_pages_stream(
+            batch, blocked, line_min_words=4, line_blocklist=("cookie",)
+        )
         .select("url", "text", "n_emails")
         .collect()
     }
@@ -721,6 +731,8 @@ def test_clean_pages_stream_matches_batch(spark, tmp_path):
     assert hosts[0] not in {r["host"] for r in got}, "blocked host survived"
     joined = " ".join(r["text"] for r in got)
     assert "@b.com" not in joined and "<EMAIL>" in joined
+    assert "cookie" not in joined, "blocklisted boilerplate line survived"
+    assert "click here now" not in joined, "short nav line survived"
     # the word-count gate actually dropped something and kept something
     assert 0 < len(got) < len({r["url"] for r in batch.select("url").collect()})
 

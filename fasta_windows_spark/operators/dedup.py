@@ -176,6 +176,7 @@ def rare_shingle_jaccard_pairs(
     max_df: int = 20,
     min_jaccard: float = 0.4,
     stage: bool = True,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup via an inverted index over *rare* word
     shingles (document frequency <= max_df): the standard trick that keeps
@@ -192,15 +193,29 @@ def rare_shingle_jaccard_pairs(
     10 parquet scans -> 2). Caches are scope-managed: each call releases
     the previous call's pair (staging.stage_scoped), so repeated invocation
     cannot accumulate cache. At 100 TB the same staging is a bucketed
-    intermediate table write instead of executor-memory/disk cache."""
+    intermediate table write instead of executor-memory/disk cache.
+
+    `hash_shingles=True` (default) carries shingles as xxhash64 longs
+    instead of ~25-byte strings through every downstream shuffle (the
+    document-frequency groupBy and both self-join sides): ~3x fewer
+    shuffle bytes and cheaper comparisons, measured ~12% wall locally.
+    Output exposes only doc pairs and COUNTS, so the only semantic risk
+    is a 64-bit collision inflating n_common (P ~ n_shingles^2 / 2^65 —
+    ~1e-7 at 10^6 distinct shingles); set False to reproduce exact string
+    semantics (the DuckDB oracle's form)."""
     # (doc, shingle) distinct == per-doc dedup, so array_distinct BEFORE the
     # explode does it narrowly — no shuffle-distinct over the exploded table
+    shingle_expr = (
+        f"array_join(slice(split({text_col}, ' '), i+1, {shingle_words}), ' ')"
+    )
+    if hash_shingles:
+        shingle_expr = f"xxhash64({shingle_expr})"
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.expr(
                 f"array_distinct(transform(sequence(0, size(split({text_col}, ' '))-{shingle_words}), "
-                f"i -> array_join(slice(split({text_col}, ' '), i+1, {shingle_words}), ' ')))"
+                f"i -> {shingle_expr}))"
             )
         ).alias("shingle"),
     )

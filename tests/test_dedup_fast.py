@@ -161,3 +161,22 @@ def test_connected_components_raises_without_convergence(spark):
     nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(21))}))
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iter=1)
+
+
+def test_jaccard_hashed_shingles_equal_string_shingles(spark):
+    """The xxhash64 shingle path must produce the IDENTICAL pair set and
+    counts as the exact string path (collisions are ~2^-65-scale; any
+    disagreement here is a logic bug, not a collision)."""
+    from fasta_windows_spark.operators.dedup import rare_shingle_jaccard_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {
+        tuple(r)
+        for r in rare_shingle_jaccard_pairs(docs, hash_shingles=True).collect()
+    }
+    b = {
+        tuple(r)
+        for r in rare_shingle_jaccard_pairs(docs, hash_shingles=False).collect()
+    }
+    assert a == b and len(a) > 0

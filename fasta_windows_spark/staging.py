@@ -35,13 +35,20 @@ _LOCK = threading.Lock()
 def stage_scoped(df: DataFrame, scope: str) -> DataFrame:
     with _LOCK:
         prev_list = _STAGED.pop(scope, [])
-        staged = df.persist()
-        _STAGED[scope] = [staged]
+    # Release the previous cache BEFORE persisting the new one: Spark's
+    # CacheManager keys caches by LOGICAL PLAN, so when a re-invoked
+    # operator stages the same plan, persist-then-unpersist would drop the
+    # freshly-registered cache along with the old entry — every second
+    # invocation silently lost its staging (caught by the plan tests
+    # running after the oracle sweep in a full-suite session).
     for prev in prev_list:
         try:
             prev.unpersist()
         except Exception:
             pass  # session may be gone; nothing to release
+    with _LOCK:
+        staged = df.persist()
+        _STAGED[scope] = [staged]
     return staged
 
 

@@ -1,0 +1,38 @@
+"""Suite-wide plan invariants: sweep EVERY contract query's physical plan
+(not just the individually plan-tested ones) so a future query with a
+quadratic join or a row-at-a-time Python UDF fails here even without a
+dedicated test."""
+
+from fasta_windows_spark import contract
+from fasta_windows_spark.plans.audit import audit_all
+from tests.conftest import SF_DIR
+
+
+def test_no_cartesian_product_and_no_row_python_anywhere(spark):
+    rows = audit_all(spark, SF_DIR)
+    assert len(rows) == len(contract.queries())
+    cartesian = [n for n, c in rows.items() if c["cartesian"]]
+    row_py = [n for n, c in rows.items() if c["row_py"]]
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not row_py, f"row-at-a-time BatchEvalPython in: {row_py}"
+
+
+def test_python_boundaries_are_vectorized_and_rare(spark):
+    """Python appears only via Arrow-vectorized boundaries, and only in
+    the operators whose work is inherently Python-shaped (the window
+    kernel, codecs, BLAS top-k, PCA partials, zlib ratio)."""
+    rows = audit_all(spark, SF_DIR)
+    with_py = {n for n, c in rows.items() if c["arrow_py"]}
+    allowed_prefixes = ("doc_windows_", "docs_media_", "docs_frame_")
+    allowed_exact = {
+        "emb_knn_topk",
+        "emb_pca_project",
+        "docs_compression_ratio",
+        "doc_source_ngram_agg",
+    }
+    unexpected = {
+        n
+        for n in with_py
+        if not n.startswith(allowed_prefixes) and n not in allowed_exact
+    }
+    assert not unexpected, f"unexpected Python boundary in: {unexpected}"

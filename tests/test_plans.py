@@ -391,3 +391,14 @@ def test_keep_best_ranking_is_hash_aggregate(spark):
     p = checks.plan_string(df, "simple")
     assert "SortAggregate" not in p, p
     assert "Window" not in p, p
+
+
+def test_stage_scoped_survives_reinvocation(spark):
+    """Re-invoking a staged operator must KEEP its cache: Spark's
+    CacheManager keys by logical plan, so the old persist-then-unpersist
+    order dropped the fresh cache whenever the re-staged plan was
+    identical — every second invocation silently lost its staging."""
+    q = contract.queries()["docs_source_mixture_weights"]
+    q(spark, SF_DIR).count()  # first invocation stages and runs
+    p = checks.plan_string(q(spark, SF_DIR), "simple")  # second invocation
+    assert p.count("InMemoryTableScan") == 2, p

@@ -113,3 +113,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+):
+    """Materialize a DataFrame as a hash-BUCKETED (and optionally
+    sort-ordered) table — the lakehouse form behind every "co-located
+    join" claim in this repo: two tables bucketed the same way on the
+    same key equi-join and groupBy with ZERO Exchange (and with
+    `sort=True`, zero Sort), because the bucket layout IS the shuffle,
+    paid once at write time and amortized over every downstream query.
+    At 100 TB this replaces executor-cache staging for reused
+    intermediates (see staging.py) and makes the dedup/component joins
+    local. `tests/test_bucketing.py` pins the zero-Exchange plan.
+
+    Spark only honors bucket metadata through the catalog, so this is a
+    saveAsTable (managed by spark.sql.warehouse.dir), not a path write.
+    Returns the catalog-backed DataFrame."""
+    w = df.write.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+    return df.sparkSession.table(table)

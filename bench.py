@@ -40,10 +40,13 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, fn, sf_dir: str, repeats: int = 2) -> float:
+def run_query(spark, fn, sf_dir: str, repeats: int = 3) -> float:
     """Min-of-k wall per query: this VM's sustained rate drifts +-20-50%
     between identical runs (hypervisor contention), so a single shot mostly
-    measures ambient load; the minimum removes additive noise."""
+    measures ambient load; the minimum removes additive noise. Min-of-3
+    (was 2): observed same-session spreads of 1.6x on the join-heavy
+    queries under throttle windows — a third sample costs ~15 s total and
+    roughly halves the odds the recorded number is a throttled one."""
     best = None
     for _ in range(repeats):
         spark.catalog.clearCache()

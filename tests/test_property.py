@@ -103,3 +103,67 @@ def test_concat_entry_point_equals_list_entry_point(texts, w):
     assert np.array_equal(a[3], b[3])
     for k in K.KMER_KS:
         assert np.array_equal(a[4][k], b[4][k])
+
+
+# --- pure-Python mirrors of the new operators, property-tested without a
+# SparkSession (the Spark paths are pinned to these semantics by the
+# reference tests in test_text_filters.py / test_graph.py) ---------------
+
+
+def _py_line_filter(text, min_words=3, blocked=("bad",)):
+    kept = [
+        ln
+        for ln in text.split("\n")
+        if len(ln.split(" ")) >= min_words
+        and not any(w in ln.split(" ") for w in blocked)
+    ]
+    return "\n".join(kept)
+
+
+line_text = st.text(alphabet=" \nabz", min_size=0, max_size=120)
+
+
+@given(line_text)
+@settings(max_examples=120, deadline=None)
+def test_line_filter_is_idempotent(text):
+    """filter(filter(x)) == filter(x): every kept line already satisfies
+    the predicate, so a second pass changes nothing."""
+    once = _py_line_filter(text)
+    assert _py_line_filter(once) == once
+
+
+@given(line_text)
+@settings(max_examples=120, deadline=None)
+def test_line_filter_output_lines_satisfy_predicate(text):
+    out = _py_line_filter(text)
+    if not out:
+        return
+    for ln in out.split("\n"):
+        toks = ln.split(" ")
+        assert len(toks) >= 3 and "bad" not in toks
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(edges_strategy)
+@settings(max_examples=80, deadline=None)
+def test_pagerank_reference_conserves_mass_and_positivity(edges):
+    """The fixed-point recurrence keeps total mass in (SCALE - loss,
+    SCALE] where loss is bounded by floor ops (< 3 per node per
+    iteration), and every rank is at least the teleport term."""
+    from tests.test_graph import _py_pagerank
+
+    scale = 10**12
+    r = _py_pagerank(edges, iterations=3, scale=scale)
+    n = len(r)
+    total = sum(r.values())
+    assert total <= scale
+    assert total > scale - 6 * n * 3  # floor-loss bound
+    teleport = (scale * 15) // (100 * n)
+    assert all(v >= teleport for v in r.values())

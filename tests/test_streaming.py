@@ -770,3 +770,32 @@ def test_streaming_distinct_urls_equals_batch(spark, pages_dir, pages_pdf, tmp_p
     }
     for k, (approx, _) in got.items():
         assert abs(approx - exact[k]) <= max(2, 0.15 * exact[k]), (k, approx, exact[k])
+
+
+def test_deterministic_sampling_composes_with_streams(spark, pages_dir, tmp_path):
+    """stratified_sample is a stateless md5-bucket filter, so it runs
+    unchanged inside a streaming plan — and because membership is a pure
+    function of the key, the streamed sample EQUALS the batch sample on
+    the same input (rand()-based sampling could never promise this)."""
+    from fasta_windows_spark.operators.sampling import stratified_sample
+
+    rates = {"en": 0.5, "de": 0.25}
+    out, ck = str(tmp_path / "smp_out"), str(tmp_path / "smp_ck")
+    q = S.write_exactly_once(
+        stratified_sample(
+            S.read_pages_stream(spark, pages_dir),
+            rates, stratum_col="lang", key_col="url",
+        ).select("url"),
+        out, ck,
+    )
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    batch = spark.read.parquet(pages_dir)
+    want = {
+        r["url"]
+        for r in stratified_sample(
+            batch, rates, stratum_col="lang", key_col="url"
+        ).select("url").collect()
+    }
+    assert got == want
+    assert 0 < len(got) < batch.count()

@@ -1762,19 +1762,27 @@ def docs_split_assign(spark, sf_dir):
     return _sampling.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
-@q(
-    "docs_unigram_surprisal",
-    """
-WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
+# Shared unigram-LM CTEs (sur = per-doc rounded bits/token). Used by BOTH
+# docs_unigram_surprisal and docs_surprisal_buckets so the two oracles
+# cannot drift — the bucket thresholds must be computed over the SAME
+# rounded values the surprisal query emits.
+_SQL_UNI_SUR_CTE = """
+tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
 vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
-tot AS (SELECT sum(cnt) AS total FROM vocab)
-SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
-       round(log2(tot.total) - sum(tf.tf * log2(vocab.cnt)) / sum(tf.tf), 6)
-         AS bits_per_token
-FROM tf JOIN vocab USING (tok), tot
-GROUP BY tf.doc_id, tot.total
-""",
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+sur AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         round(log2(tot.total) - sum(tf.tf * log2(vocab.cnt)) / sum(tf.tf), 6)
+           AS bits_per_token
+  FROM tf JOIN vocab USING (tok), tot
+  GROUP BY tf.doc_id, tot.total
+)"""
+
+
+@q(
+    "docs_unigram_surprisal",
+    f"WITH {_SQL_UNI_SUR_CTE}\nSELECT doc_id, n_tokens, bits_per_token FROM sur",
 )
 def docs_unigram_surprisal(spark, sf_dir):
     """Per-doc bits/token under the corpus unigram LM — the KenLM-free
@@ -3631,23 +3639,6 @@ def docs_source_mixture_weights(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("source", "text")
     return mixture_weights(d, by="source", alpha=0.5)
-
-
-# Shared unigram-LM CTEs (sur = per-doc rounded bits/token); used by
-# docs_unigram_surprisal's sibling below — the bucket thresholds must be
-# computed over the SAME rounded values the surprisal query emits.
-_SQL_UNI_SUR_CTE = """
-tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
-tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
-vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
-tot AS (SELECT sum(cnt) AS total FROM vocab),
-sur AS (
-  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
-         round(log2(tot.total) - sum(tf.tf * log2(vocab.cnt)) / sum(tf.tf), 6)
-           AS bits_per_token
-  FROM tf JOIN vocab USING (tok), tot
-  GROUP BY tf.doc_id, tot.total
-)"""
 
 
 @q(

@@ -2154,6 +2154,32 @@ def docs_length_quantiles_by_lang(spark, sf_dir):
     )
 
 
+@q("docs_length_quantiles_by_lang_approx")  # rows-only: t-digest sketch
+def docs_length_quantiles_by_lang_approx(spark, sf_dir):
+    """The 100 TB path for grouped quantiles: `approx_percentile` t-digest
+    sketches with map-side partial merge — per-group state is O(sketch),
+    not O(group values), so a billion-row language can't blow the
+    aggregation buffer the exact typed-buffer percentile needs. Sketch
+    internals are engine-specific (rows-only at the driver);
+    `test_grouped_quantiles_approx_agrees_with_exact` pins it to the
+    exact oracle-checked twin at test scale (accuracy 10^5 >> corpus, so
+    the medians are exact here)."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx(
+            "n_chars", [0.25, 0.50, 0.75], 100000
+        ).alias("q"),
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        _r6(F.col("q")[0].cast("double")).alias("p25"),
+        _r6(F.col("q")[1].cast("double")).alias("p50"),
+        _r6(F.col("q")[2].cast("double")).alias("p75"),
+    )
+
+
 @q("emb_pca_project")  # rows-only: eigen-decomposition is not SQL-expressible
 def emb_pca_project(spark, sf_dir):
     """Tall-skinny PCA over the embedding table (operators/linalg.py):

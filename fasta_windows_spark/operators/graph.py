@@ -69,7 +69,13 @@ def pagerank(
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
 
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it > 0 and it % 5 == 0:
+            # iterative plans grow linearly; truncate lineage every few
+            # rounds (same protocol as dedup.connected_components) so a
+            # 20-iteration run neither recompiles a 20-deep plan per
+            # action nor recomputes from the scan on a task retry
+            ranks = ranks.localCheckpoint(eager=True)
         shares = (
             ranks.join(outdeg, F.col("node") == F.col("od_node"), "inner")
             .select(F.col("node").alias("s"), F.expr("r div deg").alias("share"))

@@ -68,3 +68,12 @@ def test_pagerank_sink_outranks_source(spark):
     got = {r["node"]: r["rank_fp"] for r in pagerank(df).collect()}
     assert got["hub"] == max(got.values())
     assert got["hub"] > got["s0"]
+
+
+def test_pagerank_long_iteration_chain_with_lineage_truncation(spark):
+    """7 iterations crosses the localCheckpoint threshold; the result must
+    still match the reference exactly (checkpointing must not change the
+    arithmetic)."""
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df, iterations=7).collect()}
+    assert got == _py_pagerank(EDGES, iterations=7)

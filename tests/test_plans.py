@@ -402,3 +402,35 @@ def test_stage_scoped_survives_reinvocation(spark):
     q(spark, SF_DIR).count()  # first invocation stages and runs
     p = checks.plan_string(q(spark, SF_DIR), "simple")  # second invocation
     assert p.count("InMemoryTableScan") == 2, p
+
+
+def test_grouped_quantiles_approx_agrees_with_exact(spark):
+    """t-digest grouped quantiles vs ground truth. Exact percentile
+    INTERPOLATES while the sketch returns an actual sample, and rank
+    conventions differ by one between engines — so per group the approx
+    value must be an order statistic within one position of the quantile
+    index (convention-free, tight at any group size), and the plan must
+    carry partial (map-side) sketch aggregation."""
+    import math
+
+    import pandas as pd
+
+    approx = (
+        contract.queries()["docs_length_quantiles_by_lang_approx"](spark, SF_DIR)
+        .toPandas().set_index("lang").sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["lang", "n_chars"])
+    for lang, grp in docs.groupby("lang"):
+        v = grp["n_chars"].sort_values().to_numpy()
+        n = len(v)
+        for q, col in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):
+            pos = (n - 1) * q
+            lo = v[max(0, math.floor(pos) - 1)]
+            hi = v[min(n - 1, math.ceil(pos) + 1)]
+            a = approx.loc[lang, col]
+            assert lo - 1e-9 <= a <= hi + 1e-9, (lang, col, a, lo, hi)
+    p = checks.plan_string(
+        contract.queries()["docs_length_quantiles_by_lang_approx"](spark, SF_DIR),
+        "simple",
+    )
+    assert "partial_percentile_approx" in p, p

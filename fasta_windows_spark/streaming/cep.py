@@ -185,3 +185,172 @@ def burst_purchase_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- eventual-funnel CEP: view -> click -> purchase within horizon -----------
+
+FUNNEL_STATE_SCHEMA = (
+    "buf_ts ARRAY<LONG>, buf_eid ARRAY<LONG>, buf_type ARRAY<STRING>, "
+    "t_view LONG, t_click LONG, closed LONG"
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+    ]
+)
+
+
+def _funnel_advance(buf, t_view, t_click, wm_us, steps, horizon_us, user_id, rows):
+    """Advance the first-touch chain over the finalized prefix (ts <=
+    wm_us, processed in (ts, event_id) order — the batch engine's order).
+    Returns (remaining_buf, t_view, t_click, done). Chain semantics match
+    operators/sequence.funnel_first_chain: strictly increasing timestamps,
+    every later step within `horizon_us` of funnel entry."""
+    s1, s2, s3 = steps
+    buf.sort()
+    remaining = []
+    for ts, eid, et in buf:
+        if ts > wm_us:
+            remaining.append((ts, eid, et))
+            continue
+        if t_view is None:
+            if et == s1:
+                t_view = ts
+        elif t_click is None:
+            if et == s2 and t_view < ts <= t_view + horizon_us:
+                t_click = ts
+        else:
+            if et == s3 and t_click < ts <= t_view + horizon_us:
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "view_us": t_view,
+                        "click_us": t_click,
+                        "purchase_us": ts,
+                    }
+                )
+                return [], t_view, t_click, True
+    return remaining, t_view, t_click, False
+
+
+def make_funnel_update(steps: tuple, horizon_us: int):
+    def update(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        rows: list[dict] = []
+
+        if state.exists:
+            buf_ts, buf_eid, buf_type, t_view, t_click, closed = state.get
+            buf = list(zip(buf_ts, buf_eid, buf_type))
+        else:
+            buf, t_view, t_click, closed = [], None, None, 0
+
+        if closed:
+            # Terminal tombstone: this user's first-touch chain already
+            # completed (emitted) or expired (can never complete). Batch
+            # anchors at the key's GLOBAL earliest entry, so a later view
+            # must NOT restart the funnel — drain input, emit nothing,
+            # leave the tombstone in place (no timeout re-armed, so it
+            # never fires again; per-invocation timeout reset clears any
+            # previously armed timer).
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame(
+                [], columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]
+            )
+            return
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+                for ts, eid, et in zip(
+                    ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()
+                ):
+                    buf.append((int(ts), int(eid), et))
+
+        buf, t_view, t_click, done = _funnel_advance(
+            buf, t_view, t_click, wm_us, steps, horizon_us, user_id, rows
+        )
+        expired = t_view is not None and wm_us > t_view + horizon_us
+        if t_view is None and not buf:
+            # no entry and nothing unfinalized — fully evictable
+            state.remove()
+        elif done or expired:
+            # First-touch entry never restarts: batch semantics anchor at
+            # the key's earliest view, so once that chain completed or its
+            # horizon lapsed the user is terminally closed. Collapse to an
+            # O(1) tombstone (empty buffer, closed=1) — the buffered events
+            # can't advance a closed chain and future ones arrive above the
+            # already-lapsed horizon. This is the semantics' inherent state
+            # floor (one tiny row per entered user), same class as the
+            # burst operator's permanent (run_len, max_ts) pair.
+            state.update(([], [], [], t_view, t_click or 0, 1))
+        else:
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    [b[1] for b in buf],
+                    [b[2] for b in buf],
+                    t_view,
+                    t_click,
+                    0,
+                )
+            )
+            fires = []
+            if buf:
+                fires.append(min(b[0] for b in buf) // 1000)
+            if t_view is not None and not expired:
+                fires.append((t_view + horizon_us) // 1000)
+            if fires:
+                state.setTimeoutTimestamp(max(min(fires) + 1, wm_ms + 1))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]
+        )
+
+    return update
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    horizon: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming first-touch funnel `view -> click -> purchase within
+    horizon of entry` — the EVENTUAL pattern class (the burst operator
+    covers the CONTIGUOUS class), incrementally per user with the same
+    watermark-ordered buffered-state protocol as burst_purchase_stream.
+    Emits each completing user's (view, click, purchase) exactly once, as
+    soon as the purchase is watermark-finalized; batch semantics are
+    operators/sequence.funnel_first_chain, asserted equal by the
+    stream==batch differential test. The growable state is
+    watermark-bounded: the unfinalized buffer by the delay, the chain
+    registers by t_view+horizon. A completed-or-lapsed user collapses to
+    a permanent O(1) tombstone — required because batch anchors at the
+    GLOBAL earliest view, so a later view must not restart the funnel;
+    one tiny row per entered user is the semantics' inherent floor (the
+    burst operator's (run_len, max_ts) residue is the same class)."""
+    n, unit = horizon.split()
+    horizon_us = int(n) * {"hours": 3_600, "hour": 3_600, "minutes": 60,
+                           "minute": 60, "seconds": 1, "second": 1}[unit] * 1_000_000
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_funnel_update(tuple(steps), horizon_us),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

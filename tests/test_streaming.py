@@ -799,3 +799,47 @@ def test_deterministic_sampling_composes_with_streams(spark, pages_dir, tmp_path
     }
     assert got == want
     assert 0 < len(got) < batch.count()
+
+
+def test_cep_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming eventual-funnel CEP (view -> click -> purchase within
+    24 h of entry) must emit EXACTLY the batch funnel rows whose purchase
+    the final watermark finalized — same rows, no extras, no duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark import contract
+    from fasta_windows_spark.streaming.cep import funnel_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    src = str(tmp_path / "funnel_stream_src")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "funnel_out")
+    q = S.write_exactly_once(
+        funnel_stream(stream, horizon="24 hours", watermark="1 hour"),
+        out,
+        str(tmp_path / "funnel_ck"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas().dropna()
+    got_set = {tuple(int(v) for v in r) for r in got.to_numpy()}
+    assert len(got_set) == len(got), "duplicate emissions"
+
+    batch = contract.queries()["events_funnel_conversion"](spark, sf_dir).toPandas()
+    wm_final_us = int(ev["ts"].max().value // 1_000) - 3_600 * 1_000_000
+    exp = batch[batch["purchase_us"] <= wm_final_us]
+    exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
+    assert len(exp_set) > 0, "fixture produced no finalized conversions"
+    assert got_set == exp_set

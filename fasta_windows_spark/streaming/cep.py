@@ -187,57 +187,52 @@ def burst_purchase_stream(
     )
 
 
-# --- eventual-funnel CEP: view -> click -> purchase within horizon -----------
+# --- eventual-funnel CEP: step_1 -> ... -> step_S within horizon -------------
 
 FUNNEL_STATE_SCHEMA = (
     "buf_ts ARRAY<LONG>, buf_eid ARRAY<LONG>, buf_type ARRAY<STRING>, "
-    "t_view LONG, t_click LONG, closed LONG"
-)
-
-FUNNEL_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("view_us", T.LongType()),
-        T.StructField("click_us", T.LongType()),
-        T.StructField("purchase_us", T.LongType()),
-    ]
+    "t_steps ARRAY<LONG>, closed LONG"
 )
 
 
-def _funnel_advance(buf, t_view, t_click, wm_us, steps, horizon_us, user_id, rows):
+def funnel_output_schema(steps: tuple) -> T.StructType:
+    """user_id + one `<step>_us` epoch-micros column per step (the batch
+    operator's t_<step> columns in micros)."""
+    return T.StructType(
+        [T.StructField("user_id", T.LongType())]
+        + [T.StructField(f"{s}_us", T.LongType()) for s in steps]
+    )
+
+
+def _funnel_advance(buf, t_steps, wm_us, steps, horizon_us, user_id, rows, cols):
     """Advance the first-touch chain over the finalized prefix (ts <=
     wm_us, processed in (ts, event_id) order — the batch engine's order).
-    Returns (remaining_buf, t_view, t_click, done). Chain semantics match
-    operators/sequence.funnel_first_chain: strictly increasing timestamps,
-    every later step within `horizon_us` of funnel entry."""
-    s1, s2, s3 = steps
+    Returns (remaining_buf, t_steps, done). Chain semantics match
+    operators/sequence.funnel_first_chain for any step count: entry is the
+    earliest step-1 event, each later step greedily takes the earliest
+    event strictly after the previous step and within `horizon_us` of
+    entry."""
     buf.sort()
     remaining = []
     for ts, eid, et in buf:
         if ts > wm_us:
             remaining.append((ts, eid, et))
             continue
-        if t_view is None:
-            if et == s1:
-                t_view = ts
-        elif t_click is None:
-            if et == s2 and t_view < ts <= t_view + horizon_us:
-                t_click = ts
-        else:
-            if et == s3 and t_click < ts <= t_view + horizon_us:
-                rows.append(
-                    {
-                        "user_id": user_id,
-                        "view_us": t_view,
-                        "click_us": t_click,
-                        "purchase_us": ts,
-                    }
-                )
-                return [], t_view, t_click, True
-    return remaining, t_view, t_click, False
+        i = len(t_steps)
+        if et != steps[i]:
+            continue
+        if i > 0 and not (t_steps[-1] < ts <= t_steps[0] + horizon_us):
+            continue
+        t_steps.append(ts)
+        if len(t_steps) == len(steps):
+            rows.append(dict(zip(cols, [user_id, *t_steps])))
+            return [], t_steps, True
+    return remaining, t_steps, False
 
 
 def make_funnel_update(steps: tuple, horizon_us: int):
+    cols = [f.name for f in funnel_output_schema(steps).fields]
+
     def update(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
@@ -247,24 +242,23 @@ def make_funnel_update(steps: tuple, horizon_us: int):
         rows: list[dict] = []
 
         if state.exists:
-            buf_ts, buf_eid, buf_type, t_view, t_click, closed = state.get
+            buf_ts, buf_eid, buf_type, t_steps, closed = state.get
             buf = list(zip(buf_ts, buf_eid, buf_type))
+            t_steps = list(t_steps)
         else:
-            buf, t_view, t_click, closed = [], None, None, 0
+            buf, t_steps, closed = [], [], 0
 
         if closed:
             # Terminal tombstone: this user's first-touch chain already
             # completed (emitted) or expired (can never complete). Batch
-            # anchors at the key's GLOBAL earliest entry, so a later view
-            # must NOT restart the funnel — drain input, emit nothing,
-            # leave the tombstone in place (no timeout re-armed, so it
-            # never fires again; per-invocation timeout reset clears any
-            # previously armed timer).
+            # anchors at the key's GLOBAL earliest entry, so a later
+            # entry event must NOT restart the funnel — drain input, emit
+            # nothing, leave the tombstone in place (no timeout re-armed,
+            # so it never fires again; per-invocation timeout reset clears
+            # any previously armed timer).
             for _ in pdfs:
                 pass
-            yield pd.DataFrame(
-                [], columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]
-            )
+            yield pd.DataFrame([], columns=cols)
             return
 
         if not state.hasTimedOut:
@@ -275,44 +269,42 @@ def make_funnel_update(steps: tuple, horizon_us: int):
                 ):
                     buf.append((int(ts), int(eid), et))
 
-        buf, t_view, t_click, done = _funnel_advance(
-            buf, t_view, t_click, wm_us, steps, horizon_us, user_id, rows
+        buf, t_steps, done = _funnel_advance(
+            buf, t_steps, wm_us, steps, horizon_us, user_id, rows, cols
         )
-        expired = t_view is not None and wm_us > t_view + horizon_us
-        if t_view is None and not buf:
+        expired = bool(t_steps) and wm_us > t_steps[0] + horizon_us
+        if not t_steps and not buf:
             # no entry and nothing unfinalized — fully evictable
             state.remove()
         elif done or expired:
             # First-touch entry never restarts: batch semantics anchor at
-            # the key's earliest view, so once that chain completed or its
-            # horizon lapsed the user is terminally closed. Collapse to an
-            # O(1) tombstone (empty buffer, closed=1) — the buffered events
-            # can't advance a closed chain and future ones arrive above the
-            # already-lapsed horizon. This is the semantics' inherent state
-            # floor (one tiny row per entered user), same class as the
-            # burst operator's permanent (run_len, max_ts) pair.
-            state.update(([], [], [], t_view, t_click or 0, 1))
+            # the key's earliest entry event, so once that chain completed
+            # or its horizon lapsed the user is terminally closed. Collapse
+            # to an O(1) tombstone (empty buffer+registers, closed=1) — the
+            # buffered events can't advance a closed chain and future ones
+            # arrive above the already-lapsed horizon. This is the
+            # semantics' inherent state floor (one tiny row per entered
+            # user), same class as the burst operator's permanent
+            # (run_len, max_ts) pair.
+            state.update(([], [], [], [], 1))
         else:
             state.update(
                 (
                     [b[0] for b in buf],
                     [b[1] for b in buf],
                     [b[2] for b in buf],
-                    t_view,
-                    t_click,
+                    t_steps,
                     0,
                 )
             )
             fires = []
             if buf:
                 fires.append(min(b[0] for b in buf) // 1000)
-            if t_view is not None and not expired:
-                fires.append((t_view + horizon_us) // 1000)
+            if t_steps and not expired:
+                fires.append((t_steps[0] + horizon_us) // 1000)
             if fires:
                 state.setTimeoutTimestamp(max(min(fires) + 1, wm_ms + 1))
-        yield pd.DataFrame(
-            rows, columns=[f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]
-        )
+        yield pd.DataFrame(rows, columns=cols)
 
     return update
 
@@ -323,14 +315,16 @@ def funnel_stream(
     horizon: str = "24 hours",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming first-touch funnel `view -> click -> purchase within
-    horizon of entry` — the EVENTUAL pattern class (the burst operator
-    covers the CONTIGUOUS class), incrementally per user with the same
-    watermark-ordered buffered-state protocol as burst_purchase_stream.
-    Emits each completing user's (view, click, purchase) exactly once, as
-    soon as the purchase is watermark-finalized; batch semantics are
+    """Streaming first-touch funnel `step_1 -> ... -> step_S within
+    horizon of entry` for ANY ordered list of event-type steps — the
+    EVENTUAL pattern class (the burst operator covers the CONTIGUOUS
+    class), incrementally per user with the same watermark-ordered
+    buffered-state protocol as burst_purchase_stream. Emits each
+    completing user's step timestamps exactly once, as soon as the final
+    step is watermark-finalized; batch semantics are
     operators/sequence.funnel_first_chain, asserted equal by the
-    stream==batch differential test. The growable state is
+    stream==batch differential tests (3-step and 2-step shapes). The
+    growable state is
     watermark-bounded: the unfinalized buffer by the delay, the chain
     registers by t_view+horizon. A completed-or-lapsed user collapses to
     a permanent O(1) tombstone — required because batch anchors at the
@@ -348,7 +342,7 @@ def funnel_stream(
         .groupBy("user_id")
         .applyInPandasWithState(
             make_funnel_update(tuple(steps), horizon_us),
-            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            outputStructType=funnel_output_schema(tuple(steps)),
             stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

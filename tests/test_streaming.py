@@ -843,3 +843,63 @@ def test_cep_funnel_stream_matches_batch(spark, tmp_path):
     exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
     assert len(exp_set) > 0, "fixture produced no finalized conversions"
     assert got_set == exp_set
+
+
+def test_cep_funnel_stream_arbitrary_steps(spark, tmp_path):
+    """The funnel stream is step-count generic: a 4-step signup -> view ->
+    click -> purchase funnel (72 h horizon) must equal the batch
+    funnel_first_chain operator run with the same step list — the operator
+    is an engine feature, not a hardwired 3-step pattern."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.operators import sequence as _seq
+    from fasta_windows_spark.streaming.cep import funnel_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    src = str(tmp_path / "funnel4_src")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 6)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    steps = ("signup", "view", "click", "purchase")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "funnel4_out")
+    q = S.write_exactly_once(
+        funnel_stream(stream, steps=steps, horizon="72 hours", watermark="1 hour"),
+        out,
+        str(tmp_path / "funnel4_ck"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas().dropna()
+    assert list(got.columns) == ["user_id"] + [f"{s}_us" for s in steps]
+    got_set = {tuple(int(v) for v in r) for r in got.to_numpy()}
+    assert len(got_set) == len(got), "duplicate emissions"
+
+    et = F.col("event_type")
+    batch = _seq.funnel_first_chain(
+        spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        key="user_id",
+        ts="ts",
+        steps=[(s, et == s) for s in steps],
+        within="72 hours",
+    ).select(
+        "user_id",
+        *[F.unix_micros(F.col(f"t_{s}")).alias(f"{s}_us") for s in steps],
+    ).toPandas()
+    wm_final_us = int(ev["ts"].max().value // 1_000) - 3_600 * 1_000_000
+    exp = batch[batch["purchase_us"] <= wm_final_us]
+    exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
+    assert len(exp_set) > 0, "fixture produced no finalized 4-step conversions"
+    assert got_set == exp_set

@@ -3870,6 +3870,47 @@ def docs_media_png(spark, sf_dir):
     return _mm.decode_media(media).select("doc_id", "width", "height")
 
 
+from .operators import packing as _pack  # noqa: E402
+
+
+@q(
+    "docs_pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_text.BPE_ISH_PATTERN}'))::BIGINT
+           AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM t WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, tok_offset,
+       (tok_offset // 2048)::BIGINT AS first_block,
+       ((tok_offset + n_tok - 1) // 2048)::BIGINT AS last_block,
+       ((tok_offset + n_tok - 1) // 2048 - tok_offset // 2048 + 1)::BIGINT
+         AS n_blocks
+FROM p
+""",
+)
+def docs_pack_sequences(spark, sf_dir):
+    """LLM sequence packing (concat-and-split): every non-empty document's
+    placement on the 2048-token training tape — tape offset and the block
+    range it spans. The oracle's global running sum is the plan this
+    operator refuses: `sum() OVER (ORDER BY doc_id)` is an Exchange
+    SinglePartition over the full corpus; `operators/packing.running_offset`
+    computes identical values as a segmented scan (order-aligned groups,
+    ONE hash Exchange on the data, broadcast-joined group offsets), the
+    shape that survives 10^12 documents."""
+    return _pack.pack_sequences(
+        _docs(spark, sf_dir), seq_len=2048, group_size=4096
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every

@@ -1,0 +1,115 @@
+"""Sequence packing for LLM pretraining: concat-and-split of tokenized
+documents into fixed-length training blocks (the GPT-style packing that
+`token_chunks` — per-doc chunking — deliberately does not do).
+
+The primitive is a DISTRIBUTED EXCLUSIVE PREFIX SUM over a global document
+order. The naive Spark expression, ``sum(tok) OVER (ORDER BY doc_id)``,
+compiles to ``Exchange SinglePartition`` + one Window task — every row of a
+100 TB corpus through one core. This module computes the identical values
+with the classic segmented-scan decomposition:
+
+1. group rows by an ORDER-ALIGNED key (``order_col DIV group_size`` —
+   monotone in the order column, so group i's rows all precede group
+   i+1's). One hash Exchange on the group key — the minimum data movement
+   for any global running total, and deterministic (no range-sampler
+   boundaries, so the plan is replay-stable and needs no caching).
+2. per-group exclusive cumsum via a Window partitioned by the group key
+   (same clustering as the Exchange — no second shuffle).
+3. cross-group offsets: the per-group totals (ONE ROW PER GROUP) go
+   through a single-partition running sum — fine, it is metadata-sized —
+   and broadcast-join back onto the groups.
+
+Scale shape: one full-data shuffle + one broadcast join; the only
+SinglePartition exchange carries #groups rows. Group size trades skew
+against tiny-side width; order keys without a cheap monotone bucketing
+rule need a range rule from an approx-quantile sketch (same decomposition,
+different step 1).
+
+Packing semantics (``pack_sequences``): documents are laid end-to-end in
+doc_id order on a token tape; block b of length ``seq_len`` covers tape
+positions [b*L, (b+1)*L). Each document reports the block range it lands
+in — first_block..last_block — and n_blocks (>1 means the doc straddles a
+block boundary and will be split across training sequences). Token counts
+use the BPE-ish regex tokenizer shared with `docs_token_counts` so the
+DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..functions.text import BPE_ISH_PATTERN
+
+
+def running_offset(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "offset",
+    group_size: int = 4096,
+) -> DataFrame:
+    """Adds ``out_col`` = sum of ``val_col`` over all rows STRICTLY before
+    this one in ``order_col`` order (exclusive prefix sum). ``order_col``
+    must be unique and numeric; ``group_size`` buckets it into the
+    order-aligned segments of the scan (pick it so #rows/group_size lands
+    in the hundreds-to-thousands of groups at the target scale)."""
+    grp = (F.col(order_col).cast("long") / F.lit(group_size)).cast("long")
+    d = df.withColumn("_grp", grp)
+    w_in = Window.partitionBy("_grp").orderBy(order_col)
+    d = d.withColumn(
+        "_local", F.sum(val_col).over(w_in) - F.col(val_col)
+    )
+    totals = d.groupBy("_grp").agg(F.sum(val_col).alias("_tot"))
+    w_across = (
+        Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "_grp", F.coalesce(F.sum("_tot").over(w_across), F.lit(0)).alias("_goff")
+    )
+    return (
+        d.join(F.broadcast(offs), "_grp")
+        .withColumn(out_col, (F.col("_local") + F.col("_goff")).cast("long"))
+        .drop("_grp", "_local", "_goff")
+    )
+
+
+def token_count_expr(text_col: str = "text") -> Column:
+    """BPE-ish token count — the exact expression `with_token_counts` uses
+    for bpe_tokens, shared so packing and counting cannot drift."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), F.lit(0)
+        )
+    ).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_size: int = 4096,
+) -> DataFrame:
+    """Block placement of every non-empty document on the packed token
+    tape: (id, n_tok, tok_offset, first_block, last_block, n_blocks).
+    A materializing packer would follow with one explode over the block
+    range + groupBy(block) concat; the placement table is the shuffle-
+    and arithmetic-complete part (and what an oracle can verify)."""
+    toks = docs.select(
+        F.col(id_col), token_count_expr(text_col).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    placed = running_offset(
+        toks, order_col=id_col, val_col="n_tok", out_col="tok_offset",
+        group_size=group_size,
+    )
+    first = (F.col("tok_offset") / seq_len).cast("long")
+    last = ((F.col("tok_offset") + F.col("n_tok") - 1) / seq_len).cast("long")
+    return placed.select(
+        id_col,
+        "n_tok",
+        "tok_offset",
+        first.alias("first_block"),
+        last.alias("last_block"),
+        (last - first + 1).alias("n_blocks"),
+    )

@@ -1,0 +1,79 @@
+"""Sequence packing / distributed prefix sum (operators/packing.py)."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from fasta_windows_spark import contract
+from fasta_windows_spark.operators import packing as P
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_running_offset_equals_global_window(spark):
+    """The segmented scan must equal the naive global-order window exactly
+    (same values, every row), including across group boundaries."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "doc_id", P.token_count_expr("text").alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    # group_size far below the doc count so MANY group boundaries are hit
+    got = P.running_offset(
+        toks, "doc_id", "n_tok", out_col="off", group_size=97
+    )
+    naive = toks.withColumn(
+        "off_naive",
+        F.coalesce(
+            F.sum("n_tok").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    joined = got.join(naive.select("doc_id", "off_naive"), "doc_id")
+    n = joined.count()
+    assert n == toks.count() > 100
+    assert joined.where(F.col("off") != F.col("off_naive")).count() == 0
+
+
+def test_pack_sequences_plan_shape(spark):
+    """The packing plan must NOT move the corpus through one partition:
+    the only SinglePartition exchange is the #groups-row offsets window,
+    the data crosses exactly one hash exchange (window clustering on the
+    group key; the second hash exchange carries map-side-combined group
+    totals), offsets come back via broadcast join, and no range-sampled
+    partitioning exists (replay-stable plan)."""
+    df = contract.queries()["docs_pack_sequences"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "rangepartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_pack_sequences_block_invariants(spark):
+    """Tape invariants over real data: offsets are the cumsum of n_tok in
+    doc_id order (first row at 0, each next = prev_off + prev_tok), block
+    ranges follow from offset arithmetic, and block usage is gapless from
+    block 0 through the last block."""
+    out = (
+        contract.queries()["docs_pack_sequences"](spark, SF_DIR)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out["tok_offset"].iloc[0] == 0
+    expect_off = (out["tok_offset"] + out["n_tok"]).shift(1, fill_value=0)
+    assert (out["tok_offset"] == expect_off).all()
+    assert (out["first_block"] == out["tok_offset"] // 2048).all()
+    assert (
+        out["last_block"] == (out["tok_offset"] + out["n_tok"] - 1) // 2048
+    ).all()
+    assert (out["n_blocks"] >= 1).all()
+    total = int(out["n_tok"].sum())
+    assert int(out["last_block"].max()) == (total - 1) // 2048
+    # every block is touched by some doc (the tape has no holes)
+    covered = set()
+    for f, l in zip(out["first_block"], out["last_block"]):
+        covered.update(range(f, l + 1))
+    assert covered == set(range((total - 1) // 2048 + 1))

@@ -606,7 +606,9 @@ completed={r["finished"]}.{(
     "2-batch bulk backfill; changelog checkpointing — the engine default — "
     "optimizes the opposite regime, long-running streams whose per-batch "
     "delta is far below total state): " + json.dumps(r.get("all_runs", []))
-) if r.get("best_mode") else ""} Local-mode note: one shared JVM heap serves what
+) if r.get("best_mode") else ""}{(
+    chr(10) + "Sampling note: " + r["note"]
+) if r.get("note") else ""} Local-mode note: one shared JVM heap serves what
 a cluster spreads over executors — 32 concurrent 4096-row parquet column
 batches of 8 KB strings need a ~32 GB heap here, a per-executor non-issue
 at real scale.

@@ -3911,6 +3911,47 @@ def docs_pack_sequences(spark, sf_dir):
     )
 
 
+@q(
+    "docs_pack_segments",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_text.BPE_ISH_PATTERN}'))::BIGINT
+           AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM t WHERE n_tok > 0
+),
+s AS (
+  SELECT doc_id, n_tok, tok_offset,
+         unnest(range(tok_offset // 2048,
+                      (tok_offset + n_tok - 1) // 2048 + 1)) AS block_id
+  FROM p
+)
+SELECT block_id::BIGINT AS block_id, doc_id,
+       greatest(0, block_id * 2048 - tok_offset)::BIGINT AS doc_tok_start,
+       (least(n_tok, (block_id + 1) * 2048 - tok_offset)
+        - greatest(0, block_id * 2048 - tok_offset))::BIGINT AS n_block_toks
+FROM s
+""",
+)
+def docs_pack_segments(spark, sf_dir):
+    """Materializing packer: the exact token slice of each document that
+    lands in each 2048-token training block — group by block_id and
+    concatenate slices to emit sequences. Downstream of the segmented-
+    scan placement (`docs_pack_sequences`); the explode adds
+    corpus_tokens/2048 rows and the block_id grouping key is unskewable
+    by construction (every block carries exactly 2048 tokens)."""
+    return _pack.pack_segments(
+        _docs(spark, sf_dir), seq_len=2048, group_size=4096
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every

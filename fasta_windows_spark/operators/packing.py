@@ -113,3 +113,45 @@ def pack_sequences(
         last.alias("last_block"),
         (last - first + 1).alias("n_blocks"),
     )
+
+
+def pack_segments(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_size: int = 4096,
+) -> DataFrame:
+    """The materializing half of packing: one row per (block, doc) segment
+    — which token slice of each document lands in which training block:
+    (block_id, id, doc_tok_start, n_block_toks). A trainer groups by
+    block_id and concatenates slices in doc order to build each sequence;
+    every block holds exactly ``seq_len`` tokens except the final partial
+    one (test-pinned). The explode is narrow (n_blocks rows per doc,
+    corpus_tokens/seq_len rows total — a constant factor of the input);
+    the grouping shuffle, if materialized, is one hash Exchange on
+    block_id with near-perfect balance BY CONSTRUCTION (every key carries
+    exactly seq_len tokens — packing is its own skew remedy)."""
+    placed = pack_sequences(
+        docs, seq_len=seq_len, text_col=text_col, id_col=id_col,
+        group_size=group_size,
+    )
+    b = F.col("block_id")
+    seg_start = F.greatest(F.lit(0), b * seq_len - F.col("tok_offset"))
+    seg_end = F.least(
+        F.col("n_tok"), (b + 1) * seq_len - F.col("tok_offset")
+    )
+    return (
+        placed.select(
+            id_col,
+            "tok_offset",
+            "n_tok",
+            F.explode(F.sequence("first_block", "last_block")).alias("block_id"),
+        )
+        .select(
+            "block_id",
+            id_col,
+            seg_start.cast("long").alias("doc_tok_start"),
+            (seg_end - seg_start).cast("long").alias("n_block_toks"),
+        )
+    )

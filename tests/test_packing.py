@@ -77,3 +77,32 @@ def test_pack_sequences_block_invariants(spark):
     for f, l in zip(out["first_block"], out["last_block"]):
         covered.update(range(f, l + 1))
     assert covered == set(range((total - 1) // 2048 + 1))
+
+
+def test_pack_segments_blocks_are_exactly_full(spark):
+    """Every training block must carry exactly seq_len tokens (the final
+    partial block excepted), each doc's segments must tile the doc
+    (sum n_block_toks == n_tok, starts contiguous), and segment rows must
+    agree with the placement table's block ranges."""
+    from fasta_windows_spark.operators.packing import pack_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seg = pack_segments(docs, seq_len=2048).toPandas()
+    placed = (
+        contract.queries()["docs_pack_sequences"](spark, SF_DIR).toPandas()
+    )
+    total = int(placed["n_tok"].sum())
+    per_block = seg.groupby("block_id")["n_block_toks"].sum()
+    last_block = (total - 1) // 2048
+    assert set(per_block.index) == set(range(last_block + 1))
+    full = per_block[per_block.index != last_block]
+    assert (full == 2048).all()
+    assert per_block[last_block] == total - last_block * 2048
+    per_doc = seg.groupby("doc_id")["n_block_toks"].sum()
+    ref = placed.set_index("doc_id")["n_tok"]
+    assert per_doc.sort_index().equals(ref.sort_index())
+    n_seg_blocks = seg.groupby("doc_id")["block_id"].agg(["min", "max", "count"])
+    pp = placed.set_index("doc_id")
+    assert (n_seg_blocks["min"] == pp["first_block"]).all()
+    assert (n_seg_blocks["max"] == pp["last_block"]).all()
+    assert (n_seg_blocks["count"] == pp["n_blocks"]).all()

@@ -106,3 +106,39 @@ def test_pack_segments_blocks_are_exactly_full(spark):
     assert (n_seg_blocks["min"] == pp["first_block"]).all()
     assert (n_seg_blocks["max"] == pp["last_block"]).all()
     assert (n_seg_blocks["count"] == pp["n_blocks"]).all()
+
+
+def test_running_offset_property_arbitrary_keys(spark):
+    """Property: for ANY set of unique integer order keys (sparse,
+    negative — truncation toward zero is monotone, so grouping stays
+    order-aligned) and positive values, running_offset equals the
+    exclusive cumsum in key order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pairs = st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda p: p[0],
+    )
+
+    @given(pairs)
+    @settings(max_examples=8, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "k LONG, v LONG")
+        got = {
+            r["k"]: r["off"]
+            for r in P.running_offset(
+                df, "k", "v", out_col="off", group_size=7
+            ).collect()
+        }
+        acc = 0
+        for k, v in sorted(rows):
+            assert got[k] == acc
+            acc += v
+
+    check()

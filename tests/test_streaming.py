@@ -903,3 +903,55 @@ def test_cep_funnel_stream_arbitrary_steps(spark, tmp_path):
     exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
     assert len(exp_set) > 0, "fixture produced no finalized 4-step conversions"
     assert got_set == exp_set
+
+
+def test_cep_funnel_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Funnel-stream exactly-once under kill/restart: interrupt after the
+    first progress, resume from the same checkpoint, and the output must
+    equal one uninterrupted run — the closed-user tombstone must survive
+    replay without re-emitting or losing conversions."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark.streaming.cep import funnel_stream
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet").sort_values("ts")
+    src = str(tmp_path / "funnel_events_stream")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    schema = spark.read.parquet(src).schema
+
+    def stream(max_files=None):
+        r = spark.readStream.schema(schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return funnel_stream(r.parquet(src), horizon="24 hours",
+                             watermark="1 hour")
+
+    out1, ck1 = str(tmp_path / "fsingle"), str(tmp_path / "fck_single")
+    S.write_exactly_once(stream(), out1, ck1).awaitTermination(180)
+    single = spark.read.parquet(out1).dropna().toPandas()
+
+    out2, ck2 = str(tmp_path / "fresumed"), str(tmp_path / "fck_resumed")
+    q1 = (
+        stream(max_files=1).writeStream.format("parquet")
+        .outputMode("append").option("path", out2)
+        .option("checkpointLocation", ck2).start()
+    )
+    while not q1.recentProgress:
+        pass
+    q1.stop()
+    q1.awaitTermination(60)
+    S.write_exactly_once(stream(), out2, ck2).awaitTermination(180)
+    resumed = spark.read.parquet(out2).dropna().toPandas()
+
+    key = ["user_id", "view_us", "click_us", "purchase_us"]
+    s = {tuple(int(v) for v in r) for r in single[key].to_numpy()}
+    r = {tuple(int(v) for v in r) for r in resumed[key].to_numpy()}
+    assert len(resumed) == len(r), "duplicate funnel emissions after resume"
+    assert r == s, "resumed funnel output differs from single-run output"
+    assert len(s) > 0

@@ -3952,6 +3952,39 @@ def docs_pack_segments(spark, sf_dir):
     )
 
 
+@q(
+    "events_abandoned_clicks",
+    """
+SELECT user_id, epoch_us(e.ts)::BIGINT AS ts_us
+FROM events e
+WHERE e.event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+)
+""",
+)
+def events_abandoned_clicks(spark, sf_dir):
+    """Absence/negation CEP (abandoned carts): every click with no
+    purchase by the same user within the following hour. The oracle's
+    NOT EXISTS is a per-click anti-join of the fact table against
+    itself; `operators/sequence.absence_within` computes it as ONE
+    hash Exchange + a value-range window minimum (no join, tie-safe
+    because the (t, t+T] frame is in event-time micros, not row
+    positions). Third CEP class alongside the eventual funnel and the
+    contiguous burst; streaming twin: `streaming/cep.absence_stream`."""
+    ev = _events(spark, sf_dir)
+    et = F.col("event_type")
+    return _seq.absence_within(
+        ev,
+        key="user_id",
+        ts="ts",
+        first_pred=et == "click",
+        absent_pred=et == "purchase",
+        within="1 hour",
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every

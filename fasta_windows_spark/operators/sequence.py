@@ -87,6 +87,47 @@ def funnel_first_chain(
     )
 
 
+def absence_within(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    first_pred: Column,
+    absent_pred: Column,
+    within: str = "1 hour",
+) -> DataFrame:
+    """Negation/absence CEP: every `first_pred` event with NO `absent_pred`
+    event for the same key in the value interval (t, t + within] — the
+    abandoned-cart / missed-heartbeat pattern class (the third
+    MATCH_RECOGNIZE family next to eventual funnels and contiguous runs).
+
+    Plan shape: ONE hash Exchange on the key and zero joins — the
+    "no B after A" probe is a RANGE-framed window minimum over event-time
+    micros (`rangeBetween(1, T)`), so a same-timestamp B correctly does
+    NOT cancel (the frame is (t, t+T] in VALUE terms, immune to row-order
+    ties) and the naive per-A anti-join of the full fact table never
+    materializes. Returns (key, <ts>_us) rows, one per abandoned A.
+    """
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    n, unit = within.split()
+    t_win = int(n) * {
+        "hours": 3_600, "hour": 3_600, "minutes": 60, "minute": 60,
+        "seconds": 1, "second": 1,
+    }[unit] * 1_000_000
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts_us"))
+        .rangeBetween(1, t_win)
+    )
+    d = events.withColumn("_ts_us", t_us)
+    d = d.withColumn(
+        "_next_absent",
+        F.min(F.when(absent_pred, F.col("_ts_us"))).over(w),
+    )
+    return d.where(first_pred & F.col("_next_absent").isNull()).select(
+        key, F.col("_ts_us").alias(f"{ts}_us")
+    )
+
+
 def lag_pattern_cols(
     events: DataFrame,
     key: str,

@@ -309,6 +309,134 @@ def make_funnel_update(steps: tuple, horizon_us: int):
     return update
 
 
+# --- absence CEP: A with NO B within horizon (abandoned carts) ---------------
+
+ABSENCE_STATE_SCHEMA = (
+    "buf_ts ARRAY<LONG>, buf_eid ARRAY<LONG>, buf_type ARRAY<STRING>, "
+    "pending ARRAY<LONG>"
+)
+
+ABSENCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+def make_absence_update(first_type: str, absent_type: str, horizon_us: int):
+    def update(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[dict] = []
+
+        if state.exists:
+            buf_ts, buf_eid, buf_type, pending = state.get
+            buf = list(zip(buf_ts, buf_eid, buf_type))
+            pending = list(pending)
+        else:
+            buf, pending = [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+                for ts, eid, et in zip(
+                    ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()
+                ):
+                    buf.append((int(ts), int(eid), et))
+
+        # advance over the finalized prefix in (ts, event_id) order: an A
+        # opens a pending register; a B cancels every pending A with
+        # a < b <= a + horizon (same-timestamp B does not cancel — the
+        # batch frame is (t, t+T] in value terms)
+        buf.sort()
+        remaining = []
+        for ts, eid, et in buf:
+            if ts > wm_us:
+                remaining.append((ts, eid, et))
+                continue
+            if et == first_type:
+                pending.append(ts)
+            elif et == absent_type:
+                pending = [a for a in pending if not (a < ts <= a + horizon_us)]
+        buf = remaining
+        # a pending A whose cancel window is fully finalized
+        # (a + horizon <= wm) can no longer be canceled — emit, drop
+        still = []
+        for a in pending:
+            if a + horizon_us <= wm_us:
+                rows.append({"user_id": user_id, "ts_us": a})
+            else:
+                still.append(a)
+        pending = still
+
+        if not buf and not pending:
+            # FULLY evictable: no tombstone needed — every register dies
+            # at its own deadline (contrast the funnel's first-touch
+            # memory), so state is bounded by watermark delay + horizon
+            state.remove()
+        else:
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    [b[1] for b in buf],
+                    [b[2] for b in buf],
+                    pending,
+                )
+            )
+            fires = []
+            if buf:
+                fires.append(min(b[0] for b in buf) // 1000)
+            if pending:
+                fires.append((min(pending) + horizon_us) // 1000)
+            wm_ms = wm_us // 1000
+            state.setTimeoutTimestamp(max(min(fires) + 1, wm_ms + 1))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in ABSENCE_OUTPUT_SCHEMA.fields]
+        )
+
+    return update
+
+
+def absence_stream(
+    events: DataFrame,
+    first_type: str = "click",
+    absent_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming absence/negation CEP: emit each `first_type` event with
+    NO `absent_type` event for the same user in (t, t + horizon] — the
+    abandoned-cart / missed-heartbeat class, the third pattern family
+    next to the burst (contiguous) and funnel (eventual) operators.
+    Batch semantics are `operators/sequence.absence_within`, asserted
+    equal by the stream==batch differential test. Emission is timer-
+    driven: a register fires as soon as the watermark passes its
+    deadline, even if the user never sends another event. ALL state is
+    watermark-bounded — the unfinalized buffer by the delay, each
+    pending register by its own t+horizon deadline (no permanent
+    residue; absence has no first-touch memory to keep)."""
+    n, unit = horizon.split()
+    horizon_us = int(n) * {"hours": 3_600, "hour": 3_600, "minutes": 60,
+                           "minute": 60, "seconds": 1, "second": 1}[unit] * 1_000_000
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_absence_update(first_type, absent_type, horizon_us),
+            outputStructType=ABSENCE_OUTPUT_SCHEMA,
+            stateStructType=ABSENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def funnel_stream(
     events: DataFrame,
     steps: tuple = ("view", "click", "purchase"),

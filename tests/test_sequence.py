@@ -141,3 +141,45 @@ def test_lag_pattern_matches_burst_query_on_corpus(spark):
     ).where(err & (F.col("p1") == "error") & (F.col("p2") == "error"))
     want = {(r["user_id"], r["ts"]) for r in ref.select("user_id", "ts").collect()}
     assert got == want and got
+
+
+def test_absence_is_single_exchange_no_join(spark):
+    """The NOT-EXISTS oracle is a self-anti-join; the operator must be one
+    hash Exchange + a range-framed window, no Join node at all."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = seq.absence_within(
+        ev, "user_id", "ts",
+        first_pred=F.col("event_type") == "click",
+        absent_pred=F.col("event_type") == "purchase",
+        within="1 hour",
+    )
+    p = checks.plan_string(out, "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_absence_same_timestamp_does_not_cancel(spark):
+    """A purchase at EXACTLY the click's timestamp must not cancel it
+    (the batch frame is (t, t+T] strictly after t), while one inside the
+    window must, and one just past t+T must not."""
+    rows = [
+        (1, 1, "click", "2024-01-01 10:00:00"),
+        (1, 2, "purchase", "2024-01-01 10:00:00"),   # same ts: no cancel
+        (2, 3, "click", "2024-01-01 10:00:00"),
+        (2, 4, "purchase", "2024-01-01 10:30:00"),   # inside: cancels
+        (3, 5, "click", "2024-01-01 10:00:00"),
+        (3, 6, "purchase", "2024-01-01 11:00:00"),   # == t+T: cancels
+        (4, 7, "click", "2024-01-01 10:00:00"),
+        (4, 8, "purchase", "2024-01-01 11:00:00.000001"),  # past: no cancel
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, event_type STRING, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seq.absence_within(
+        ev, "user_id", "ts",
+        first_pred=F.col("event_type") == "click",
+        absent_pred=F.col("event_type") == "purchase",
+        within="1 hour",
+    )
+    got = sorted(r["user_id"] for r in out.collect())
+    assert got == [1, 4], got

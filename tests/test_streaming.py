@@ -955,3 +955,48 @@ def test_cep_funnel_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert len(resumed) == len(r), "duplicate funnel emissions after resume"
     assert r == s, "resumed funnel output differs from single-run output"
     assert len(s) > 0
+
+
+def test_cep_absence_stream_matches_batch(spark, tmp_path):
+    """Streaming absence CEP (click with no purchase within 1 h) must emit
+    EXACTLY the batch abandoned clicks whose cancel window the final
+    watermark fully finalized — no extras, no duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark import contract
+    from fasta_windows_spark.streaming.cep import absence_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    src = str(tmp_path / "absence_stream_src")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "absence_out")
+    q = S.write_exactly_once(
+        absence_stream(stream, horizon="1 hour", watermark="1 hour"),
+        out,
+        str(tmp_path / "absence_ck"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas().dropna()
+    got_set = {tuple(int(v) for v in r) for r in got.to_numpy()}
+    assert len(got_set) == len(got), "duplicate emissions"
+
+    batch = contract.queries()["events_abandoned_clicks"](spark, sf_dir).toPandas()
+    wm_final_us = int(ev["ts"].max().value // 1_000) - 3_600 * 1_000_000
+    horizon_us = 3_600 * 1_000_000
+    exp = batch[batch["ts_us"] + horizon_us <= wm_final_us]
+    exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
+    assert len(exp_set) > 0, "fixture produced no finalized abandoned clicks"
+    assert got_set == exp_set

@@ -432,8 +432,15 @@ def write_topn_hosts_per_window(
     end exactly once), so a per-batch window-local rank over the emitted
     rows is exact — the foreachBatch post-processing pattern the reference
     TSV sinks also use (SURVEY.md §2.1 S4). Idempotent under micro-batch
-    replay: output files are keyed by batch id via the file sink's commit
-    protocol inside foreachBatch's batch-scoped write."""
+    replay by construction: foreachBatch writes are BATCH writes outside
+    the streaming commit log, so a crash between the sink write and the
+    checkpoint commit replays the batch — each batch therefore OVERWRITES
+    its own `batch_id=<id>` partition directory (the canonical
+    foreachBatch exactly-once recipe; same effect as Iceberg's
+    replace-partition commit), making the replay a no-op instead of an
+    append-mode duplicate. Pinned by
+    `test_foreachbatch_replay_is_idempotent`, which deletes the last
+    checkpoint commit to force a real replay."""
     from pyspark.sql import Window as PW
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
@@ -444,7 +451,7 @@ def write_topn_hosts_per_window(
             batch_df.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= n)
         )
-        top.write.mode("append").parquet(out_path)
+        top.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     w = (
         agg.writeStream.foreachBatch(emit)

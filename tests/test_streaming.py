@@ -1000,3 +1000,48 @@ def test_cep_absence_stream_matches_batch(spark, tmp_path):
     exp_set = {tuple(int(v) for v in r) for r in exp.to_numpy()}
     assert len(exp_set) > 0, "fixture produced no finalized abandoned clicks"
     assert got_set == exp_set
+
+
+def test_foreachbatch_replay_is_idempotent(spark, pages_dir, tmp_path):
+    """foreachBatch writes live OUTSIDE the streaming commit log, so a
+    crash between the sink write and the checkpoint commit REPLAYS the
+    batch. Simulate exactly that (delete the newest commit marker,
+    restart): the batch_id-keyed overwrite must make the replay a no-op —
+    final output identical to the uninterrupted run, no duplicates."""
+    out = str(tmp_path / "topn_replay_out")
+    ck = str(tmp_path / "topn_replay_ck")
+
+    def run():
+        agg = S.host_window_stats(
+            S.read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+        )
+        q = S.write_topn_hosts_per_window(agg, out, ck, n=3)
+        assert q.awaitTermination(180), "query did not finish availableNow"
+        q.stop()
+        q.awaitTermination()
+
+    run()
+    cols = ["w_start", "host", "total_chars", "rank"]
+    single = spark.read.parquet(out).toPandas()
+    s_rows = sorted(map(tuple, single[cols].astype(str).to_numpy()))
+    assert len(s_rows) > 0
+
+    commits = [
+        c for c in os.listdir(f"{ck}/commits") if not c.startswith(".")
+    ]
+    assert len(commits) >= 2, "need multiple micro-batches to test replay"
+    last = max(int(c) for c in commits)
+    os.remove(f"{ck}/commits/{last}")
+    crc = f"{ck}/commits/.{last}.crc"  # stale checksum shadow breaks rewrite
+    if os.path.exists(crc):
+        os.remove(crc)
+    last_dir = f"{out}/batch_id={last}"
+    mtime_before = os.path.getmtime(f"{last_dir}/_SUCCESS")
+
+    run()  # restart: Spark replays batch `last` through foreachBatch
+    assert os.path.getmtime(f"{last_dir}/_SUCCESS") > mtime_before, (
+        "replay did not actually re-execute the foreachBatch write"
+    )
+    replayed = spark.read.parquet(out).toPandas()
+    r_rows = sorted(map(tuple, replayed[cols].astype(str).to_numpy()))
+    assert r_rows == s_rows, "replayed batch duplicated or altered output"

@@ -3985,6 +3985,81 @@ def events_abandoned_clicks(spark, sf_dir):
     )
 
 
+from .operators import cluster as _cluster  # noqa: E402
+
+
+def _kmeans_oracle_sql(k: int = 8, d: int = 64, n_iter: int = 2) -> str:
+    """Unrolled-iteration DuckDB oracle for the fixed-point k-means: the
+    operator is iterative (not one SQL query), but with the iteration
+    count FIXED the whole fit is a finite CTE chain — and because every
+    number is integer fixed-point, the oracle reproduces Spark's result
+    EXACTLY (no float partial-agg order to diverge on). Init = k lowest
+    vec_ids; update = integer half-up mean floor((2s+n)/(2n)) — DuckDB's
+    `//` truncates toward zero, hence the explicit floor; empty cells
+    carry the previous centroid via COALESCE."""
+    scale = _cluster.SCALE
+    dims = f"range(1, {d + 1})"
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> round(x * {scale})::BIGINT) AS fv
+  FROM embeddings
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, fv AS cv
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for r in range(n_iter + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, (pk % {k})::INT AS cell, pk // {k} AS d2 FROM (
+    SELECT q.vec_id,
+           min(list_sum(list_transform({dims},
+                 i -> (q.fv[i] - c.cv[i]) * (q.fv[i] - c.cv[i])))
+               * {k} + c.cell) AS pk
+    FROM q CROSS JOIN c{r} c GROUP BY q.vec_id))"""
+        )
+        if r == n_iter:
+            break
+        parts.append(
+            f"""s{r} AS (
+  SELECT a.cell, i.i AS pos, sum(q.fv[i.i]) AS s, count(*) AS n
+  FROM a{r} a JOIN q USING (vec_id)
+  CROSS JOIN (SELECT unnest({dims}) AS i) i
+  GROUP BY 1, 2
+),
+c{r + 1} AS (
+  SELECT c.cell,
+         list(coalesce(floor((2.0 * upd.s + upd.n) / (2 * upd.n))::BIGINT,
+                       c.cv[pos.i]) ORDER BY pos.i) AS cv
+  FROM c{r} c CROSS JOIN (SELECT unnest({dims}) AS i) pos
+  LEFT JOIN s{r} upd ON upd.cell = c.cell AND upd.pos = pos.i
+  GROUP BY c.cell)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT vec_id, cell, d2 FROM a{n_iter}"
+
+
+@q("emb_kmeans_cells", _kmeans_oracle_sql(k=8, d=64, n_iter=2))
+def emb_kmeans_cells(spark, sf_dir):
+    """Distributed Lloyd's k-means (2 iterations, k=8) + final cell
+    assignment over the embeddings — the REAL fit behind the IVF coarse
+    quantizer. All arithmetic is integer fixed-point (the PageRank
+    precedent): quantized vectors, exact-integer squared distances,
+    packed-BIGINT argmin, and integer half-up centroid means from exact
+    per-cell sums — so the result is bit-deterministic under any
+    partitioning AND exactly reproducible by the oracle's unrolled CTE
+    chain (a float k-means could never be oracle-gated). Per iteration:
+    one broadcast of k centroid rows, one narrow argmin pass, one
+    posexplode sum to k*d rows, a metadata-sized driver update."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cluster.kmeans_assign(emb, k=8, n_iter=2).select(
+        "vec_id", "cell", F.col("d2").cast("long").alias("d2")
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every

@@ -1,0 +1,102 @@
+"""Integer fixed-point k-means (operators/cluster.py): exact lockstep with
+a plain-python Lloyd's reference on the same quantized vectors — no
+tolerance windows, every assignment and centroid must match bit-for-bit,
+iteration by iteration (possible because all distributed arithmetic is
+integer, hence associativity-safe under any partitioning)."""
+
+import pyspark.sql.functions as F
+
+from fasta_windows_spark.operators import cluster as C
+from fasta_windows_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _quantized(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = C.quantize(emb).collect()
+    return emb, {int(r["vec_id"]): [int(x) for x in r["fv"]] for r in rows}
+
+
+def _ref_lloyd(vecs: dict, k: int, n_iter: int):
+    """Plain-python reference: same init, same packed-key tie-break, same
+    integer half-up mean. Returns (per-iter assignments, centroids,
+    inertia history)."""
+    centroids = [list(vecs[i]) for i in sorted(vecs)[:k]]
+    history = []
+    inertia = []
+    for _ in range(n_iter):
+        assign = {}
+        tot = 0
+        for vid, fv in vecs.items():
+            best = min(
+                (sum((x - y) * (x - y) for x, y in zip(fv, c)) * k + ci)
+                for ci, c in enumerate(centroids)
+            )
+            assign[vid] = (best % k, best // k)
+            tot += best // k
+        history.append(assign)
+        inertia.append(tot)
+        new = [list(c) for c in centroids]
+        for cell in range(k):
+            members = [vecs[v] for v, (c, _) in assign.items() if c == cell]
+            if not members:
+                continue
+            n = len(members)
+            for pos in range(len(new[cell])):
+                s = sum(m[pos] for m in members)
+                new[cell][pos] = (2 * s + n) // (2 * n)
+        if new == centroids:
+            break
+        centroids = new
+    return history, centroids, inertia
+
+
+def test_kmeans_lockstep_with_python_reference(spark):
+    emb, vecs = _quantized(spark)
+    k, n_iter = 8, 4
+    ref_hist, ref_centroids, ref_inertia = _ref_lloyd(vecs, k, n_iter)
+
+    got_centroids, got_inertia = C.kmeans_fit(emb, k=k, n_iter=n_iter)
+    assert got_inertia == ref_inertia[: len(got_inertia)]
+    assert got_centroids == ref_centroids
+
+    got = {
+        int(r["vec_id"]): (int(r["cell"]), int(r["d2"]))
+        for r in C.kmeans_assign(emb, k=k, n_iter=n_iter).collect()
+    }
+    # final assignment = one more argmin under the fitted centroids
+    want = {
+        vid: min(
+            ((sum((x - y) * (x - y) for x, y in zip(fv, c)) * k + ci)
+             for ci, c in enumerate(ref_centroids)),
+        )
+        for vid, fv in vecs.items()
+    }
+    want = {vid: (p % k, p // k) for vid, p in want.items()}
+    assert got == want
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    emb, _ = _quantized(spark)
+    c1, i1 = C.kmeans_fit(emb, k=8, n_iter=5)
+    assert all(b <= a for a, b in zip(i1, i1[1:])), i1
+    # bit-exact rerun (integer sums are partitioning-independent)
+    c2, i2 = C.kmeans_fit(emb.repartition(7), k=8, n_iter=5)
+    assert c1 == c2 and i1 == i2
+
+
+def test_kmeans_centroids_drop_into_ivf(spark):
+    """The fitted centroids render as the same broadcast-table shape the
+    IVF quantizer stand-in produces, and assigning with them spreads the
+    corpus over multiple non-empty cells."""
+    emb, _ = _quantized(spark)
+    centroids, _ = C.kmeans_fit(emb, k=8, n_iter=3)
+    cdf = C.centroids_df(spark, centroids)
+    assert cdf.columns == sim.ivf_centroids(emb).columns
+    cells = (
+        C.kmeans_assign(emb, k=8, n_iter=3)
+        .groupBy("cell").count().collect()
+    )
+    assert len(cells) >= 4
+    assert sum(r["count"] for r in cells) == emb.count()

@@ -4042,6 +4042,41 @@ c{r + 1} AS (
     return f"WITH {body}\nSELECT vec_id, cell, d2 FROM a{n_iter}"
 
 
+def _kmeans_search_oracle_sql(
+    k: int = 8,
+    d: int = 64,
+    n_iter: int = 2,
+    qid: int = 0,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """IVF search oracle on top of the unrolled-fit chain: rank cells by
+    exact-integer d2 to the query vector (same packed tie-break), probe
+    the nprobe nearest, rank in-cell candidates by d2-to-query — the
+    (d2, vec_id) order is total, so the top-k set is unique."""
+    fit = _kmeans_oracle_sql(k, d, n_iter)
+    body = fit[len("WITH "): fit.rindex("\nSELECT")]
+    dims = f"range(1, {d + 1})"
+    return f"""WITH {body},
+qv AS (SELECT fv FROM q WHERE vec_id = {qid}),
+probes AS (
+  SELECT c.cell FROM c{n_iter} c CROSS JOIN qv
+  ORDER BY list_sum(list_transform({dims},
+             i -> (qv.fv[i] - c.cv[i]) * (qv.fv[i] - c.cv[i]))) * {k} + c.cell
+  LIMIT {nprobe}
+)
+SELECT a.vec_id, a.cell,
+       list_sum(list_transform({dims},
+         i -> (q.fv[i] - qv.fv[i]) * (q.fv[i] - qv.fv[i]))) AS d2
+FROM a{n_iter} a
+JOIN probes USING (cell)
+JOIN q ON q.vec_id = a.vec_id
+CROSS JOIN qv
+WHERE a.vec_id <> {qid}
+ORDER BY d2 ASC, a.vec_id ASC
+LIMIT {topk}"""
+
+
 @q("emb_kmeans_cells", _kmeans_oracle_sql(k=8, d=64, n_iter=2))
 def emb_kmeans_cells(spark, sf_dir):
     """Distributed Lloyd's k-means (2 iterations, k=8) + final cell
@@ -4058,6 +4093,26 @@ def emb_kmeans_cells(spark, sf_dir):
     return _cluster.kmeans_assign(emb, k=8, n_iter=2).select(
         "vec_id", "cell", F.col("d2").cast("long").alias("d2")
     )
+
+
+@q(
+    "emb_kmeans_search",
+    _kmeans_search_oracle_sql(k=8, d=64, n_iter=2, qid=0, nprobe=2, topk=10),
+)
+def emb_kmeans_search(spark, sf_dir):
+    """End-to-end trained ANN: fit the fixed-point quantizer, probe the 2
+    cells nearest query vector 0, rank in-cell candidates by exact-integer
+    squared L2, top-10. The full train -> index -> search pipeline is
+    oracle-gated because every number is an integer: the (d2, vec_id)
+    order is total, so the top-k SET is unique across engines (a float
+    cosine top-k can tie-break differently at the last ulp). Probe choice
+    is driver arithmetic over the k collected centroids; candidates stay
+    in the narrow assignment pass; the top-k is TakeOrderedAndProject —
+    zero wide shuffles."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cluster.kmeans_search(
+        emb, query_vec_id=0, k=8, n_iter=2, nprobe=2, topk=10
+    ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
 
 
 # The driver's correctness harness checks the FIRST 50 queries() entries per

@@ -148,3 +148,49 @@ def kmeans_assign(
     (one more exact-integer argmin pass over the full input)."""
     centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
     return _assign(quantize(emb, id_col, vec_col), centroids, id_col)
+
+
+def kmeans_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 8,
+    n_iter: int = 5,
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search under the TRAINED quantizer: probe the `nprobe`
+    cells nearest the query, rank candidates inside them by exact-integer
+    squared L2 to the query, return the top-k — (id, cell, d2) with a
+    deterministic total order (d2 asc, id asc), so the result set is
+    unique and oracle-exact.
+
+    Plan shape: the probe choice is DRIVER arithmetic over the k already-
+    collected integer centroids (metadata, no job); candidates = the
+    narrow assignment pass filtered to probed cells; the query vector is
+    a literal in the final fold, and the top-k compiles to
+    TakeOrderedAndProject (per-partition k-heaps, driver merge) — zero
+    wide shuffles end to end."""
+    q = quantize(emb, id_col, vec_col)
+    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
+    qf = [int(x) for x in q.where(F.col(id_col) == query_vec_id).first()["fv"]]
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qf, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probe_cells = [i for _, i in ranked[:nprobe]]
+    qlit = F.array(*[F.lit(x) for x in qf])
+    d2q = F.expr(
+        "aggregate(zip_with(fv, _qf, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return (
+        _assign(q, centroids, id_col)
+        .where(F.col("cell").isin(probe_cells) & (F.col(id_col) != query_vec_id))
+        .join(q, id_col)
+        .withColumn("_qf", qlit)
+        .select(id_col, "cell", d2q.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -100,3 +100,29 @@ def test_kmeans_centroids_drop_into_ivf(spark):
     )
     assert len(cells) >= 4
     assert sum(r["count"] for r in cells) == emb.count()
+
+
+def test_kmeans_search_plan_and_recall(spark):
+    """The trained-ANN search plan must stay narrow: top-k via
+    TakeOrderedAndProject, no wide Exchange anywhere (probe choice is
+    driver arithmetic; candidates ride the narrow assignment pass). And
+    probing 2/8 cells must still recover most of the exact top-10."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = C.kmeans_search(emb, query_vec_id=0, k=8, n_iter=2, nprobe=2, topk=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    got = {int(r["vec_id"]) for r in out.collect()}
+    assert len(got) == 10
+    # exact top-10 by the same integer metric, no cell restriction
+    _, vecs = _quantized(spark)
+    qf = vecs[0]
+    exact = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(fv, qf)), vid)
+        for vid, fv in vecs.items() if vid != 0
+    )[:10]
+    exact_ids = {vid for _, vid in exact}
+    recall = len(got & exact_ids) / 10
+    assert recall >= 0.5, (recall, sorted(got), sorted(exact_ids))

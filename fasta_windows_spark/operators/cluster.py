@@ -28,6 +28,12 @@ path.
 Overflow budget: |fx| <= SCALE * |v|_max; d2 <= d * (2*fx_max)^2 must stay
 below 2^63 / k for the packed argmin key — with SCALE=1e6, unit-norm-ish
 embeddings and d=64, d2 <= ~2.6e14, fine through k ~ 30k.
+
+Large-k note: `_assign` embeds the k*d centroid integers as expression
+literals (zero-join, right for quantizer-sized k); past a few thousand
+centroids switch to the `similarity.ivf_assign` broadcast-table crossJoin
+form — same packed-argmin HashAggregate, centroids shipped as data instead
+of plan.
 """
 
 from __future__ import annotations

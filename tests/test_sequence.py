@@ -183,3 +183,54 @@ def test_absence_same_timestamp_does_not_cancel(spark):
     )
     got = sorted(r["user_id"] for r in out.collect())
     assert got == [1, 4], got
+
+
+def test_absence_property_random_event_sets(spark):
+    """Property: for ANY per-user event set, absence_within equals the
+    brute-force NOT EXISTS definition (strict (t, t+T] window)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user
+            st.integers(min_value=0, max_value=7200),       # second offset
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(events)
+    @settings(max_examples=8, deadline=None)
+    def check(rows):
+        data = [
+            (u, i, et, datetime(2024, 1, 1) + timedelta(seconds=s))
+            for i, (u, s, et) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP"
+        )
+        out = seq.absence_within(
+            df, "user_id", "ts",
+            first_pred=F.col("event_type") == "click",
+            absent_pred=F.col("event_type") == "purchase",
+            within="1 hour",
+        )
+        got = {(r["user_id"], r["ts_us"]) for r in out.collect()}
+        t_us = {i: int(d[3].timestamp() * 1_000_000) for i, d in enumerate(data)}
+        want = set()
+        for i, (u, s, et) in enumerate(rows):
+            if et != "click":
+                continue
+            c = t_us[i]
+            cancelled = any(
+                u2 == u and et2 == "purchase"
+                and c < t_us[j] <= c + 3_600_000_000
+                for j, (u2, s2, et2) in enumerate(rows)
+            )
+            if not cancelled:
+                want.add((u, c))
+        assert got == want
+
+    check()

@@ -58,9 +58,16 @@ def quantize(
     )
 
 
-def _assign(q: DataFrame, centroids: list[list[int]], id_col: str) -> DataFrame:
-    """(id, cell, d2) — exact-integer argmin over the centroid literals,
-    ties to the lowest cell id via the packed key (d2 * k + cell)."""
+def _assign(
+    q: DataFrame,
+    centroids: list[list[int]],
+    id_col: str,
+    keep_fv: bool = False,
+) -> DataFrame:
+    """(id, cell, d2[, fv]) — exact-integer argmin over the centroid
+    literals, ties to the lowest cell id via the packed key
+    (d2 * k + cell). ``keep_fv`` carries the quantized vector through so
+    downstream per-row folds (e.g. distance-to-query) need no join."""
     k = len(centroids)
     cells = F.array(
         *[
@@ -78,11 +85,13 @@ def _assign(q: DataFrame, centroids: list[list[int]], id_col: str) -> DataFrame:
     packed = F.expr(
         f"array_min(transform(_cells, c -> ({d2}) * {k} + c.cid))"
     )
+    extra = ["fv"] if keep_fv else []
     return (
         q.withColumn("_cells", cells)
-        .select(id_col, packed.alias("_pk"))
+        .select(id_col, *extra, packed.alias("_pk"))
         .select(
             id_col,
+            *extra,
             F.pmod("_pk", F.lit(k)).cast("int").alias("cell"),
             ((F.col("_pk") - F.pmod("_pk", F.lit(k))) / k)
             .cast("bigint")
@@ -173,11 +182,11 @@ def kmeans_search(
     unique and oracle-exact.
 
     Plan shape: the probe choice is DRIVER arithmetic over the k already-
-    collected integer centroids (metadata, no job); candidates = the
-    narrow assignment pass filtered to probed cells; the query vector is
-    a literal in the final fold, and the top-k compiles to
-    TakeOrderedAndProject (per-partition k-heaps, driver merge) — zero
-    wide shuffles end to end."""
+    collected integer centroids (metadata, no job); cell assignment and
+    distance-to-query are BOTH folds over the same quantized row (the
+    centroids and the query vector are plan literals), so candidates come
+    from one narrow pass — no join anywhere — and the top-k compiles to
+    TakeOrderedAndProject (per-partition k-heaps, driver merge)."""
     q = quantize(emb, id_col, vec_col)
     centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
     qf = [int(x) for x in q.where(F.col(id_col) == query_vec_id).first()["fv"]]
@@ -192,9 +201,8 @@ def kmeans_search(
         "0L, (acc, x) -> acc + x)"
     )
     return (
-        _assign(q, centroids, id_col)
+        _assign(q, centroids, id_col, keep_fv=True)
         .where(F.col("cell").isin(probe_cells) & (F.col(id_col) != query_vec_id))
-        .join(q, id_col)
         .withColumn("_qf", qlit)
         .select(id_col, "cell", d2q.alias("d2"))
         .orderBy(F.asc("d2"), F.asc(id_col))

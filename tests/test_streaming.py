@@ -1045,3 +1045,53 @@ def test_foreachbatch_replay_is_idempotent(spark, pages_dir, tmp_path):
     replayed = spark.read.parquet(out).toPandas()
     r_rows = sorted(map(tuple, replayed[cols].astype(str).to_numpy()))
     assert r_rows == s_rows, "replayed batch duplicated or altered output"
+
+
+def test_cep_absence_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Absence-stream exactly-once under kill/restart (completes the CEP
+    resume matrix: burst, funnel, absence)."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark.streaming.cep import absence_stream
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet").sort_values("ts")
+    src = str(tmp_path / "absence_events_stream")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    schema = spark.read.parquet(src).schema
+
+    def stream(max_files=None):
+        r = spark.readStream.schema(schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return absence_stream(r.parquet(src), horizon="1 hour",
+                              watermark="1 hour")
+
+    out1, ck1 = str(tmp_path / "asingle"), str(tmp_path / "ack_single")
+    S.write_exactly_once(stream(), out1, ck1).awaitTermination(180)
+    single = spark.read.parquet(out1).dropna().toPandas()
+
+    out2, ck2 = str(tmp_path / "aresumed"), str(tmp_path / "ack_resumed")
+    q1 = (
+        stream(max_files=1).writeStream.format("parquet")
+        .outputMode("append").option("path", out2)
+        .option("checkpointLocation", ck2).start()
+    )
+    while not q1.recentProgress:
+        pass
+    q1.stop()
+    q1.awaitTermination(60)
+    S.write_exactly_once(stream(), out2, ck2).awaitTermination(180)
+    resumed = spark.read.parquet(out2).dropna().toPandas()
+
+    key = ["user_id", "ts_us"]
+    s = {tuple(int(v) for v in r) for r in single[key].to_numpy()}
+    r = {tuple(int(v) for v in r) for r in resumed[key].to_numpy()}
+    assert len(resumed) == len(r), "duplicate absence emissions after resume"
+    assert r == s, "resumed absence output differs from single-run output"
+    assert len(s) > 0

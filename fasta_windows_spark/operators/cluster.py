@@ -93,9 +93,10 @@ def _assign(
             id_col,
             *extra,
             F.pmod("_pk", F.lit(k)).cast("int").alias("cell"),
-            ((F.col("_pk") - F.pmod("_pk", F.lit(k))) / k)
-            .cast("bigint")
-            .alias("d2"),
+            # integer `div`, not float `/`: packed keys may exceed 2^53
+            # within the documented 2^63 budget, where double division
+            # would silently lose low bits of d2
+            F.expr(f"(_pk - pmod(_pk, {k})) div {k}").alias("d2"),
         )
     )
 

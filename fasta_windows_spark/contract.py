@@ -4115,6 +4115,49 @@ def emb_kmeans_search(spark, sf_dir):
     ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
 
 
+@q(
+    "docs_duplicate_spans",
+    """
+WITH c AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([0::BIGINT],
+           list_filter(range(8, length(text)::BIGINT),
+             p -> ('0x'||substr(md5(substring(text,(p-7)::INT,8)),1,4))::BIGINT
+                  % 64 = 0)),
+           [length(text)::BIGINT]) AS cuts
+  FROM documents WHERE length(text) > 0
+),
+k AS (
+  SELECT doc_id,
+         cuts[i-1] AS chunk_len0,
+         cuts[i] - cuts[i-1] AS chunk_len,
+         ('0x'||substr(md5(substring(text, (cuts[i-1]+1)::INT,
+                           (cuts[i]-cuts[i-1])::INT)), 1, 14))::BIGINT AS h
+  FROM c, LATERAL (SELECT unnest(range(2, len(cuts)+1)) AS i) l
+)
+SELECT h, min(chunk_len)::BIGINT AS chunk_len, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS example_doc
+FROM k GROUP BY h HAVING count(DISTINCT doc_id) > 1
+""",
+)
+def docs_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup via content-defined chunking: spans shared
+    by more than one document at ANY offset (cut points depend only on
+    local content, so shared text chunks identically wherever it sits —
+    fixed-stride shingles would only catch alignment-preserving copies).
+    Complements the doc-level MinHash/SimHash families with the
+    boilerplate/quotation/partial-copy class. Narrow HOF chunking, one
+    partial-aggregated groupBy on the 56-bit chunk hash (~1/64 of the
+    corpus rows cross the shuffle)."""
+    return _dedup.duplicate_spans(_docs(spark, sf_dir)).select(
+        "h",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "example_doc",
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries per
 # round (observed: CORRECTNESS_r01/r02 each hold exactly the first 50 keys in
 # registration order, while 65 are exposed). Deterministic rotation so every

@@ -432,3 +432,76 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS trick): cut the text AFTER
+    every position whose trailing `window`-char gram hashes to 0 mod
+    `mask` (expected chunk length ~= mask chars). Cut points depend only
+    on LOCAL content, so two documents sharing a span — at ANY byte
+    offset in each — produce identical chunks inside it; fixed-stride
+    shingling would only catch alignment-preserving copies. One narrow
+    JVM-HOF pass per doc: (id, chunk_idx, start, chunk_len, h) with a
+    56-bit md5-prefix chunk hash (collision-safe at corpus scale where a
+    32-bit prefix would birthday-collide). Zero shuffle."""
+    n = f"length({text_col})"
+    cuts = (
+        f"concat(array(0L), "
+        f"filter(sequence({window}L, {n} - 1L), p -> "
+        f"  cast(conv(substr(md5(substring({text_col}, cast(p - {window - 1} as int), {window})), 1, 4), 16, 10) as bigint) % {mask} = 0), "
+        f"array(cast({n} as bigint)))"
+    )
+    chunks = (
+        "transform(sequence(2, size(_cuts)), i -> struct("
+        "  element_at(_cuts, i - 1) as start,"
+        "  element_at(_cuts, i) - element_at(_cuts, i - 1) as chunk_len,"
+        f" cast(conv(substr(md5(substring({text_col},"
+        "      cast(element_at(_cuts, i - 1) + 1 as int),"
+        "      cast(element_at(_cuts, i) - element_at(_cuts, i - 1) as int))), 1, 14), 16, 10) as bigint) as h))"
+    )
+    return (
+        docs.where(F.length(text_col) > 0)
+        .withColumn("_cuts", F.expr(cuts))
+        .select(id_col, F.posexplode(F.expr(chunks)).alias("idx", "c"))
+        .select(
+            id_col,
+            (F.col("idx") + 1).alias("chunk_idx"),
+            F.col("c.start").alias("start"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.col("c.h").alias("h"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Cross-document duplicated exact spans: CDC chunks that appear in
+    more than one document — the exact-substring dedup class (detects
+    shared boilerplate, quoted blocks, and whole-document copies at any
+    offset), complementing the doc-level MinHash/SimHash families.
+    One partial-aggregated groupBy on the chunk hash after the narrow
+    chunking pass; at 100 TB that shuffle carries one short row per
+    chunk (~1/mask of the corpus rows), and the output is the dedup
+    policy's input (drop/keep-first per duplicated span)."""
+    c = cdc_chunks(docs, text_col, id_col, window, mask)
+    return (
+        c.groupBy("h")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("example_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -180,3 +180,45 @@ def test_jaccard_hashed_shingles_equal_string_shingles(spark):
         for r in rare_shingle_jaccard_pairs(docs, hash_shingles=False).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_cdc_chunks_tile_and_are_offset_invariant(spark):
+    """CDC chunking invariants: chunks tile each document exactly, and a
+    span shared by two documents at DIFFERENT offsets still produces
+    identical interior chunks — the property fixed-stride shingling lacks
+    (cut points depend only on local content)."""
+    import hashlib
+    import random
+
+    from fasta_windows_spark.operators.dedup import cdc_chunks, duplicate_spans
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdefgh ") for _ in range(600))
+    pre_a = "".join(rng.choice("xyzuvw") for _ in range(137))   # misaligned
+    pre_b = "".join(rng.choice("qrstmn") for _ in range(11))
+    docs = spark.createDataFrame(
+        [(1, pre_a + shared), (2, pre_b + shared)], "doc_id LONG, text STRING"
+    )
+    c = cdc_chunks(docs).toPandas()
+
+    # tiling: per doc, starts are contiguous and lengths sum to len(text)
+    for did, text in ((1, pre_a + shared), (2, pre_b + shared)):
+        g = c[c.doc_id == did].sort_values("chunk_idx")
+        assert g.start.iloc[0] == 0
+        assert (g.start + g.chunk_len).iloc[-1] == len(text)
+        assert (g.start.iloc[1:].to_numpy()
+                == (g.start + g.chunk_len).iloc[:-1].to_numpy()).all()
+        # hash really is the md5-56 prefix of the chunk text
+        r = g.iloc[0]
+        want = int(hashlib.md5(
+            text[int(r.start):int(r.start + r.chunk_len)].encode()
+        ).hexdigest()[:14], 16)
+        assert int(r.h) == want
+
+    # offset invariance: the two docs share interior chunks despite the
+    # 137-vs-11 char prefix misalignment
+    dup = duplicate_spans(docs).toPandas()
+    assert (dup.n_docs == 2).all() and len(dup) >= 3
+    # and the shared chunks cover most of the shared span
+    covered = dup.chunk_len.sum()
+    assert covered >= 0.6 * len(shared), (covered, len(shared))

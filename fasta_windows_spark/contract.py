@@ -4115,10 +4115,11 @@ def emb_kmeans_search(spark, sf_dir):
     ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
 
 
-@q(
-    "docs_duplicate_spans",
-    """
-WITH c AS (
+# shared CDC-chunk CTE: the duplicate-spans REPORT and the keep-first
+# REWRITE oracles must chunk identically by construction (the
+# _SQL_UNI_SUR_CTE precedent)
+_SQL_CDC_CTE = """
+c AS (
   SELECT doc_id, text,
          list_concat(list_concat([0::BIGINT],
            list_filter(range(8, length(text)::BIGINT),
@@ -4129,12 +4130,19 @@ WITH c AS (
 ),
 k AS (
   SELECT doc_id,
-         cuts[i-1] AS chunk_len0,
+         (i-1)::BIGINT AS chunk_idx,
+         cuts[i-1] AS start,
          cuts[i] - cuts[i-1] AS chunk_len,
          ('0x'||substr(md5(substring(text, (cuts[i-1]+1)::INT,
                            (cuts[i]-cuts[i-1])::INT)), 1, 14))::BIGINT AS h
   FROM c, LATERAL (SELECT unnest(range(2, len(cuts)+1)) AS i) l
-)
+)"""
+
+
+@q(
+    "docs_duplicate_spans",
+    f"""
+WITH {_SQL_CDC_CTE}
 SELECT h, min(chunk_len)::BIGINT AS chunk_len, count(*)::BIGINT AS n_occurrences,
        count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS example_doc
 FROM k GROUP BY h HAVING count(DISTINCT doc_id) > 1
@@ -4156,6 +4164,44 @@ def docs_duplicate_spans(spark, sf_dir):
         F.col("n_docs").cast("long").alias("n_docs"),
         "example_doc",
     )
+
+
+@q(
+    "docs_dedup_spans_rewrite",
+    f"""
+WITH {_SQL_CDC_CTE},
+w AS (SELECT h, min(doc_id * 2097152 + chunk_idx) AS w FROM k GROUP BY h),
+kept AS (
+  SELECT k.* FROM k JOIN w USING (h)
+  WHERE k.doc_id * 2097152 + k.chunk_idx = w.w
+),
+r AS (
+  SELECT kept.doc_id,
+         count(*)::BIGINT AS n_kept,
+         sum(kept.chunk_len)::BIGINT AS kept_chars,
+         md5(string_agg(substring(d.text, (kept.start+1)::INT,
+                                  kept.chunk_len::INT), ''
+                        ORDER BY kept.chunk_idx)) AS cleaned_md5
+  FROM kept JOIN documents d USING (doc_id) GROUP BY kept.doc_id
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM k GROUP BY doc_id)
+SELECT d.doc_id, length(d.text)::BIGINT AS total_chars,
+       coalesce(r.kept_chars, 0)::BIGINT AS kept_chars,
+       n.n_chunks, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(r.cleaned_md5, md5('')) AS cleaned_md5
+FROM documents d JOIN n USING (doc_id) LEFT JOIN r USING (doc_id)
+WHERE length(d.text) > 0
+""",
+)
+def docs_dedup_spans_rewrite(spark, sf_dir):
+    """The REWRITE half of exact-substring dedup (C4-style): drop every
+    CDC chunk already seen earlier in corpus order (packed-BIGINT
+    keep-first argmin, the paragraph_dedup trick) and reassemble each
+    document from its kept chunks — verified down to the md5 of the
+    cleaned text. The text column never shuffles: only short chunk-hash
+    rows cross the exchanges, the kept RANGES join back to the docs
+    table, and reassembly is an in-place HOF substring-concat."""
+    return _dedup.dedup_spans_keep_first(_docs(spark, sf_dir))
 
 
 # The driver's correctness harness checks the FIRST 50 queries() entries per

@@ -505,3 +505,66 @@ def duplicate_spans(
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def dedup_spans_keep_first(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup REWRITE (the C4-style cleaning
+    step `duplicate_spans` only reports): drop every CDC chunk that
+    already occurred earlier in corpus order — first occurrence = the
+    smallest (doc, chunk_idx), a packed-BIGINT HashAggregate argmin (the
+    paragraph_dedup / IVF trick) — and reassemble each document from its
+    kept chunks, in order. Returns per doc
+    (id, total_chars, kept_chars, n_chunks, n_kept, cleaned_md5);
+    kept_chars == total_chars and cleaned_md5 == md5(text) for documents
+    with no earlier-duplicated span.
+
+    Scale shape: the TEXT never shuffles. Chunk-hash rows (short) cross
+    three hash exchanges (winner argmin, winner membership join,
+    per-doc regroup of kept RANGES); the ranges then join to the docs
+    table on the doc id and the reassembly is one in-place HOF
+    substring-concat over the original text column. Bounds: chunk_idx <
+    2^21 per doc, doc ids < 2^42 (the paragraph_dedup packing bounds).
+    """
+    pack = 1 << 21
+    c = cdc_chunks(docs, text_col, id_col, window, mask)
+    packed = F.col(id_col) * pack + F.col("chunk_idx")
+    winners = c.groupBy("h").agg(F.min(packed).alias("w"))
+    kept = (
+        c.join(winners, "h")
+        .where(packed == F.col("w"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("chunk_idx", "start", "chunk_len"))
+            ).alias("_rs"),
+            F.count("*").alias("n_kept"),
+            F.sum("chunk_len").alias("kept_chars"),
+        )
+    )
+    cleaned = F.expr(
+        f"aggregate(coalesce(_rs, array()), '', (acc, r) -> "
+        f"concat(acc, substring({text_col}, cast(r.start + 1 as int), "
+        f"cast(r.chunk_len as int))))"
+    )
+    n_chunks = (
+        c.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    )
+    return (
+        docs.where(F.length(text_col) > 0)
+        .join(kept, id_col, "left")
+        .join(n_chunks, id_col)
+        .select(
+            id_col,
+            F.length(text_col).cast("long").alias("total_chars"),
+            F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+    )

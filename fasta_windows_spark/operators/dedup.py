@@ -451,9 +451,18 @@ def cdc_chunks(
     56-bit md5-prefix chunk hash (collision-safe at corpus scale where a
     32-bit prefix would birthday-collide). Zero shuffle."""
     n = f"length({text_col})"
+    # guard for docs shorter than the gram window: sequence(lo, hi) DESCENDS
+    # when hi < lo (unlike DuckDB's empty range), which would evaluate
+    # substring at zero/negative positions (Spark counts negatives from the
+    # string END) and inject out-of-order cut points → negative chunk_len
+    # rows and cross-engine divergence. greatest() keeps the sequence
+    # ascending (a single out-of-range candidate) and the `p <= n-1` term
+    # filters it, so a short doc yields cuts = [0, n] — one whole-text
+    # chunk, exactly the oracle's empty-range behaviour.
     cuts = (
         f"concat(array(0L), "
-        f"filter(sequence({window}L, {n} - 1L), p -> "
+        f"filter(sequence({window}L, greatest({n} - 1L, {window}L)), p -> "
+        f"  p <= {n} - 1L AND "
         f"  cast(conv(substr(md5(substring({text_col}, cast(p - {window - 1} as int), {window})), 1, 4), 16, 10) as bigint) % {mask} = 0), "
         f"array(cast({n} as bigint)))"
     )

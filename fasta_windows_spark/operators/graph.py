@@ -23,8 +23,11 @@ Scale notes (10^12 pages => ~10^8 hosts, ~10^9 host-level edges):
 - rank updates join nodes->insum on the same key each round; on a
   bucketed lakehouse the edge table's dst-bucketing makes the per-round
   shuffle a local exchange.
-- iterations are a fixed small constant (the contract uses 3); lineage
-  depth is bounded, no checkpointing needed.
+- each iteration ends in an eager localCheckpoint, so plan depth is one
+  iteration body regardless of the iteration count (a production run
+  writes each round's ranks to a table for exactly the same reason); the
+  per-iteration plan shape (broadcast dangling scalar, partial-aggregated
+  insum) is pinned by tests against `pagerank_step`.
 """
 
 from __future__ import annotations
@@ -33,6 +36,50 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 SCALE = 10**12
+
+
+def pagerank_step(
+    nodes: DataFrame,
+    edges: DataFrame,
+    outdeg: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    teleport: int,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """One un-truncated PageRank iteration — the plan `pagerank` compiles
+    per round before cutting lineage. Exposed separately so plan-shape
+    tests can assert the iteration's physical strategy (1-row dangling
+    aggregate combined via broadcast, rank sums partial-aggregated)
+    without unrolling the whole loop."""
+    shares = (
+        ranks.join(outdeg, F.col("node") == F.col("od_node"), "inner")
+        .select(F.col("node").alias("s"), F.expr("r div deg").alias("share"))
+    )
+    insum = (
+        edges.join(shares, F.col("src") == F.col("s"), "inner")
+        .groupBy(F.col("dst").alias("m_node"))
+        .agg(F.sum("share").alias("insum"))
+    )
+    dangling = (
+        ranks.join(outdeg, F.col("node") == F.col("od_node"), "left_anti")
+        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+    )
+    return (
+        nodes.join(insum, F.col("node") == F.col("m_node"), "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_num} * (coalesce(insum, 0)"
+                    f" + (dang div {n}))) div {damping_den}"
+                )
+            ).cast("long").alias("r"),
+        )
+    )
 
 
 def pagerank(
@@ -69,38 +116,22 @@ def pagerank(
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
 
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
-    for it in range(iterations):
-        if it > 0 and it % 5 == 0:
-            # iterative plans grow linearly; truncate lineage every few
-            # rounds (same protocol as dedup.connected_components) so a
-            # 20-iteration run neither recompiles a 20-deep plan per
-            # action nor recomputes from the scan on a task retry
-            ranks = ranks.localCheckpoint(eager=True)
-        shares = (
-            ranks.join(outdeg, F.col("node") == F.col("od_node"), "inner")
-            .select(F.col("node").alias("s"), F.expr("r div deg").alias("share"))
+    for _ in range(iterations):
+        ranks = pagerank_step(
+            nodes, edges, outdeg, ranks, n, teleport, damping_num, damping_den
         )
-        insum = (
-            edges.join(shares, F.col("src") == F.col("s"), "inner")
-            .groupBy(F.col("dst").alias("m_node"))
-            .agg(F.sum("share").alias("insum"))
-        )
-        dangling = (
-            ranks.join(outdeg, F.col("node") == F.col("od_node"), "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
-        )
-        ranks = (
-            nodes.join(insum, F.col("node") == F.col("m_node"), "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_num} * (coalesce(insum, 0)"
-                        f" + (dang div {n}))) div {damping_den}"
-                    )
-                ).cast("long").alias("r"),
-            )
-        )
+        # truncate lineage EVERY iteration (not every 5th): iterative plans
+        # grow linearly, and the unrolled 3-iteration plan already carried
+        # 205 exchanges / 66 scans — a user-supplied iterations=20 would
+        # compile a 20-deep plan per action and recompute from the scan on
+        # task retry. Eager materialization per round is the production
+        # shape anyway (each round's ranks table IS the next round's input),
+        # and it bounds plan depth independent of iteration count
+        # (pinned by tests/test_graph.py::test_pagerank_plan_depth_bounded).
+        ranks = ranks.localCheckpoint(eager=True)
+    # the final ranks are checkpointed (lineage no longer references the
+    # cached frames), so release them instead of leaking two cache entries
+    # per invocation across the contract sweep / plan audit
+    nodes.unpersist()
+    outdeg.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -54,7 +54,11 @@ def running_offset(
     must be unique and numeric; ``group_size`` buckets it into the
     order-aligned segments of the scan (pick it so #rows/group_size lands
     in the hundreds-to-thousands of groups at the target scale)."""
-    grp = (F.col(order_col).cast("long") / F.lit(group_size)).cast("long")
+    # integer `div`, not float-divide-then-cast: float division is exact for
+    # power-of-two divisors only — near 2^53 a non-power-of-two group_size
+    # could round across an integer boundary (same reason cluster._assign
+    # uses integer div)
+    grp = F.expr(f"cast({order_col} as bigint) div {int(group_size)}")
     d = df.withColumn("_grp", grp)
     w_in = Window.partitionBy("_grp").orderBy(order_col)
     d = d.withColumn(
@@ -103,8 +107,8 @@ def pack_sequences(
         toks, order_col=id_col, val_col="n_tok", out_col="tok_offset",
         group_size=group_size,
     )
-    first = (F.col("tok_offset") / seq_len).cast("long")
-    last = ((F.col("tok_offset") + F.col("n_tok") - 1) / seq_len).cast("long")
+    first = F.expr(f"tok_offset div {int(seq_len)}")
+    last = F.expr(f"(tok_offset + n_tok - 1) div {int(seq_len)}")
     return placed.select(
         id_col,
         "n_tok",

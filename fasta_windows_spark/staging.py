@@ -33,20 +33,25 @@ _LOCK = threading.Lock()
 
 
 def stage_scoped(df: DataFrame, scope: str) -> DataFrame:
-    with _LOCK:
-        prev_list = _STAGED.pop(scope, [])
     # Release the previous cache BEFORE persisting the new one: Spark's
     # CacheManager keys caches by LOGICAL PLAN, so when a re-invoked
     # operator stages the same plan, persist-then-unpersist would drop the
     # freshly-registered cache along with the old entry — every second
     # invocation silently lost its staging (caught by the plan tests
     # running after the oracle sweep in a full-suite session).
-    for prev in prev_list:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session may be gone; nothing to release
+    # The lock is held across the WHOLE pop → unpersist → persist sequence:
+    # releasing it between pop and persist lets two concurrent calls on the
+    # same scope interleave so one thread's unpersist (keyed by logical
+    # plan) drops the other's freshly-registered cache — the very failure
+    # the pre-release ordering exists to prevent. unpersist(blocking=False)
+    # and persist() are registration calls, so the critical section is
+    # metadata-cheap.
     with _LOCK:
+        for prev in _STAGED.pop(scope, []):
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session may be gone; nothing to release
         staged = df.persist()
         _STAGED[scope] = [staged]
     return staged

@@ -222,3 +222,47 @@ def test_cdc_chunks_tile_and_are_offset_invariant(spark):
     # and the shared chunks cover most of the shared span
     covered = dup.chunk_len.sum()
     assert covered >= 0.6 * len(shared), (covered, len(shared))
+
+
+def test_cdc_chunks_short_docs_yield_one_whole_text_chunk(spark):
+    """Docs shorter than the gram window (ADVICE r3, medium): Spark's
+    sequence(8, n-1) DESCENDS when n <= 8 — unguarded, it evaluated
+    substring at zero/negative positions (counted from the string END),
+    injecting out-of-order cut points and negative chunk_len rows. The
+    guarded path must yield exactly one chunk = the whole text, matching
+    DuckDB's empty range(8, n). Also pins the rewrite path end-to-end on
+    a corpus mixing short and normal docs."""
+    import hashlib
+
+    from fasta_windows_spark.operators.dedup import (
+        cdc_chunks,
+        dedup_spans_keep_first,
+    )
+
+    rows = [
+        (1, "a"),            # length 1
+        (2, "abcdefg"),      # length 7 == window-1
+        (3, "abcdefgh"),     # length 8 == window (n-1 = 7 < 8)
+        (4, "abcdefghi"),    # length 9: one candidate position, may or may not cut
+        (5, "xy" * 200),     # normal-length doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    c = cdc_chunks(docs).toPandas()
+
+    assert (c.chunk_len > 0).all(), c
+    assert (c.start >= 0).all(), c
+    for did, text in rows:
+        g = c[c.doc_id == did].sort_values("chunk_idx")
+        assert g.start.iloc[0] == 0
+        assert (g.start + g.chunk_len).iloc[-1] == len(text)
+        if len(text) <= 8:
+            assert len(g) == 1, (did, g)
+            want = int(hashlib.md5(text.encode()).hexdigest()[:14], 16)
+            assert int(g.h.iloc[0]) == want
+
+    # the rewrite survives short docs: nothing duplicated here, so every
+    # doc keeps all its chars and the cleaned md5 equals md5(text)
+    r = dedup_spans_keep_first(docs).toPandas().set_index("doc_id")
+    for did, text in rows:
+        assert r.loc[did, "kept_chars"] == len(text)
+        assert r.loc[did, "cleaned_md5"] == hashlib.md5(text.encode()).hexdigest()

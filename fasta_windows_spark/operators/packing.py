@@ -103,8 +103,24 @@ def pack_sequences(
     toks = docs.select(
         F.col(id_col), token_count_expr(text_col).alias("n_tok")
     ).where(F.col("n_tok") > 0)
+    return place_token_counts(
+        toks, seq_len=seq_len, id_col=id_col, group_size=group_size
+    )
+
+
+def place_token_counts(
+    toks: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    group_size: int = 4096,
+) -> DataFrame:
+    """The tokenizer-agnostic half of packing: block placement from an
+    (id, n_tok) frame — so the regex counter (pack_sequences) and the real
+    BPE counter (functions.bpe.bpe_token_counts) share one placement
+    implementation. Drops n_tok <= 0 rows defensively."""
     placed = running_offset(
-        toks, order_col=id_col, val_col="n_tok", out_col="tok_offset",
+        toks.where(F.col("n_tok") > 0),
+        order_col=id_col, val_col="n_tok", out_col="tok_offset",
         group_size=group_size,
     )
     first = F.expr(f"tok_offset div {int(seq_len)}")

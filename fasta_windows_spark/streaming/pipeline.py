@@ -63,6 +63,57 @@ def _char_count(col: str, ch: str) -> F.Column:
     return (base + low).cast("long")
 
 
+def positional_window_counts(
+    df: DataFrame,
+    window: int = 1000,
+    id_cols: tuple = ("host", "warc_ts"),
+    text_col: str = "text",
+    chars: tuple = ("c", "g"),
+) -> DataFrame:
+    """JVM-expression twin of ``functions.udfs.window_stats`` for the count
+    fields (win_len, cnt_*): positional tumbling windows via
+    explode(sequence), per-window counts via substring + case-folded
+    replace — whole-stage codegen end to end, ZERO Arrow/Python crossing.
+
+    Why it exists: the round-3 scaling ledger (BENCH/BASELINE.md)
+    attributed the stats-mode 2→8 efficiency gap largely to 0.39 GB of
+    Arrow IPC crossing into Python per run (DRAM-bandwidth-sensitive, so
+    it inflates disproportionately at higher core counts). For jobs whose
+    downstream agg consumes only count fields, this path keeps the whole
+    map side inside the JVM; the Arrow kernel path remains the one that
+    can emit entropies/k-mer vectors. Window semantics are pinned to the
+    kernel by tests (kernels.window_bounds: tumbling from 0, final window
+    truncated, zero-length text yields no windows; counts fold case like
+    stats_table's unmasked branch).
+    """
+    w = int(window)
+    d = (
+        df.where(F.length(text_col) > 0)
+        .withColumn(
+            "w_start",
+            F.explode(F.expr(f"sequence(0L, length({text_col}) - 1L, {w})")),
+        )
+        .withColumn(
+            "_win",
+            F.expr(f"substring({text_col}, cast(w_start + 1 as int), {w})"),
+        )
+    )
+    out = [
+        *id_cols,
+        F.col("w_start"),
+        (F.col("w_start") + F.length("_win")).cast("long").alias("w_end"),
+        F.length("_win").cast("long").alias("win_len"),
+    ]
+    for ch in chars:
+        cnt = (
+            2 * F.length("_win")
+            - F.length(F.replace(F.col("_win"), F.lit(ch.upper())))
+            - F.length(F.replace(F.col("_win"), F.lit(ch.lower())))
+        ).cast("long")
+        out.append(cnt.alias(f"cnt_{ch.lower()}"))
+    return d.select(*out)
+
+
 def page_count_columns(
     df: DataFrame, text_col: str = "text", extra_cols: tuple = ()
 ) -> DataFrame:

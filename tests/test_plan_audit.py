@@ -29,6 +29,11 @@ def test_python_boundaries_are_vectorized_and_rare(spark):
         "emb_pca_project",
         "docs_compression_ratio",
         "doc_source_ngram_agg",
+        # BPE encode runs over the DISTINCT pre-token set only (vocabulary-
+        # sized, not corpus-sized) — tests/test_bpe.py pins that the Arrow
+        # boundary sits above the dedup aggregate
+        "docs_bpe_token_counts",
+        "docs_bpe_pack_sequences",
     }
     unexpected = {
         n

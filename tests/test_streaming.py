@@ -1095,3 +1095,43 @@ def test_cep_absence_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert len(resumed) == len(r), "duplicate absence emissions after resume"
     assert r == s, "resumed absence output differs from single-run output"
     assert len(s) > 0
+
+
+def test_positional_window_counts_matches_arrow_kernel(spark, pages_dir):
+    """The pure-JVM positional-window count path (whole-stage codegen, no
+    Arrow/Python crossing — the scaling bench's stats mode) must agree
+    row-for-row with the Arrow kernel path on the same pages, including
+    the truncated final window, case folding, and N handling. Also pins
+    edge cases: empty text yields no windows; text shorter than the
+    window yields exactly one truncated window."""
+    from fasta_windows_spark.functions.udfs import window_stats
+
+    pages = S.with_host(spark.read.parquet(pages_dir))
+    extra = spark.createDataFrame(
+        [
+            ("http://edge.example/a", "h-edge", ""),          # no windows
+            ("http://edge.example/b", "h-edge", "acgTN"),     # one short window
+            ("http://edge.example/c", "h-edge", "A" * 1000),  # exact boundary
+            ("http://edge.example/d", "h-edge", "Cg" * 501),  # 1002 chars
+        ],
+        "url STRING, host STRING, text STRING",
+    ).withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    pages = pages.select("url", "host", "warc_ts", "text").unionByName(extra)
+
+    jvm = S.positional_window_counts(
+        pages, window=1000, id_cols=("url",)
+    )
+    arrow = window_stats(
+        pages, window=1000, id_cols=["url"], f32=False,
+        fields=["win_len", "cnt_c", "cnt_g"],
+    )
+    a = {tuple(r) for r in jvm.select(
+        "url", "w_start", "w_end", "win_len", "cnt_c", "cnt_g").collect()}
+    b = {tuple(r) for r in arrow.select(
+        "url", "w_start", "w_end", "win_len", "cnt_c", "cnt_g").collect()}
+    assert a == b and len(a) > 0
+
+    # the plan must be pure JVM: no Arrow/Python eval nodes
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan

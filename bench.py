@@ -37,6 +37,15 @@ HEADLINE = [
     "docs_simhash",             # SimHash one-pass HOF fold (zero shuffle)
     "docs_jaccard_pairs",       # inverted-index near-dup join
     "emb_cosine_neighbors",     # embedding similarity
+    # round-3/4 families (VERDICT r3 #8: the new surface must be visible
+    # to round-over-round regression tracking) — the most expensive
+    # representative of each:
+    "docs_host_pagerank",       # iterative fixed-point graph (3 rounds)
+    "docs_dedup_spans_rewrite", # CDC exact-substring dedup + reassembly
+    "docs_pack_segments",       # token-tape packing (segmented prefix sum)
+    "emb_kmeans_search",        # trained IVF ANN (Lloyd's fit + probe)
+    "emb_pq_search",            # IVF-PQ ADC search (fit + encode + LUT)
+    "docs_bpe_token_counts",    # real BPE counts (vocab-only Arrow pass)
 ]
 
 

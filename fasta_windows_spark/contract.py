@@ -4237,6 +4237,254 @@ def emb_kmeans_search(spark, sf_dir):
     ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
 
 
+def _pq_oracle_cte(
+    k: int = 8,
+    d: int = 64,
+    n_iter: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    pq_iter: int = 1,
+) -> str:
+    """Unrolled IVF-PQ oracle chain on top of the coarse k-means chain:
+    residuals, per-subspace init (ks lowest vec_ids, the ivf_centroids
+    convention), pq_iter unrolled subspace-k-means iterations, final code
+    assignment. Integer fixed-point end to end, so codes — and the ADC
+    distances built from them — are reproduced EXACTLY."""
+    fit = _kmeans_oracle_sql(k, d, n_iter)
+    body = fit[len("WITH "): fit.rindex("\nSELECT")]
+    ds = d // m
+    dj = f"range(1, {ds + 1})"
+    parts = [body]
+    parts.append(
+        f"""res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {d + 1}), i -> q.fv[i] - c.cv[i]) AS rv
+  FROM a{n_iter} a JOIN q USING (vec_id) JOIN c{n_iter} c USING (cell))"""
+    )
+    parts.append(
+        f"""rs AS (
+  SELECT vec_id, cell, s.s AS sub,
+         list_transform({dj}, j -> rv[(s.s * {ds} + j)::INT]) AS sv
+  FROM res CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s)"""
+    )
+    parts.append(
+        f"""pcb0 AS (
+  SELECT sub,
+         (row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1)::INT
+           AS code,
+         sv AS cv
+  FROM rs WHERE vec_id < {ks})"""
+    )
+    for r in range(pq_iter + 1):
+        parts.append(
+            f"""pa{r} AS (
+  SELECT vec_id, sub, (pk % {ks})::INT AS code FROM (
+    SELECT rs.vec_id, rs.sub,
+           min(list_sum(list_transform({dj},
+                 j -> (rs.sv[j] - p.cv[j]) * (rs.sv[j] - p.cv[j])))
+               * {ks} + p.code) AS pk
+    FROM rs JOIN pcb{r} p USING (sub) GROUP BY rs.vec_id, rs.sub))"""
+        )
+        if r == pq_iter:
+            break
+        parts.append(
+            f"""pss{r} AS (
+  SELECT a.sub, a.code, j.j AS pos, sum(rs.sv[j.j]) AS s, count(*) AS n
+  FROM pa{r} a JOIN rs ON rs.vec_id = a.vec_id AND rs.sub = a.sub
+  CROSS JOIN (SELECT unnest({dj}) AS j) j
+  GROUP BY 1, 2, 3),
+pcb{r + 1} AS (
+  SELECT p.sub, p.code,
+         list(coalesce(floor((2.0 * u.s + u.n) / (2 * u.n))::BIGINT,
+                       p.cv[pos.j]) ORDER BY pos.j) AS cv
+  FROM pcb{r} p CROSS JOIN (SELECT unnest({dj}) AS j) pos
+  LEFT JOIN pss{r} u ON u.sub = p.sub AND u.code = p.code AND u.pos = pos.j
+  GROUP BY p.sub, p.code)"""
+        )
+    return ",\n".join(parts)
+
+
+def _pq_codes_oracle_sql(k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1) -> str:
+    cols = ",\n       ".join(
+        f"max(CASE WHEN pa.sub = {s} THEN pa.code END)::INT AS code_{s}"
+        for s in range(m)
+    )
+    return f"""WITH {_pq_oracle_cte(k, d, n_iter, m, ks, pq_iter)}
+SELECT pa.vec_id, a.cell,
+       {cols}
+FROM pa{pq_iter} pa JOIN a{n_iter} a USING (vec_id)
+GROUP BY pa.vec_id, a.cell"""
+
+
+def _pq_search_oracle_sql(
+    k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1, qid=0, nprobe=2, topk=10
+) -> str:
+    ds = d // m
+    dj = f"range(1, {ds + 1})"
+    dims = f"range(1, {d + 1})"
+    return f"""WITH {_pq_oracle_cte(k, d, n_iter, m, ks, pq_iter)},
+qv AS (SELECT fv FROM q WHERE vec_id = {qid}),
+probes AS (
+  SELECT c.cell FROM c{n_iter} c CROSS JOIN qv
+  ORDER BY list_sum(list_transform({dims},
+             i -> (qv.fv[i] - c.cv[i]) * (qv.fv[i] - c.cv[i]))) * {k} + c.cell
+  LIMIT {nprobe}
+),
+qres AS (
+  SELECT c.cell, s.s AS sub,
+         list_transform({dj},
+           j -> qv.fv[(s.s * {ds} + j)::INT] - c.cv[(s.s * {ds} + j)::INT])
+           AS qsv
+  FROM c{n_iter} c CROSS JOIN qv
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+),
+lut AS (
+  SELECT qres.cell, qres.sub, p.code,
+         list_sum(list_transform({dj},
+           j -> (qres.qsv[j] - p.cv[j]) * (qres.qsv[j] - p.cv[j]))) AS d2
+  FROM qres JOIN pcb{pq_iter} p USING (sub)
+)
+SELECT pa.vec_id, a.cell, sum(l.d2)::BIGINT AS d2_adc
+FROM pa{pq_iter} pa
+JOIN a{n_iter} a USING (vec_id)
+JOIN probes USING (cell)
+JOIN lut l ON l.cell = a.cell AND l.sub = pa.sub AND l.code = pa.code
+WHERE pa.vec_id <> {qid}
+GROUP BY pa.vec_id, a.cell
+ORDER BY d2_adc ASC, pa.vec_id ASC
+LIMIT {topk}"""
+
+
+@q("emb_pq_codes", _pq_codes_oracle_sql(k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1))
+def emb_pq_codes(spark, sf_dir):
+    """IVF-PQ compressed index rows (VERDICT r3 #5b): coarse cell + m=8
+    subspace codes (ks=16) per vector — the 100 TB ANN memory story, a
+    ~28x compression of a float32 index at d=64 (256 B -> 9 B/vector). Codebooks train on coarse
+    RESIDUALS with the same integer fixed-point regime as the k-means fit
+    (exact sums, half-up means, packed-argmin tie-breaks), so the whole
+    train -> encode pipeline is bit-deterministic and hash-gated against
+    the oracle's unrolled CTE chain. All m subspaces train in ONE job per
+    iteration (residuals explode to (id, sub, sv); argmin runs against
+    the codebook literal keyed by sub); encoding is a single narrow pass
+    with zero joins."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cluster.pq_encode(emb, k=8, n_iter=1, m=8, ks=16, pq_iter=1)
+
+
+@q(
+    "emb_pq_search",
+    _pq_search_oracle_sql(
+        k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1, qid=0, nprobe=2, topk=10
+    ),
+)
+def emb_pq_search(spark, sf_dir):
+    """ADC search over the PQ index: per-query distance TABLES
+    (LUT[cell][sub][code] = d2(query_residual_sub, codebook_entry),
+    k*m*ks = 1024 integers computed on the DRIVER and embedded as plan
+    literals), so each candidate costs m integer table adds — never a
+    d-dim dot product. Probe the 2 nearest cells, TakeOrderedAndProject
+    top-10 on the total (d2_adc, vec_id) order. The oracle rebuilds the
+    same LUT in SQL from the unrolled codebooks — integer arithmetic
+    makes the approximate-distance ranking itself exactly checkable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cluster.pq_search(
+        emb, query_vec_id=0, k=8, n_iter=1, m=8, ks=16, pq_iter=1,
+        nprobe=2, topk=10,
+    ).select("vec_id", "cell", F.col("d2_adc").cast("long").alias("d2_adc"))
+
+
+# exact brute-force cosine top-10 truth CTE (the emb_ivf_recall_eval truth
+# side) + recall summary tail, shared by the trained-quantizer recall evals
+_SQL_KNN_TRUTH = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+truth AS (
+  SELECT neighbor_id FROM (
+    SELECT e.vec_id AS neighbor_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(e.v, qv.q) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.q, qv.q))),
+                     5) DESC, e.vec_id
+           ) AS rn
+    FROM e, qv WHERE e.vec_id <> 0) WHERE rn <= 10
+)"""
+
+_SQL_RECALL_TAIL = """
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+nh AS (SELECT count(*)::BIGINT AS n_hits
+       FROM truth JOIN cand ON truth.neighbor_id = cand.vec_id)
+SELECT n_truth, n_cand, n_hits,
+       round(n_hits::DOUBLE / n_truth, 6) AS recall
+FROM nt CROSS JOIN nc CROSS JOIN nh"""
+
+
+def _recall_eval_frame(spark, emb, cand):
+    truth = _sim.knn_topk_exact(emb, query_ids=[0], k=10).select(
+        F.col("neighbor_id").alias("t_id")
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    nh = truth.join(
+        cand, truth["t_id"] == cand["c_id"], "left_semi"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            _r6(F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )
+
+
+@q(
+    "emb_kmeans_recall_eval",
+    f"""WITH {_SQL_KNN_TRUTH},
+cand AS (SELECT vec_id FROM (
+{_kmeans_search_oracle_sql(k=8, d=64, n_iter=2, qid=0, nprobe=2, topk=10)}
+)),
+{_SQL_RECALL_TAIL}""",
+)
+def emb_kmeans_recall_eval(spark, sf_dir):
+    """Recall@10 of the TRAINED-quantizer IVF search (emb_kmeans_search:
+    Lloyd's fit, nprobe=2) against the exact brute-force top-10 — the
+    trained twin of emb_ivf_recall_eval (whose quantizer is the lowest-id
+    stand-in), closing the tuning loop fit-quality -> candidate recall.
+    Both sides are oracle-checked operators, so the meta-operator is
+    fully hash-gated (VERDICT r3 #5c)."""
+    emb = _emb(spark, sf_dir)
+    cand = _cluster.kmeans_search(
+        emb, query_vec_id=0, k=8, n_iter=2, nprobe=2, topk=10
+    ).select(F.col("vec_id").alias("c_id"))
+    return _recall_eval_frame(spark, emb, cand)
+
+
+@q(
+    "emb_pq_recall_eval",
+    f"""WITH {_SQL_KNN_TRUTH},
+cand AS (SELECT vec_id FROM (
+{_pq_search_oracle_sql(k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1,
+                       qid=0, nprobe=2, topk=10)}
+)),
+{_SQL_RECALL_TAIL}""",
+)
+def emb_pq_recall_eval(spark, sf_dir):
+    """Recall@10 of PQ-ADC search against the exact brute-force top-10:
+    what the ~28x index compression costs in candidate quality — the
+    m/ks/nprobe tuning loop as one oracle-gated summary row (the ADC
+    ranking uses approximate distances, so its recall is the number that
+    decides whether a re-ranking stage is needed at 100 TB)."""
+    emb = _emb(spark, sf_dir)
+    cand = _cluster.pq_search(
+        emb, query_vec_id=0, k=8, n_iter=1, m=8, ks=16, pq_iter=1,
+        nprobe=2, topk=10,
+    ).select(F.col("vec_id").alias("c_id"))
+    return _recall_eval_frame(spark, emb, cand)
+
+
 # shared CDC-chunk CTE: the duplicate-spans REPORT and the keep-first
 # REWRITE oracles must chunk identically by construction (the
 # _SQL_UNI_SUR_CTE precedent)

@@ -209,3 +209,266 @@ def kmeans_search(
         .orderBy(F.asc("d2"), F.asc(id_col))
         .limit(topk)
     )
+
+
+# --- IVF-PQ: product quantization on coarse residuals --------------------------
+#
+# The 100 TB ANN memory story: a raw float32 corpus index is d*4 bytes per
+# vector (256 B at d=64); IVF-PQ stores one coarse cell id + m sub-codes
+# (m bytes at ks<=256) — ~28x smaller here (256 B -> 9 B at d=64, m=8) — and searches with per-query
+# precomputed distance TABLES (ADC), so the per-candidate cost is m integer
+# table adds instead of a d-dim dot product. Everything stays in the repo's
+# integer fixed-point regime (quantize/SCALE), so codebooks, codes, and ADC
+# distances are bit-deterministic under any partitioning and exactly
+# reproducible by an unrolled DuckDB CTE chain — the same property that
+# made kmeans_fit oracle-gateable.
+#
+# Overflow budget: sub-d2 <= ds*(2*fx_max)^2 with residual fx_max ~ 2e6 at
+# SCALE=1e6, so packed keys (d2*ks + cid) stay < ~2e15 << 2^63 for
+# ds=8, ks<=256; ADC totals sum m of those, same budget as the full d2.
+
+
+def _sub_slices(res_col: str, m: int, ds: int) -> str:
+    """SQL for exploding a residual vector into m (sub, sv) structs."""
+    return (
+        f"transform(sequence(0, {m - 1}), s -> struct(s as sub, "
+        f"slice({res_col}, s * {ds} + 1, {ds}) as sv))"
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    pq_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Train the IVF-PQ index: coarse k-means (kmeans_fit), then per-
+    subspace k-means over the coarse RESIDUALS (vector - its centroid).
+    Returns (coarse_centroids k x d, codebooks m x ks x ds), all integers.
+
+    Init mirrors the coarse convention: per subspace, the ks lowest-id
+    vectors' sub-residuals. Update = integer half-up mean; empty codes
+    keep the previous entry. ALL m subspaces train in ONE Spark job per
+    iteration: residuals explode to (id, sub, sv) rows and the argmin
+    runs against the full codebook literal keyed by sub — so the job
+    count is O(pq_iter), independent of m."""
+    d_probe = len(emb.select(vec_col).first()[0])
+    ds = d_probe // m
+    assert ds * m == d_probe, (d_probe, m)
+    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
+    q = quantize(emb, id_col, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
+    )
+    res = (
+        _assign(q, centroids, id_col, keep_fv=True)
+        .withColumn("_cents", cent_lit)
+        .select(
+            id_col,
+            "cell",
+            F.expr(
+                "zip_with(fv, element_at(_cents, cell + 1), (x, y) -> x - y)"
+            ).alias("rv"),
+        )
+    )
+    # one narrow explode to (id, sub, sv); localCheckpoint pins it across
+    # the pq iterations (the kmeans_fit lineage protocol)
+    rs = (
+        res.select(
+            id_col, F.explode(F.expr(_sub_slices("rv", m, ds))).alias("s")
+        )
+        .select(id_col, F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
+    init = rs.where(F.col(id_col) < ks).orderBy("sub", id_col).collect()
+    books = [[None] * ks for _ in range(m)]
+    for r in init:
+        rank = sum(1 for r2 in init if r2["sub"] == r["sub"] and r2[id_col] < r[id_col])
+        books[r["sub"]][rank] = [int(x) for x in r["sv"]]
+    for _ in range(pq_iter):
+        a = _pq_assign(rs, books, id_col)
+        stats = (
+            a.join(rs, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "fx"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("fx").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [[list(c) for c in sub] for sub in books]
+        for r in stats:
+            s, n = int(r["s"]), int(r["n"])
+            new[r["sub"]][r["code"]][r["pos"]] = (2 * s + n) // (2 * n)
+        if new == books:
+            break
+        books = new
+    return centroids, books
+
+
+def _books_lit(books) -> F.Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in sub])
+            for sub in books
+        ]
+    )
+
+
+def _pq_assign(rs: DataFrame, books, id_col: str) -> DataFrame:
+    """(id, sub, code) — per-subspace exact-integer argmin against the
+    codebook literal, ties to the lowest code id (packed key)."""
+    ks = len(books[0])
+    d2 = (
+        "aggregate(zip_with(sv, element_at(element_at(_books, sub + 1), cid + 1), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    packed = F.expr(
+        f"array_min(transform(sequence(0, {ks - 1}), cid -> ({d2}) * {ks} + cid))"
+    )
+    return (
+        rs.withColumn("_books", _books_lit(books))
+        .select(id_col, "sub", packed.alias("_pk"))
+        .select(
+            id_col,
+            "sub",
+            F.pmod("_pk", F.lit(ks)).cast("int").alias("code"),
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    pq_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + encode: (id, cell, code_0..code_{m-1}) — the compressed index
+    rows a 100 TB corpus materializes (1 + m small ints per vector). One
+    narrow pass after the fits: coarse argmin, residual, per-subspace
+    argmin — all against plan literals, zero joins."""
+    centroids, books = pq_fit(emb, k, n_iter, m, ks, pq_iter, id_col, vec_col)
+    return pq_encode_with(emb, centroids, books, m, id_col, vec_col)
+
+
+def pq_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 8,
+    n_iter: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    pq_iter: int = 1,
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) search: probe the nprobe
+    cells nearest the query, score every candidate from its CODES alone
+    via per-query distance tables — LUT[cell][sub][code] =
+    d2(query_residual_sub, codebook[sub][code]) — precomputed on the
+    driver (k*m*ks integers, metadata-sized) and embedded as plan
+    literals. Per candidate the score is m integer table adds; no joins,
+    no d-dim arithmetic, TakeOrderedAndProject top-k. Integer throughout,
+    so (d2_adc, id) is a total order and the result set is oracle-exact."""
+    centroids, books = pq_fit(emb, k, n_iter, m, ks, pq_iter, id_col, vec_col)
+    d = len(centroids[0])
+    ds = d // m
+    q = quantize(emb, id_col, vec_col)
+    qf = [int(x) for x in q.where(F.col(id_col) == query_vec_id).first()["fv"]]
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qf, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probe_cells = [i for _, i in ranked[:nprobe]]
+    # driver-side ADC tables: query residual per cell, d2 per codebook entry
+    lut = [
+        [
+            [
+                sum(
+                    (qr - cb) * (qr - cb)
+                    for qr, cb in zip(
+                        [
+                            qf[sub * ds + j] - centroids[cell][sub * ds + j]
+                            for j in range(ds)
+                        ],
+                        books[sub][code],
+                    )
+                )
+                for code in range(ks)
+            ]
+            for sub in range(m)
+        ]
+        for cell in range(k)
+    ]
+    lut_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(x)) for x in bysub]) for bysub in bycell])
+            for bycell in lut
+        ]
+    )
+    enc = pq_encode_with(emb, centroids, books, m, id_col, vec_col)
+    adc = " + ".join(
+        f"element_at(element_at(element_at(_lut, cell + 1), {s + 1}), code_{s} + 1)"
+        for s in range(m)
+    )
+    return (
+        enc.where(F.col("cell").isin(probe_cells) & (F.col(id_col) != query_vec_id))
+        .withColumn("_lut", lut_lit)
+        .select(id_col, "cell", F.expr(adc).alias("d2_adc"))
+        .orderBy(F.asc("d2_adc"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def pq_encode_with(
+    emb: DataFrame,
+    centroids,
+    books,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode under ALREADY-FITTED tables (the production shape: fit on a
+    sample once, encode the corpus many times)."""
+    d = len(centroids[0])
+    ds = d // m
+    ks_ = len(books[0])
+    q = quantize(emb, id_col, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
+    )
+    d2 = (
+        "aggregate(zip_with(s.sv, element_at(element_at(_books, s.sub + 1), cid + 1), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+    codes = F.expr(
+        f"transform({_sub_slices('rv', m, ds)}, s -> "
+        f"cast(array_min(transform(sequence(0, {ks_ - 1}), "
+        f"cid -> ({d2}) * {ks_} + cid)) % {ks_} as int))"
+    )
+    return (
+        _assign(q, centroids, id_col, keep_fv=True)
+        .withColumn("_cents", cent_lit)
+        .withColumn("_books", _books_lit(books))
+        .withColumn(
+            "rv",
+            F.expr("zip_with(fv, element_at(_cents, cell + 1), (x, y) -> x - y)"),
+        )
+        .select(id_col, "cell", codes.alias("_codes"))
+        .select(
+            id_col,
+            "cell",
+            *[
+                F.element_at("_codes", i + 1).alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+    )

@@ -4393,6 +4393,41 @@ def emb_pq_search(spark, sf_dir):
     ).select("vec_id", "cell", F.col("d2_adc").cast("long").alias("d2_adc"))
 
 
+@q(
+    "emb_pq_reranked",
+    f"""WITH shortlist AS (
+  SELECT vec_id, cell FROM (
+{_pq_search_oracle_sql(k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1,
+                       qid=0, nprobe=2, topk=40)}
+)),
+e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * {_cluster.SCALE})::BIGINT) AS fv
+      FROM embeddings),
+qv AS (SELECT fv FROM e WHERE vec_id = 0)
+SELECT s.vec_id, s.cell,
+       list_sum(list_transform(range(1, 65),
+         i -> (e.fv[i] - qv.fv[i]) * (e.fv[i] - qv.fv[i])))::BIGINT AS d2
+FROM shortlist s JOIN e USING (vec_id) CROSS JOIN qv
+ORDER BY d2 ASC, s.vec_id ASC
+LIMIT 10""",
+)
+def emb_pq_reranked(spark, sf_dir):
+    """The full production ANN pipeline: PQ-ADC shortlist (40 candidates
+    from the ~28x-compressed index, m integer table adds each) -> EXACT
+    integer re-rank of just those 40 against the original vectors ->
+    top-10. The standard two-stage recipe for recovering exact-search
+    quality from a lossy index at 100 TB: full-dimension arithmetic
+    touches `shortlist` rows per query, never the corpus. The shortlist
+    join is a 40-row broadcast; the re-rank is a narrow fold +
+    TakeOrderedAndProject; oracle-exact end to end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cluster.pq_rerank_search(
+        emb, query_vec_id=0, k=8, n_iter=1, m=8, ks=16, pq_iter=1,
+        nprobe=2, shortlist=40, topk=10,
+    ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
+
+
 # exact brute-force cosine top-10 truth CTE (the emb_ivf_recall_eval truth
 # side) + recall summary tail, shared by the trained-quantizer recall evals
 _SQL_KNN_TRUTH = """

@@ -472,3 +472,44 @@ def pq_encode_with(
             ],
         )
     )
+
+
+def pq_rerank_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 8,
+    n_iter: int = 1,
+    m: int = 8,
+    ks: int = 16,
+    pq_iter: int = 1,
+    nprobe: int = 2,
+    shortlist: int = 40,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN pipeline: PQ-ADC shortlist (cheap,
+    approximate, over the ~28x-compressed index) -> exact-integer re-rank
+    of the shortlist against the ORIGINAL vectors -> top-k. This is how a
+    100 TB deployment recovers exact-search quality from a lossy index:
+    the d-dim arithmetic touches only `shortlist` rows per query instead
+    of the corpus. Returns (id, cell, d2) under exact d2-to-query with
+    the (d2, id) total order — oracle-exact like its parts."""
+    short = pq_search(
+        emb, query_vec_id, k, n_iter, m, ks, pq_iter, nprobe,
+        topk=shortlist, id_col=id_col, vec_col=vec_col,
+    ).select(id_col, "cell")
+    q = quantize(emb, id_col, vec_col)
+    qf = [int(x) for x in q.where(F.col(id_col) == query_vec_id).first()["fv"]]
+    qlit = F.array(*[F.lit(x) for x in qf])
+    d2q = F.expr(
+        "aggregate(zip_with(fv, _qf, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return (
+        q.join(F.broadcast(short), id_col)
+        .withColumn("_qf", qlit)
+        .select(id_col, "cell", d2q.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc(id_col))
+        .limit(topk)
+    )

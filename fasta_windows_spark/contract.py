@@ -4394,6 +4394,78 @@ def emb_pq_search(spark, sf_dir):
 
 
 @q(
+    "doc_windows_counts_jvm",
+    f"""
+WITH {SQL_WINS}
+SELECT doc_id, w_start, w_end,
+       (w_end - w_start)::BIGINT AS win_len,
+       {_cnt_fold('C')}::BIGINT AS cnt_c,
+       {_cnt_fold('G')}::BIGINT AS cnt_g
+FROM win2
+""",
+)
+def doc_windows_counts_jvm(spark, sf_dir):
+    """The scaling bench's stats map side under the driver hash gate: the
+    pure-JVM positional-window count path (whole-stage codegen, zero
+    Arrow/Python crossing — streaming/pipeline.positional_window_counts)
+    over the documents table. Same numbers as the Arrow kernel's
+    win_len/cnt_c/cnt_g fields (differential-tested in
+    tests/test_streaming.py); here the ORACLE also pins them, so the path
+    that produced the scored 0.812 scaling pair is itself hash-gated."""
+    from .streaming.pipeline import positional_window_counts
+
+    return positional_window_counts(
+        _docs(spark, sf_dir), window=W, id_cols=("doc_id",), chars=("c", "g")
+    ).select("doc_id", "w_start", "w_end", "win_len", "cnt_c", "cnt_g")
+
+
+@q(
+    "docs_bpe_vocab",
+    f"""
+WITH RECURSIVE {_bpe_sql_cte()},
+occ AS (SELECT word, count(*)::BIGINT AS n_words FROM pt GROUP BY word),
+tok AS (SELECT word, unnest(toks) AS token
+        FROM (SELECT word, toks
+              FROM (SELECT word, toks, {_BPE_RK} AS rk FROM enc, rmap)
+              WHERE len(toks) = 1 OR list_min(rk) = {_BPE_BIG}))
+SELECT t.token,
+       count(DISTINCT t.word)::BIGINT AS n_distinct_words,
+       sum(o.n_words)::BIGINT AS n_occurrences
+FROM tok t JOIN occ o USING (word)
+GROUP BY t.token
+""",
+)
+def docs_bpe_vocab(spark, sf_dir):
+    """Corpus token-vocabulary statistics under the committed BPE merges:
+    per subword token, how many distinct pre-tokens contain it and its
+    total corpus occurrence count — the table a training-data pipeline
+    inspects to choose vocab size / spot merge pathologies. Same
+    vocabulary-only shape as docs_bpe_token_counts: the Arrow pass
+    tokenizes DISTINCT words only; corpus frequency arrives by joining
+    the exploded-token rows (vocabulary-sized) to the per-word counts
+    (one partial-aggregated groupBy over the corpus words)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_text.BPE_ISH_PATTERN), F.lit(0)
+            )
+        ).alias("word")
+    )
+    occ = words.groupBy("word").agg(F.count("*").alias("n_words"))
+    vocab = occ.select("word")
+    toks = _bpe.word_tokens(vocab)
+    return (
+        toks.join(occ, "word")
+        .groupBy("token")
+        .agg(
+            F.countDistinct("word").alias("n_distinct_words"),
+            F.sum("n_words").alias("n_occurrences"),
+        )
+    )
+
+
+@q(
     "emb_pq_reranked",
     f"""WITH shortlist AS (
   SELECT vec_id, cell FROM (

@@ -152,6 +152,22 @@ def word_token_counts(words: DataFrame, merges=None, word_col: str = "word") -> 
     return words.select(F.col(word_col), n_bpe(F.col(word_col)).alias("n_bpe"))
 
 
+def word_tokens(words: DataFrame, merges=None, word_col: str = "word") -> DataFrame:
+    """(word, token) exploded subword tokens for a DISTINCT-word frame —
+    the vocabulary-statistics companion to word_token_counts (same single
+    Arrow pass over the vocabulary, emitting the tokens themselves)."""
+    ranks = merge_ranks(merges)
+
+    @F.pandas_udf("array<string>")
+    def toks(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: encode_word(w, ranks))
+
+    return words.select(
+        F.col(word_col),
+        F.explode(toks(F.col(word_col))).alias("token"),
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges=None,

@@ -34,6 +34,7 @@ def test_python_boundaries_are_vectorized_and_rare(spark):
         # boundary sits above the dedup aggregate
         "docs_bpe_token_counts",
         "docs_bpe_pack_sequences",
+        "docs_bpe_vocab",
     }
     unexpected = {
         n

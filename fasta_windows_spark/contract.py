@@ -1562,6 +1562,45 @@ def docs_decontaminate(spark, sf_dir):
 
 
 @q(
+    "docs_decontaminate_bloom",
+    """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+ho AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 = 0 AND len(toks) >= 3
+),
+tr AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 <> 0 AND len(toks) >= 3
+)
+SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ho USING (shingle)
+GROUP BY 1
+HAVING count(*) >= 1
+""",
+)
+def docs_decontaminate_bloom(spark, sf_dir):
+    """Decontamination for holdouts too big to broadcast exactly (a full
+    eval-suite union at web scale): a Bloom BITMAP over the holdout
+    shingles — built distributed from public JVM expressions
+    (double-hashed positions, per-64-bit-word bit_or partials, one
+    array<bigint> row) since Spark's internal BloomFilterAggregate is not
+    publicly registered — is broadcast and probed in place; survivors are
+    confirmed by an exact SHUFFLE join (hinted: the premise forbids
+    broadcasting the holdout). The bloom only PRUNES, so the output — and
+    therefore the oracle — is identical to docs_decontaminate; the two
+    queries differ purely in physical strategy, pinned by plan tests."""
+    d = _docs(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 37 != 0)
+    holdout = d.where(F.col("doc_id") % 37 == 0)
+    return _dedup.decontaminate_overlap_bloom(
+        train, holdout, shingle_words=3, n_bits=1 << 17
+    ).select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+
+
+@q(
     "docs_repetition",
     """
 WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -577,3 +577,127 @@ def dedup_spans_keep_first(
             F.md5(cleaned).alias("cleaned_md5"),
         )
     )
+
+
+# --- Bloom-prefiltered decontamination ----------------------------------------
+#
+# decontaminate_overlap broadcasts the holdout's EXACT distinct-shingle set —
+# right when the holdout is a benchmark suite (MBs). When the "holdout" is
+# itself corpus-sized (a full eval-suite union, a previous crawl), the exact
+# hash relation no longer fits an executor; the classic remedy is a Bloom
+# filter: ~10 bits/element instead of the string bytes, probed in place.
+# Spark's internal BloomFilterAggregate is not in the public function
+# registry (probed round 4), so the bitmap is built HERE from public
+# expressions: double-hashed bit positions -> per-word bit_or partials ->
+# one (array<bigint>) row, broadcast, probed with shift/AND arithmetic.
+# The final output stays EXACT: bloom false positives are removed by a
+# confirm join against the true shingle set — which now sees only the
+# pruned candidate stream, so it can be a shuffle join instead of a
+# broadcast (the plan shape the premise requires).
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    col: str = "shingle",
+    n_bits: int = 1 << 17,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """ONE-ROW DataFrame (bits: array<bigint>, n_bits words*64) — a Bloom
+    bitmap over `keys[col]`, built distributed: positions via double
+    hashing (h1 + j*h2, the Kirsch-Mitzenmacher construction), per-64-bit-
+    word bit_or partial aggregation (map-side combine), then a single-row
+    assembly. The bitmap travels as DATA (broadcast join), never as a
+    plan literal."""
+    assert n_bits % 64 == 0
+    n_words = n_bits // 64
+    # reduce each hash mod n_bits BEFORE combining: h1 + j*h2 on raw
+    # xxhash64 values overflows int64 (ANSI mode rejects it), and
+    # (a + j*b) mod M == ((a mod M) + j*(b mod M)) mod M
+    h1 = f"pmod(xxhash64({col}), {n_bits}L)"
+    h2 = f"pmod(xxhash64({col}, 1099511628211L), {n_bits}L)"
+    pos = (
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"j -> pmod({h1} + j * {h2}, {n_bits}L))"
+    )
+    words = (
+        keys.select(F.explode(F.expr(pos)).alias("p"))
+        .select(
+            F.expr("p div 64").alias("widx"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("widx", "bits")))
+        ).alias("_m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {n_words - 1}L), "
+            f"w -> coalesce(element_at(_m, w), 0L))"
+        ).alias("bits")
+    )
+
+
+def bloom_might_contain(
+    col: str, bits_col: str = "bits", n_bits: int = 1 << 17, n_hashes: int = 2
+) -> F.Column:
+    """JVM probe predicate: every double-hashed position's bit is set."""
+    h1 = f"pmod(xxhash64({col}), {n_bits}L)"
+    h2 = f"pmod(xxhash64({col}, 1099511628211L), {n_bits}L)"
+    return F.expr(
+        f"forall(sequence(0, {n_hashes - 1}), j -> "
+        f"(shiftright(element_at({bits_col}, "
+        f"cast(pmod({h1} + j * {h2}, {n_bits}L) div 64 as int) + 1), "
+        f"cast(pmod({h1} + j * {h2}, {n_bits}L) % 64 as int)) & 1) = 1)"
+    )
+
+
+def decontaminate_overlap_bloom(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    min_shared: int = 1,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """decontaminate_overlap for holdouts too large to broadcast exactly:
+    broadcast a Bloom BITMAP (~n_bits/8 bytes regardless of shingle
+    length), prune the training shingle stream in place, then confirm the
+    survivors with an exact shuffle join (hinted SHUFFLE_HASH — the
+    premise is the holdout must not be broadcast). Output is IDENTICAL to
+    decontaminate_overlap: the bloom only prunes, the confirm join
+    removes its false positives — so the same SQL oracle gates both.
+    Size n_bits ~ 10x the holdout's distinct-shingle count for ~1% fpp."""
+
+    def _shingles(df):
+        toks = f"split(lower({text_col}), ' ')"
+        return df.where(
+            F.expr(f"size({toks})") >= shingle_words
+        ).select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size({toks})-{shingle_words}), "
+                    f"i -> array_join(slice({toks}, i+1, {shingle_words}), ' ')))"
+                )
+            ).alias("shingle"),
+        )
+
+    hold_sh = _shingles(holdout).select("shingle").distinct()
+    bm = bloom_bitmap(hold_sh, "shingle", n_bits, n_hashes)
+    cand = (
+        _shingles(train)
+        .join(F.broadcast(bm))  # 1-row bitmap
+        .where(bloom_might_contain("shingle", "bits", n_bits, n_hashes))
+        .drop("bits")
+    )
+    return (
+        cand.join(hold_sh.hint("shuffle_hash"), "shingle")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -266,3 +266,64 @@ def test_cdc_chunks_short_docs_yield_one_whole_text_chunk(spark):
     for did, text in rows:
         assert r.loc[did, "kept_chars"] == len(text)
         assert r.loc[did, "cleaned_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_bloom_bitmap_no_false_negatives_and_sane_fp_rate(spark):
+    """Bloom contract: every inserted key probes true (no false
+    negatives — the property the exactness argument rests on), and the
+    false-positive rate at ~10 bits/key is small."""
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    n_bits = 1 << 14  # 16384 bits for 1000 keys ~ 16 bits/key
+    keys = spark.range(1000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("shingle")
+    )
+    bm = bloom_bitmap(keys, "shingle", n_bits=n_bits, n_hashes=2)
+    probe = spark.range(3000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("shingle")
+    )
+    hits = (
+        probe.join(F.broadcast(bm))
+        .where(bloom_might_contain("shingle", "bits", n_bits, 2))
+        .select("shingle")
+        .collect()
+    )
+    got = {r.shingle for r in hits}
+    inserted = {f"key-{i}" for i in range(1000)}
+    assert inserted <= got, "false negative — bloom is broken"
+    fp = len(got - inserted) / 2000
+    assert fp < 0.10, f"fp rate {fp}"
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """End-to-end: the bloom-prefiltered operator returns EXACTLY the
+    exact operator's rows (false positives removed by the confirm join)."""
+    from fasta_windows_spark.operators.dedup import (
+        decontaminate_overlap,
+        decontaminate_overlap_bloom,
+    )
+
+    import random
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    train = docs.where("doc_id % 5 != 0")
+    hold = docs.where("doc_id % 5 = 0")
+    exact = {
+        tuple(r) for r in decontaminate_overlap(train, hold, shingle_words=3).collect()
+    }
+    bloom = {
+        tuple(r)
+        for r in decontaminate_overlap_bloom(
+            train, hold, shingle_words=3, n_bits=1 << 12
+        ).collect()
+    }
+    assert exact == bloom and len(exact) > 0

@@ -452,3 +452,17 @@ def test_grouped_quantiles_approx_agrees_with_exact(spark):
         "simple",
     )
     assert "partial_percentile_approx" in p, p
+
+
+def test_bloom_decontaminate_plan_shape(spark):
+    """The bloom variant's physical contract: the holdout reaches the
+    candidate stream only as a 1-row bitmap broadcast (BNLJ); the exact
+    confirm is a SHUFFLE join (the premise forbids broadcasting the
+    holdout); output equality with the exact operator is the oracle's
+    job."""
+    df = contract.queries()["docs_decontaminate_bloom"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in p, p       # 1-row bitmap
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p  # exact confirm
+    assert "CartesianProduct" not in p, p
+    checks.assert_partial_aggregation(df)

@@ -617,14 +617,20 @@ chars = {r["gb_text"]} GB text, 500 hosts, 5 hot) -> {mapside} computing {desc}
 {extra}""")
 
     sustained = ""
-    sp = os.path.join(REPO, "BENCH", "sustained_1m.json")
-    if os.path.exists(sp):
+    for fname, map_label in (
+        ("sustained_1m_jvm.json",
+         "pure-JVM window counts (r4 engine stats path, zero Python crossing)"),
+        ("sustained_1m.json", "Arrow window kernel"),
+    ):
+        sp = os.path.join(REPO, "BENCH", fname)
+        if not os.path.exists(sp):
+            continue
         r = json.load(open(sp))
-        sustained = f"""## Sustained end-to-end run (largest in-sandbox)
+        sustained += f"""## Sustained end-to-end run ({map_label})
 
 {r["pages"]:,} pages ({r["gb_text"]} GB text) through the full exactly-once
-stats pipeline (window kernel -> watermarked host-window agg -> checkpointed
-sink, RocksDB state) on local[{r["cores"]}]: **{r["windows_per_sec"]:,}
+stats pipeline (window map side: {map_label} -> watermarked host-window agg
+-> checkpointed sink, RocksDB state) on local[{r["cores"]}]: **{r["windows_per_sec"]:,}
 windows/s** ({r["mb_per_sec"]} MB/s of text), {r["n_windows"]:,} windows,
 peak {r["state_rows_peak"]:,} live state rows, wall {r["wall_sec"]} s,
 completed={r["finished"]}.{(

@@ -514,6 +514,41 @@ def write_topn_hosts_per_window(
     return w.start()
 
 
+def write_bpe_token_counts_stream(
+    pages: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    merges=None,
+    once: bool = True,
+):
+    """Per-page BPE token counts on the STREAM, by running the BATCH
+    operator on each micro-batch via foreachBatch — the operator-reuse
+    pattern: `functions.bpe.bpe_token_counts`'s vocabulary trick (JVM
+    explode → DISTINCT words → one Arrow encode pass → broadcast join
+    back) applies per micro-batch unchanged, so corpus text still never
+    crosses into Python and the Arrow pass stays vocabulary-sized per
+    batch. Counting is stateless per page, so per-batch execution is
+    exact (no cross-batch state needed). Idempotent under replay the
+    same way as write_topn_hosts_per_window: each batch overwrites its
+    own `batch_id=<id>` partition directory."""
+    from ..functions.bpe import bpe_token_counts
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        counts = bpe_token_counts(
+            batch_df.select(F.col("url").alias("doc_id"), "text"), merges
+        )
+        counts.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    w = (
+        pages.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def sink_format(spark: SparkSession) -> str:
     """Iceberg when the runtime is on the classpath, else the parquet file
     sink (same exactly-once commit contract in this sandbox)."""

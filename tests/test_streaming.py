@@ -1135,3 +1135,29 @@ def test_positional_window_counts_matches_arrow_kernel(spark, pages_dir):
     plan = jvm._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInArrow" not in plan and "MapInPandas" not in plan
+
+
+def test_streaming_bpe_counts_match_batch(spark, pages_dir, tmp_path):
+    """foreachBatch operator reuse: streaming per-page BPE token counts
+    must equal the batch operator over the same pages, regardless of how
+    the stream was micro-batched."""
+    from fasta_windows_spark.functions.bpe import bpe_token_counts
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = S.read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = S.write_bpe_token_counts_stream(stream, out, ck)
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.n_pretokens, r.n_bpe_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = bpe_token_counts(
+        spark.read.parquet(pages_dir).select(
+            F.col("url").alias("doc_id"), "text"
+        )
+    )
+    want = {
+        (r.doc_id, r.n_pretokens, r.n_bpe_tokens) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

@@ -107,12 +107,18 @@ def kmeans_fit(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_inertia: bool = True,
 ) -> tuple[list[list[int]], list[int]]:
     """Lloyd's iterations to (at most) `n_iter`, early-stop on a fixed
     point. Init = the k lowest-id vectors (the `ivf_centroids` convention,
     deterministic). Returns (integer centroids, exact inertia history in
     SCALE^2 units); `centroids_df` renders them for `ivf_assign`/
-    `ivf_search`. Empty cells keep their previous centroid."""
+    `ivf_search`. Empty cells keep their previous centroid.
+
+    ``with_inertia=False`` skips the per-iteration inertia action (one
+    whole Spark job per iteration whose result nothing downstream of the
+    fit consumes — assign/search/PQ paths pass False; the returned history
+    is then empty). Centroids are identical either way."""
     # quantize once and pin it: every iteration re-scans this frame, and
     # localCheckpoint keeps the per-iteration plans shallow (the
     # connected-components / pagerank lineage protocol)
@@ -125,7 +131,8 @@ def kmeans_fit(
     inertia: list[int] = []
     for _ in range(n_iter):
         a = _assign(q, centroids, id_col)
-        inertia.append(a.agg(F.sum("d2")).collect()[0][0])
+        if with_inertia:
+            inertia.append(a.agg(F.sum("d2")).collect()[0][0])
         stats = (
             a.join(q, id_col)
             .select("cell", F.posexplode("fv").alias("pos", "fx"))
@@ -162,7 +169,8 @@ def kmeans_assign(
 ) -> DataFrame:
     """Fit + final assignment: (id, cell, d2) under the FITTED centroids
     (one more exact-integer argmin pass over the full input)."""
-    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
+    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col,
+                              with_inertia=False)
     return _assign(quantize(emb, id_col, vec_col), centroids, id_col)
 
 
@@ -189,7 +197,8 @@ def kmeans_search(
     from one narrow pass — no join anywhere — and the top-k compiles to
     TakeOrderedAndProject (per-partition k-heaps, driver merge)."""
     q = quantize(emb, id_col, vec_col)
-    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
+    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col,
+                              with_inertia=False)
     qf = [int(x) for x in q.where(F.col(id_col) == query_vec_id).first()["fv"]]
     ranked = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qf, c)), i)
@@ -259,7 +268,8 @@ def pq_fit(
     d_probe = len(emb.select(vec_col).first()[0])
     ds = d_probe // m
     assert ds * m == d_probe, (d_probe, m)
-    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col)
+    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col,
+                              with_inertia=False)
     q = quantize(emb, id_col, vec_col)
     cent_lit = F.array(
         *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]

@@ -181,9 +181,14 @@ def main():
     if "scaling_efficiency_entropy" in scaling:
         # headline: the CPU-bound mode (the reference's own expensive path)
         scaling["scaling_efficiency"] = scaling["scaling_efficiency_entropy"]
+    # the r1-r3 headline summed exactly the first 11 queries; r4 added six
+    # expensive new families to the suite, so `value` is not comparable
+    # across that boundary — `value_legacy11` is, by construction
+    legacy11 = round(sum(times[q] for q in HEADLINE[:11] if q in times), 3)
     result = {
         "metric": "headline query suite wall-clock at sf + streaming windows/sec",
         "value": total,
+        "value_legacy11": legacy11,
         "unit": "sec",
         "queries": times,
         "sf": float(sf),

@@ -84,7 +84,16 @@ spark.stop()
 
 
 def run_once(pages: int, changelog: bool, map_side: str = "jvm") -> dict:
-    env = dict(os.environ, SPARK_ROCKSDB_CHANGELOG=str(changelog).lower())
+    # 32 concurrent parquet column batches of 8 KB strings (plus the
+    # window explode in flight) want a big single-JVM heap in local mode —
+    # the per-executor non-issue BASELINE.md's local-mode note describes;
+    # an 8 GB heap intermittently kills the columnar reader mid-batch
+    # (surfaces as FAILED_READ_FILE on a healthy file)
+    env = dict(
+        os.environ,
+        SPARK_ROCKSDB_CHANGELOG=str(changelog).lower(),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+    )
     code = RUNNER.format(repo=REPO, pages=pages, map_side=map_side)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,

@@ -85,6 +85,14 @@ def positional_window_counts(
     kernel by tests (kernels.window_bounds: tumbling from 0, final window
     truncated, zero-length text yields no windows; counts fold case like
     stats_table's unmasked branch).
+
+    Unit-of-length note: this path (and the SQL oracles) counts
+    CHARACTERS — Spark/DuckDB length/substring are codepoint-based —
+    while the Arrow kernel counts UTF-8 BYTES (the reference's u8
+    contract, seq_statsu8.rs). The two coincide exactly on ASCII text
+    (the reference's whole domain, and the engine's synthetic corpora);
+    on multi-byte web text windows differ by design, pinned in
+    tests/test_streaming.py::test_positional_window_counts_unicode_semantics.
     """
     w = int(window)
     d = (

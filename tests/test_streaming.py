@@ -1161,3 +1161,37 @@ def test_streaming_bpe_counts_match_batch(spark, pages_dir, tmp_path):
         (r.doc_id, r.n_pretokens, r.n_bpe_tokens) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_positional_window_counts_unicode_semantics(spark):
+    """The unit-of-length boundary, pinned: the JVM path (and every SQL
+    oracle) windows by CHARACTERS; the Arrow kernel windows by UTF-8
+    BYTES (the reference's u8 contract). They coincide exactly on ASCII;
+    on multi-byte text they differ BY DESIGN — this test documents the
+    divergence so it can never be mistaken for a bug (or silently
+    broken)."""
+    import duckdb
+
+    from fasta_windows_spark import kernels as K
+
+    text = "héllo wörld " * 30  # 360 chars, 420 utf-8 bytes
+    df = spark.createDataFrame(
+        [("u1", text)], "url STRING, text STRING"
+    )
+    jvm = (
+        S.positional_window_counts(df, window=100, id_cols=("url",))
+        .orderBy("w_start")
+        .collect()
+    )
+    # char semantics: 4 windows of 100/100/100/60 chars
+    assert [(r.w_start, r.win_len) for r in jvm] == [
+        (0, 100), (100, 100), (200, 100), (300, 60)
+    ]
+    # DuckDB (the oracle engine) agrees char-for-char
+    want = duckdb.sql(
+        f"SELECT length('{text}')::BIGINT"
+    ).fetchone()[0]
+    assert sum(r.win_len for r in jvm) == want == 360
+    # the kernel windows the same text by BYTES: 5 windows over 420 bytes
+    bounds = K.window_bounds(len(text.encode("utf-8")), 100)
+    assert [e - s for s, e in bounds] == [100, 100, 100, 100, 20]

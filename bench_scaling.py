@@ -618,9 +618,8 @@ chars = {r["gb_text"]} GB text, 500 hosts, 5 hot) -> {mapside} computing {desc}
 
     sustained = ""
     for fname, map_label in (
-        ("sustained_1m_jvm.json",
-         "pure-JVM window counts (r4 engine stats path, zero Python crossing)"),
-        ("sustained_1m.json", "Arrow window kernel"),
+        ("sustained_1m.json", "Arrow window kernel — the headline record"),
+        ("sustained_1m_jvm.json", "pure-JVM window counts, r4"),
     ):
         sp = os.path.join(REPO, "BENCH", fname)
         if not os.path.exists(sp):

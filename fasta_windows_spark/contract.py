@@ -3134,6 +3134,177 @@ def tpch_q22_idle_customers(spark, sf_dir):
 
 
 @q(
+    "tpch_q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       (sum(volume))::DOUBLE AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate)::BIGINT AS l_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+           AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+      OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+    AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral shipping volume between two nations by year —
+    a 6-table snowflake with the nation dimension joined TWICE under
+    different roles (supplier's vs customer's). Physical intent: both
+    nation joins and the supplier/customer dimensions broadcast; the
+    OR-of-nation-pairs residual applies after both roles resolve; only
+    the lineitem-orders equi-join shuffles. Dates pinned to the synthetic
+    range (1995-2001)."""
+    s = _tbl(spark, sf_dir, "supplier")
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    even1, even2 = F.col("n1_key") % 2 == 0, F.col("n2_key") % 2 == 0
+    j = (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .where((even1 & ~even2) | (~even1 & even2))
+    )
+    # the revenue measure is summed as DECIMAL(18,4): a double sum is
+    # order-dependent in the last cent at sf0.1 group sizes (partial-agg
+    # order differs between Spark and the single-threaded oracle), while
+    # the per-row double->decimal cast is deterministic in both engines
+    # and decimal addition is associative — exact equality, no rounding
+    # protocol needed
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q12_priority_lineclass",
+    """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY 1
+""",
+)
+def tpch_q12_priority_lineclass(spark, sf_dir):
+    """TPC-H Q12's conditional-aggregation shape (the synthetic lineitem
+    has no shipmode/commitdate, so the class split rides o_orderpriority
+    and the date window rides l_shipdate — the plan shape is identical):
+    one fact-fact equi-join, then BOTH output measures as sum(CASE)
+    branches of a single aggregate — never two filtered subqueries
+    re-joined, which would scan and shuffle the join twice."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    o = _tbl(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q21_waiting_suppliers",
+    """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+""",
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21's double-correlated shape — the hardest decorrelation in
+    the suite: for each LATE line (lateness proxied as shipped >60 days
+    after order date; the synthetic table has no commit/receipt dates),
+    the supplier is 'the one who kept the order waiting' iff SOME other
+    supplier has a line in the same order (EXISTS → LeftSemi with a
+    non-equi conjunct) and NO other supplier's line in it is late
+    (NOT EXISTS → LeftAnti on the same late subtree). Both probes hit the
+    order key with the suppkey inequality as the join residual — one
+    semi + one anti, never the row-multiplying self-join a naive plan
+    produces. The shared `late` subtree is computed once per side from
+    the same pushed-down join."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    s = _tbl(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey")
+    l3 = late
+    out = (
+        l1.join(
+            l2,
+            (l2.l_orderkey == l1.o_key) & (l2.l_suppkey != l1.s_key),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l3.l_orderkey == F.col("o_key")) & (l3.l_suppkey != F.col("s_key")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), s.s_suppkey == F.col("s_key"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return out
+
+
+@q(
     "events_error_burst_then_purchase",
     """
 WITH seq AS (

@@ -466,3 +466,23 @@ def test_bloom_decontaminate_plan_shape(spark):
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p  # exact confirm
     assert "CartesianProduct" not in p, p
     checks.assert_partial_aggregation(df)
+
+
+def test_q7_two_role_dimension_broadcasts(spark):
+    """Q7 joins the nation dimension TWICE under different roles; both
+    roles (and supplier/customer) must broadcast — only the
+    lineitem-orders equi-join may shuffle."""
+    df = contract.queries()["tpch_q7_volume_shipping"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert p.count("BroadcastHashJoin") >= 4, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_q21_double_correlation_is_semi_plus_anti(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as one LeftSemi and one
+    LeftAnti (each with the suppkey inequality as the join residual) —
+    never a row-multiplying inner self-join before the aggregate."""
+    df = contract.queries()["tpch_q21_waiting_suppliers"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    checks.assert_partial_aggregation(df)

@@ -3305,6 +3305,268 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
 
 
 @q(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 1
+""",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of customers by order count — the suite's
+    only outer-join aggregate. The priority predicate must live in the
+    JOIN CONDITION, not a WHERE (a WHERE would silently turn the outer
+    join inner and drop zero-order customers from the c_count=0 bucket);
+    count(o_orderkey) over the null-extended side yields 0 for them.
+    Two-level aggregation: per-customer count, then the count-of-counts
+    histogram — both partial+final hash aggregates, no sort."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, (r.total_revenue)::DOUBLE AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — a view
+    aggregate compared against its own global max. The scalar subquery
+    becomes a 1-row aggregate broadcast-joined back (the engine's scalar-
+    broadcast idiom, NOT a single-partition global window, which would
+    serialize the whole revenue table through one task at scale). Revenue
+    sums as DECIMAL(18,4) so the max-equality predicate is exact under any
+    partial-agg order; ties (all max suppliers) surface in both engines."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    s = _tbl(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_revenue")
+    )
+    from .staging import stage_scoped
+
+    rev = stage_scoped(rev, "tpch_q15_revenue")
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT (sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey,
+             sum(l_quantity)::BIGINT AS sum_qty,
+             count(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY 1) t
+  ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * t.cnt < t.sum_qty
+""",
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue lost to small-quantity orders — the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity) per part`
+    decorrelated into a per-part pre-aggregate joined back to the fact.
+    The threshold is evaluated in its EXACT integer form:
+    qty < 0.2*(sum/cnt)  <=>  5*qty*cnt < sum  (quantities are integral),
+    so no float division can flip a boundary row between engines. The
+    per-part aggregate is tiny (one row per part) and broadcasts; the
+    brand filter prunes the fact scan before the join."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    t = per_part.select(
+        F.col("l_partkey").alias("t_partkey"), "sum_qty", "cnt"
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(t), F.col("t_partkey") == li.l_partkey)
+        .where(
+            5 * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       (sum(CASE WHEN supp_even THEN volume
+                 ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE)
+         / (sum(volume)::DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+           AS volume,
+         (n1.n_nationkey % 2 = 0) AS supp_even
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE n2.n_nationkey % 2 = 1
+    AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+GROUP BY 1
+""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share — within the odd-nation customers'
+    market (the synthetic schema's stand-in for a region), the fraction of
+    order volume supplied by even-nation suppliers, per order year. The
+    numerator is a conditional branch of the SAME aggregate as the
+    denominator (one pass, one shuffle — never two filtered aggregates
+    re-joined). Both sums are exact DECIMAL(18,4); the final share divides
+    the two exact sums in double, so the ratio is deterministic under any
+    partial-agg order."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = _tbl(spark, sf_dir, "customer")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .where(F.col("n2_key") % 2 == 1)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            (F.col("n1_key") % 2 == 0).alias("supp_even"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return j.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_even"), F.col("volume")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q9_product_profit",
+    """
+SELECT nation, o_year, (sum(amount))::DOUBLE AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         year(o.o_orderdate)::BIGINT AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+              - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,4))
+           AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%widget%'
+)
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9: profit by supplier nation and order year for one product
+    line — the suite's widest star (lineitem against FOUR dimensions plus
+    the orders fact). Supply cost is proxied as 10% of retail price (the
+    synthetic schema has no partsupp). The p_name LIKE filter prunes part
+    BEFORE its broadcast, so the fact rows drop at the first join; the
+    only shuffle is lineitem-orders. Per-row profit is computed in double
+    with the same association both engines use, then cast DECIMAL(18,4)
+    so the grouped sum is order-independent."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _tbl(spark, sf_dir, "supplier")
+    o = _tbl(spark, sf_dir, "orders")
+    n = _tbl(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@q(
     "events_error_burst_then_purchase",
     """
 WITH seq AS (

@@ -486,3 +486,45 @@ def test_q21_double_correlation_is_semi_plus_anti(spark):
     p = checks.plan_string(df, "simple")
     assert "LeftSemi" in p and "LeftAnti" in p, p
     checks.assert_partial_aggregation(df)
+
+
+def test_q13_outer_join_survives_with_on_clause_filter(spark):
+    """Q13's priority predicate rides the JOIN CONDITION of the outer
+    join; the physical plan must keep LeftOuter (a WHERE would let the
+    optimizer rewrite it inner and lose the zero-order customers)."""
+    df = contract.queries()["tpch_q13_customer_distribution"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "LeftOuter" in p, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_q15_scalar_max_is_broadcast_not_window(spark):
+    """Q15's `= (SELECT max(...))` must be a 1-row aggregate broadcast
+    back onto the revenue view — never a global (empty-partitionBy)
+    Window, which would serialize the view through one task."""
+    df = contract.queries()["tpch_q15_top_supplier"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "Window" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q17_correlated_avg_is_preagg_broadcast(spark):
+    """Q17's per-part correlated avg decorrelates into a part-keyed
+    pre-aggregate broadcast onto the fact — no Window, no shuffle join
+    against the tiny per-part table."""
+    df = contract.queries()["tpch_q17_small_quantity_revenue"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "Window" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_q8_share_is_single_aggregate_pass(spark):
+    """Q8's numerator and denominator are branches of ONE aggregate: the
+    plan may contain exactly one partial+final HashAggregate pair over the
+    joined fact (two filtered aggregates re-joined would double the scan
+    and shuffle)."""
+    df = contract.queries()["tpch_q8_market_share"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert p.count("HashAggregate") == 2, p
+    assert p.count("BroadcastHashJoin") >= 4, p

@@ -1698,6 +1698,70 @@ def docs_lang_id(spark, sf_dir):
     )
 
 
+@q(
+    "docs_lang_id_rank",
+    """
+WITH g AS (
+  SELECT lang, substr(lower(text), i::INT, 3) AS gram
+  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+pc AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+prof AS (
+  SELECT lang, gram,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC)
+           AS rank
+  FROM pc QUALIFY rank <= 64
+),
+dg AS (
+  SELECT doc_id, substr(lower(text), i::INT, 3) AS gram
+  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+dc AS (SELECT doc_id, gram, count(*) AS cnt FROM dg GROUP BY 1, 2),
+dprof AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC)
+           AS drank
+  FROM dc QUALIFY drank <= 64
+),
+langs AS (SELECT DISTINCT lang FROM prof),
+dist AS (
+  SELECT d.doc_id, l.lang,
+         sum(coalesce(abs(d.drank - p.rank), 64))::BIGINT AS dist
+  FROM dprof d
+  CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang AS pred_lang, dist
+FROM dist
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY dist ASC, lang ASC) = 1
+""",
+)
+def docs_lang_id_rank(spark, sf_dir):
+    """Cavnar-Trenkle rank-profile language ID — the real classifier the
+    stopword heuristic (docs_lang_id) stands in for: character-trigram
+    rank profiles trained per language label from the corpus itself, each
+    doc classified by the out-of-place rank distance to every profile
+    (missing gram = max penalty), min-distance language wins. The whole
+    train -> classify pipeline is integer arithmetic with pinned
+    tie-breaks, so the learned classifier itself is hash-gated against
+    the oracle's identical window chain. NOTE the synthetic corpus's lang
+    label is uncorrelated with its text (every label draws the same word
+    distribution), so measured accuracy is chance by construction — the
+    operator's value is the verified machinery, not this corpus's score."""
+    from .functions.text import char_ngram_profiles, classify_rank_profile
+    from .staging import stage_scoped
+
+    d = _docs(spark, sf_dir)
+    profiles = stage_scoped(
+        char_ngram_profiles(d, n=3, top=64), "lang_id_rank_profiles"
+    )
+    return classify_rank_profile(d, profiles, n=3, top=64)
+
+
 # Gopher rule CTE + keep predicate, shared by the per-doc battery and the
 # per-source curation report so the two oracles cannot drift apart.
 _SQL_GOPHER_S = f"""
@@ -3667,6 +3731,56 @@ def docs_top_tokens(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "tok")
         .limit(50)
+    )
+
+
+def _cms_oracle_sql(width: int = 32, depth: int = 4, frac: int = 50) -> str:
+    from .operators.sketch import CMS_P, CMS_PERMS
+
+    perms = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_PERMS[:depth]))
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+perms (row, a, b) AS (VALUES {perms}),
+h AS (SELECT tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS hv FROM toks),
+pairs AS (
+  SELECT p.row, ((p.a * h.hv + p.b) % {CMS_P}) % {width} AS bucket
+  FROM h CROSS JOIN perms p
+),
+sketch AS (SELECT row, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY 1),
+probes AS (
+  SELECT e.tok, p.row,
+         ((p.a * ('0x'||substr(md5(e.tok),1,8))::BIGINT + p.b) % {CMS_P})
+           % {width} AS bucket
+  FROM exact e CROSS JOIN perms p
+),
+est AS (
+  SELECT tok, min(s.cnt)::BIGINT AS est_cnt
+  FROM probes JOIN sketch s USING (row, bucket) GROUP BY 1
+)
+SELECT est.tok, est.est_cnt, exact.exact_cnt
+FROM est JOIN exact USING (tok)
+WHERE est.est_cnt >= (SELECT count(*) / {frac}.0 FROM toks)
+"""
+
+
+@q("docs_heavy_hitters_cms", _cms_oracle_sql(width=32, depth=4, frac=50))
+def docs_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch.py): tokens whose
+    SKETCH estimate reaches 1/50 of the corpus token count, each row
+    carrying est_cnt >= exact_cnt so the sketch's one-sided collision
+    error is hash-checked per token, not just asserted. The 4x32 counter
+    table is built in one corpus pass whose map-side partial aggregate IS
+    the per-partition sketch (counter tables merge by cellwise addition);
+    estimates probe it as a broadcast. Width is deliberately small so
+    collisions OCCUR at this corpus size and the overestimate path is
+    exercised, exactly reproduced by the oracle's integer replay."""
+    from .operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _docs(spark, sf_dir), width=32, depth=4, frac=50
     )
 
 

@@ -523,3 +523,123 @@ def filter_lines(
         n_kept.alias("n_kept_lines"),
         clean.alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle rank-profile language identification (the real classifier
+# behind the lang_id heuristic above): per-language character n-gram rank
+# profiles trained from labelled text, classification by out-of-place rank
+# distance. Everything is JVM expressions + bounded windows; the trained
+# profile is a (n_langs x top)-row table that broadcasts.
+# ---------------------------------------------------------------------------
+
+
+def _char_gram_array(text_col: str, n: int) -> F.Column:
+    """array<string> of all character n-grams of lower(text), JVM-side.
+    Guarded so sub-n-length text yields an EMPTY array — Spark's
+    sequence(1, 0) would otherwise descend (the cdc_chunks lesson)."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"  transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"            i -> substring(lower({text_col}), i, {n})) "
+        f"ELSE array() END"
+    )
+
+
+def char_ngram_profiles(
+    docs: DataFrame,
+    n: int = 3,
+    top: int = 64,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train Cavnar-Trenkle profiles: for each language label, the `top`
+    most frequent character n-grams ranked 1..top (count desc, gram asc —
+    deterministic ties). One corpus-wide partial+final aggregate, then a
+    per-language window over at most |distinct grams| rows; the result is
+    profile-table-sized (n_langs x top), not corpus-sized."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_gram_array(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.select(
+            "lang", "gram", F.row_number().over(w).alias("rank")
+        ).where(F.col("rank") <= top)
+    )
+
+
+def classify_rank_profile(
+    docs: DataFrame,
+    profiles: DataFrame,
+    n: int = 3,
+    top: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify each document against the trained profiles by the
+    out-of-place measure: build the document's own top-`top` gram ranking
+    (window partitioned by doc — bounded per-doc state), fan out across
+    the language list (a tiny broadcast nested loop), LEFT-join the
+    broadcast profile to score |doc_rank - profile_rank| per gram with
+    `top` as the missing-gram penalty, and take the min-distance language
+    (ties: lang asc). Output: (doc_id, pred_lang, dist) — one row per doc.
+
+    At 100 TB the only corpus-sized stages are the gram explode and its
+    immediate partial aggregate; everything after the per-doc top-`top`
+    truncation is (docs x top x n_langs) rows of integer arithmetic
+    against broadcast tables."""
+    from pyspark.sql import Window
+
+    dprof = (
+        docs.select(
+            F.col(id_col), F.explode(_char_gram_array(text_col, n)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            id_col,
+            "gram",
+            F.row_number()
+            .over(
+                Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+            )
+            .alias("drank"),
+        )
+        .where(F.col("drank") <= top)
+    )
+    langs = profiles.select("lang").distinct()
+    prof = profiles.select(
+        F.col("lang").alias("p_lang"),
+        F.col("gram").alias("p_gram"),
+        F.col("rank").alias("p_rank"),
+    )
+    dist = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(prof),
+            (F.col("p_lang") == F.col("lang"))
+            & (F.col("p_gram") == F.col("gram")),
+            "left",
+        )
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("p_rank")), F.lit(top)
+                )
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    pick = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("lang"))
+    return (
+        dist.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "dist")
+    )

@@ -1,0 +1,100 @@
+"""Count-min sketch: sublinear heavy-hitter detection for token streams.
+
+The sketch is a depth x width counter table — a few KB regardless of corpus
+size — with the one-sided guarantee estimate >= exact count. It is exactly
+the structure a 100 TB token-frequency pass wants: each partition builds its
+partial table map-side (the groupBy(row, bucket) partial aggregate IS the
+per-partition sketch; counter tables merge by cell-wise addition, which is
+what the final aggregate performs), and candidate lookups probe the finished
+table as a broadcast join. Hashing uses the repo's portable 32-bit-md5 +
+linear-permutation scheme (operators/dedup.py MINHASH convention) so the
+whole sketch is integer-exact and replayable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CMS_P = 1_000_000_007
+# pairwise-independent-ish linear permutations over the md5 token hash, one
+# per sketch row (the MINHASH_PERMS convention with different constants)
+CMS_PERMS = [(2 * i + 3, 101 * i + 17) for i in range(8)]
+
+
+def _tok_hash(col: str) -> F.Column:
+    """32-bit md5 integer of a token (portable: DuckDB spells it
+    ('0x'||substr(md5(t),1,8))::BIGINT)."""
+    return F.expr(f"cast(conv(substr(md5({col}),1,8),16,10) as bigint)")
+
+
+def _bucket_array(depth: int, width: int) -> F.Column:
+    return F.array(
+        *[
+            (F.lit(a) * F.col("h") + F.lit(b)) % CMS_P % width
+            for a, b in CMS_PERMS[:depth]
+        ]
+    )
+
+
+def cms_sketch(
+    docs: DataFrame, text_col: str = "text", width: int = 32, depth: int = 4
+) -> DataFrame:
+    """Build the depth x width counter table over whitespace tokens of
+    lower(text). One corpus pass: explode tokens -> depth (row, bucket)
+    pairs -> partial+final count aggregate. Output is depth*width rows at
+    most — broadcastable by construction."""
+    toks = docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("tok"))
+    pairs = toks.select(_tok_hash("tok").alias("h")).select(
+        F.posexplode(_bucket_array(depth, width)).alias("row", "bucket")
+    )
+    return pairs.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimates(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    tok_col: str = "tok",
+    width: int = 32,
+    depth: int = 4,
+) -> DataFrame:
+    """CMS point queries: estimate(token) = min over sketch rows of the
+    counter at that row's bucket. The sketch broadcasts; candidates fan
+    out to depth rows each and fold back with a min — candidate-sized
+    work, never corpus-sized."""
+    probes = candidates.select(
+        F.col(tok_col), _tok_hash(tok_col).alias("h")
+    ).select(
+        tok_col, F.posexplode(_bucket_array(depth, width)).alias("row", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(tok_col)
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 32,
+    depth: int = 4,
+    frac: int = 50,
+) -> DataFrame:
+    """End-to-end heavy hitters: tokens whose CMS ESTIMATE is at least
+    1/frac of the total token count, with the exact count alongside so
+    the sketch's one-sided error (est_cnt >= exact_cnt, inflated only by
+    bucket collisions) is visible per row. The candidate set is the
+    distinct-token vocabulary (vocabulary-sized, not corpus-sized); the
+    selection threshold is a 1-row scalar broadcast."""
+    toks = docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("tok"))
+    sketch = cms_sketch(docs, text_col, width, depth)
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = cms_estimates(exact, sketch, "tok", width, depth)
+    total = toks.agg((F.count("*") / frac).alias("thresh"))
+    return (
+        est.join(exact, "tok")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("est_cnt") >= F.col("thresh"))
+        .select("tok", "est_cnt", "exact_cnt")
+    )

@@ -424,6 +424,43 @@ def host_window_distinct_urls(
     )
 
 
+def window_token_sketch(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    width: int = 32,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming count-min sketch per event-time window: the depth x width
+    token-counter table of each window, maintained as a watermarked
+    windowed aggregate. Counter cells are plain additive counts, so (a)
+    per-window state is bounded at depth*width groups no matter how many
+    distinct tokens the window sees — the sketch point at 10^12 pages —
+    and (b) the streamed table is IDENTICAL to the batch sketch
+    (operators/sketch.py cms_sketch) on the same input, not merely close.
+    Downstream heavy-hitter probes read the emitted table with
+    cms_estimates against any candidate set."""
+    from ..operators.sketch import _bucket_array, _tok_hash
+
+    pairs = (
+        pages.withWatermark("warc_ts", watermark)
+        .select(
+            "warc_ts",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .select("warc_ts", _tok_hash("tok").alias("h"))
+        .select(
+            "warc_ts",
+            F.posexplode(_bucket_array(depth, width)).alias("row", "bucket"),
+        )
+    )
+    return (
+        pairs.groupBy(F.window("warc_ts", window).alias("w"), "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "row", "bucket", "cnt")
+    )
+
+
 def clean_pages_stream(
     pages: DataFrame,
     blocklist: DataFrame | None = None,

@@ -528,3 +528,25 @@ def test_q8_share_is_single_aggregate_pass(spark):
     p = checks.plan_string(df, "simple")
     assert p.count("HashAggregate") == 2, p
     assert p.count("BroadcastHashJoin") >= 4, p
+
+
+def test_lang_id_rank_profiles_broadcast(spark):
+    """The trained profile table (n_langs x top rows) and the language
+    list must broadcast; the only corpus-sized shuffles are the two gram
+    aggregates and the bounded per-doc/per-lang windows."""
+    df = contract.queries()["docs_lang_id_rank"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    checks.assert_partial_aggregation(df)
+
+
+def test_cms_sketch_probe_is_broadcast(spark):
+    """The finished counter table must broadcast into the estimate probe;
+    the only corpus-sized work is the token explode feeding two
+    partial+final aggregates."""
+    df = contract.queries()["docs_heavy_hitters_cms"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    checks.assert_partial_aggregation(df)

@@ -1195,3 +1195,54 @@ def test_positional_window_counts_unicode_semantics(spark):
     # the kernel windows the same text by BYTES: 5 windows over 420 bytes
     bounds = K.window_bounds(len(text.encode("utf-8")), 100)
     assert [e - s for s, e in bounds] == [100, 100, 100, 100, 20]
+
+
+def test_streaming_token_sketch_equals_batch_cms(spark, pages_dir, pages_pdf, tmp_path):
+    """Counter cells are additive, so the streamed per-window count-min
+    table must EQUAL the batch windowed sketch cell-for-cell — and slicing
+    one window out of it must estimate >= every token's exact count in
+    that window (the sketch's one-sided guarantee, via cms_estimates)."""
+    from fasta_windows_spark.operators.sketch import cms_estimates
+
+    out, ckpt = str(tmp_path / "cms_out"), str(tmp_path / "cms_ck")
+    q = S.write_exactly_once(
+        S.window_token_sketch(S.read_pages_stream(spark, pages_dir)), out, ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"], r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got
+
+    batch = P.spark_pages(spark, pages_pdf)
+    want = {
+        (r["w_start"], r["row"], r["bucket"]): r["cnt"]
+        for r in S.window_token_sketch(batch).collect()
+    }
+    # append mode withholds windows the final watermark hasn't closed, so
+    # compare every EMITTED cell (the HLL-twin protocol); emitted windows
+    # must be complete, cell-for-cell
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    emitted_windows = {k[0] for k in got}
+    assert emitted_windows  # and nothing from an emitted window is missing
+    assert {k for k in want if k[0] in emitted_windows} == set(got)
+
+    # probe the earliest window's sketch against that window's exact counts
+    w0 = min(k[0] for k in got)
+    sk = spark.createDataFrame(
+        [(r, b, c) for (w, r, b), c in got.items() if w == w0],
+        ["row", "bucket", "cnt"],
+    )
+    in_w0 = batch.where(
+        F.window("warc_ts", "10 minutes").start == F.lit(w0).cast("timestamp")
+    )
+    exact = (
+        in_w0.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    j = cms_estimates(exact, sk).join(exact, "tok").toPandas()
+    assert len(j) > 0
+    assert (j.est_cnt >= j.exact_cnt).all()

@@ -59,3 +59,31 @@ def test_mixture_weights_sum_to_one_and_order(spark):
     # but ordering is preserved
     ws = sorted(out.values(), key=lambda r: r["n_tokens"])
     assert [r["weight"] for r in ws] == sorted(r["weight"] for r in ws)
+
+
+def test_rank_profile_classifier_recovers_correlated_labels(spark):
+    """On a corpus where the label DOES determine the text's character
+    distribution (unlike the synthetic tables), the Cavnar-Trenkle rank
+    classifier must recover every label — the machinery test the
+    label-uncorrelated contract corpus can't provide. Also pins the
+    sub-n-length guard: a 2-char doc produces no grams and drops out."""
+    from fasta_windows_spark.functions.text import (
+        char_ngram_profiles,
+        classify_rank_profile,
+    )
+
+    rows = []
+    # three "languages" with disjoint trigram inventories
+    texts = {"aa": "abc abd abe abf", "bb": "xyz xyw xyv xyu", "cc": "qrs qrt qru qrv"}
+    for lang, base in texts.items():
+        for i in range(4):
+            rows.append((len(rows), base + " " + base[i:], lang))
+    rows.append((len(rows), "zz", "aa"))  # 2 chars: below n=3, must vanish
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    prof = char_ngram_profiles(docs, n=3, top=16)
+    out = {
+        r["doc_id"]: r["pred_lang"]
+        for r in classify_rank_profile(docs, prof, n=3, top=16).collect()
+    }
+    expected = {r[0]: r[2] for r in rows[:-1]}
+    assert out == expected

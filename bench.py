@@ -46,6 +46,8 @@ HEADLINE = [
     "emb_kmeans_search",        # trained IVF ANN (Lloyd's fit + probe)
     "emb_pq_search",            # IVF-PQ ADC search (fit + encode + LUT)
     "docs_bpe_token_counts",    # real BPE counts (vocab-only Arrow pass)
+    "docs_lang_id_rank",        # rank-profile lang ID (train + classify)
+    "docs_heavy_hitters_cms",   # count-min sketch heavy hitters
 ]
 
 

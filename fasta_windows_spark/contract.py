@@ -1562,6 +1562,59 @@ def docs_decontaminate(spark, sf_dir):
 
 
 @q(
+    "docs_split_leakage_report",
+    """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 4) < '0ccc'
+                THEN 'valid'
+              WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 4) < '1999'
+                THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+),
+tok AS (SELECT doc_id, split, string_split(lower(text), ' ') AS toks FROM s),
+ho AS (
+  SELECT DISTINCT split, array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE split <> 'train' AND len(toks) >= 3
+),
+tr AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE split = 'train' AND len(toks) >= 3
+),
+hits AS (SELECT tr.doc_id, ho.split, tr.shingle FROM tr JOIN ho USING (shingle)),
+per AS (
+  SELECT split, count(DISTINCT doc_id)::BIGINT AS n_leaky_train_docs,
+         count(DISTINCT shingle)::BIGINT AS n_shared_shingles
+  FROM hits GROUP BY 1
+)
+SELECT split, n_leaky_train_docs, n_shared_shingles,
+       round(n_leaky_train_docs /
+             (SELECT count(*) FROM s WHERE split = 'train'), 6) AS leak_frac
+FROM per
+""",
+)
+def docs_split_leakage_report(spark, sf_dir):
+    """Cross-split contamination sign-off: compose the deterministic split
+    assigner with the decontamination shingle probe and report, per
+    holdout split, how many TRAIN docs share a word 3-gram with it (and
+    what fraction of train that is). The production pre-training audit in
+    one query — holdout shingles broadcast, train shingles never shuffle
+    (operators/dedup.py:split_leakage_report). 3-word shingles for the
+    same tiny-vocabulary reason as docs_decontaminate."""
+    return _dedup.split_leakage_report(
+        _docs(spark, sf_dir), shingle_words=3
+    ).select(
+        "split",
+        F.col("n_leaky_train_docs").cast("long").alias("n_leaky_train_docs"),
+        F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+        "leak_frac",
+    )
+
+
+@q(
     "docs_decontaminate_bloom",
     """
 WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -701,3 +701,65 @@ def decontaminate_overlap_bloom(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    valid_frac: float = 0.05,
+    test_frac: float = 0.05,
+) -> DataFrame:
+    """Cross-split contamination audit: after the deterministic md5-bucket
+    train/valid/test assignment (operators/sampling.py:split_assign), how
+    much of the TRAIN split leaks into each holdout split through shared
+    word shingles — the pre-training sign-off report that composes the
+    split assigner with the decontamination shingle probe. One row per
+    holdout split: distinct leaky train docs, distinct shared shingles,
+    and the leaky fraction of the train split.
+
+    Scale shape mirrors decontaminate_overlap: the holdout shingle set
+    (valid+test are a few percent of the corpus) collapses to a DISTINCT
+    (split, shingle) relation and broadcasts; train shingles are
+    array_distinct'ed per doc before the explode and probe it in place.
+    The report aggregate is 2 rows."""
+    from .sampling import split_assign
+
+    d = split_assign(docs, valid_frac, test_frac, key_col=id_col)
+    toks = f"split(lower({text_col}), ' ')"
+    sh = F.explode(
+        F.expr(
+            f"array_distinct(transform(sequence(0, size({toks})-{shingle_words}), "
+            f"i -> array_join(slice({toks}, i+1, {shingle_words}), ' ')))"
+        )
+    ).alias("shingle")
+    long_enough = F.expr(f"size({toks})") >= shingle_words
+    hold = F.broadcast(
+        d.where((F.col("split") != "train") & long_enough)
+        .select("split", sh)
+        .distinct()
+    )
+    train_sh = (
+        d.where((F.col("split") == "train") & long_enough)
+        .select(F.col(id_col).alias("doc"), sh)
+    )
+    per_split = (
+        train_sh.join(hold, "shingle")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc").alias("n_leaky_train_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )
+    total = d.where(F.col("split") == "train").agg(
+        F.count("*").alias("n_train")
+    )
+    return per_split.crossJoin(F.broadcast(total)).select(
+        "split",
+        "n_leaky_train_docs",
+        "n_shared_shingles",
+        F.round(F.col("n_leaky_train_docs") / F.col("n_train"), 6).alias(
+            "leak_frac"
+        ),
+    )

@@ -550,3 +550,13 @@ def test_cms_sketch_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     checks.assert_partial_aggregation(df)
+
+
+def test_split_leakage_holdout_broadcasts(spark):
+    """The holdout (valid+test) shingle relation must broadcast into the
+    train-side probe — the train shingle explode never shuffles."""
+    df = contract.queries()["docs_split_leakage_report"](spark, SF_DIR)
+    p = checks.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    checks.assert_partial_aggregation(df)

@@ -4073,6 +4073,59 @@ from .operators import sequence as _seq  # noqa: E402
 
 
 @q(
+    "events_state_history_scd2",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM o
+),
+iv AS (
+  SELECT user_id, version::BIGINT AS version, min(event_type) AS state,
+         min(ts) AS ef, count(*)::BIGINT AS n_events
+  FROM r GROUP BY user_id, version
+)
+SELECT user_id, version, state,
+       epoch_us(ef)::BIGINT AS from_us,
+       epoch_us(lead(ef) OVER (PARTITION BY user_id ORDER BY ef))::BIGINT
+         AS to_us,
+       n_events
+FROM iv
+""",
+)
+def events_state_history_scd2(spark, sf_dir):
+    """SCD-2 history materialization (gaps-and-islands): collapse each
+    user's ordered event stream into maximal same-state runs and emit one
+    validity interval per run — effective_from/effective_to (NULL while
+    current, as epoch micros for the cross-engine gate), version number,
+    run length. The CDC-to-dimension-history operator of every lakehouse.
+    lag() flags change points and a running sum numbers the runs over the
+    SAME (key, ts, id) ordering, so Catalyst plans ONE Exchange + one
+    sort for both windows (operators/sequence.py:scd2_intervals)."""
+    from .operators.sequence import scd2_intervals
+
+    iv = scd2_intervals(_events(spark, sf_dir))
+    return iv.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.unix_micros(F.col("effective_from").cast("timestamp")).alias(
+            "from_us"
+        ),
+        F.unix_micros(F.col("effective_to").cast("timestamp")).alias("to_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@q(
     "events_funnel_conversion",
     """
 WITH t1 AS (SELECT user_id, min(ts) AS t_view FROM events

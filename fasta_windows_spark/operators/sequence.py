@@ -153,3 +153,48 @@ def lag_pattern_cols(
         out = out.withColumn(col, F.coalesce(cur, F.lit(False)))
         prev = F.col(col)
     return out
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval materialization — the
+    gaps-and-islands operator every CDC/lakehouse history table needs:
+    collapse each key's ordered event stream into maximal runs of an
+    unchanged state, emitting one validity interval per run
+    (effective_from inclusive, effective_to = next run's start, NULL while
+    current) plus the run's version number and event count.
+
+    Classic two-window form: lag(state) flags change points, a running
+    sum over the SAME ordering numbers the runs (both windows share one
+    partitioning, so Catalyst plans ONE Exchange + one sort for both),
+    then a groupBy(key, version) collapses runs and lead(effective_from)
+    closes each interval. Per-key state is a sort — bounded by the key's
+    own event count, never corpus-sized; at 10^12 events the single
+    hash Exchange on the key is the minimum possible movement."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    changed = (
+        F.lag(state_col, 1).over(w).isNull()
+        | (F.lag(state_col, 1).over(w) != F.col(state_col))
+    ).cast("long")
+    runs = events.withColumn(
+        "_version", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = runs.groupBy(key_col, "_version").agg(
+        F.min(state_col).alias("state"),  # constant within a run
+        F.min(ts_col).alias("effective_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("effective_from")
+    return iv.select(
+        key_col,
+        F.col("_version").alias("version"),
+        "state",
+        "effective_from",
+        F.lead("effective_from", 1).over(w2).alias("effective_to"),
+        "n_events",
+    )

@@ -234,3 +234,38 @@ def test_absence_property_random_event_sets(spark):
         assert got == want
 
     check()
+
+def test_scd2_is_single_exchange_no_join(spark):
+    """Both stacked windows (lag change-flag + running-sum run numbering),
+    the interval collapse, and the lead() closing pass all reuse the one
+    user_id hash partitioning: ONE Exchange, zero joins, at any event
+    count."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = seq.scd2_intervals(ev)
+    p = checks.plan_string(out, "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """Per user: intervals are disjoint, contiguous (to == next from),
+    versions run 1..n, exactly the last interval is open, states actually
+    CHANGE at every boundary, and n_events sums to the user's events."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = seq.scd2_intervals(ev).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    counts = {
+        r.user_id: r.n for r in ev.groupBy("user_id").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert set(per_user) == set(counts)
+    for uid, ivs in per_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r.n_events for r in ivs) == counts[uid]
+        assert ivs[-1].effective_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.state != b.state

@@ -476,3 +476,128 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- SCD-2 state-history stream ----------------------------------------------
+# Streaming twin of operators/sequence.py:scd2_intervals — maximal same-state
+# runs per key, emitted incrementally as validity intervals.
+
+SCD2_STATE_SCHEMA = (
+    "buf_ts ARRAY<LONG>, buf_eid ARRAY<LONG>, buf_type ARRAY<STRING>, "
+    "cur_state STRING, cur_from LONG, cur_version LONG, cur_n LONG"
+)
+
+SCD2_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("from_us", T.LongType()),
+        T.StructField("to_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def make_scd2_update():
+    cols = [f.name for f in SCD2_OUTPUT_SCHEMA.fields]
+
+    def update(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        rows: list[dict] = []
+
+        if state.exists:
+            buf_ts, buf_eid, buf_type, cur_state, cur_from, cur_version, cur_n = (
+                state.get
+            )
+            buf = list(zip(buf_ts, buf_eid, buf_type))
+        else:
+            buf, cur_state, cur_from, cur_version, cur_n = [], None, 0, 0, 0
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+                for ts, eid, et in zip(
+                    ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist()
+                ):
+                    buf.append((int(ts), int(eid), et))
+
+        # walk the watermark-finalized prefix in the batch engine's exact
+        # (ts, event_id) order; an interval closes at the first finalized
+        # event whose state differs — by watermark contract nothing can
+        # land before it anymore, so emission is replay-deterministic
+        buf.sort()
+        fin = [b for b in buf if b[0] <= wm_us]
+        buf = [b for b in buf if b[0] > wm_us]
+        for ts, eid, et in fin:
+            if cur_state is None:
+                cur_state, cur_from, cur_version, cur_n = et, ts, 1, 1
+            elif et == cur_state:
+                cur_n += 1
+            else:
+                rows.append(
+                    dict(
+                        user_id=user_id,
+                        version=cur_version,
+                        state=cur_state,
+                        from_us=cur_from,
+                        to_us=ts,
+                        n_events=cur_n,
+                    )
+                )
+                cur_state, cur_from, cur_version, cur_n = et, ts, cur_version + 1, 1
+
+        if buf or cur_state is not None:
+            # the open interval is the operator's honest permanent state
+            # floor (4 scalars per key — it can only be closed by a FUTURE
+            # different-state event); the buffer is watermark-bounded
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    [b[1] for b in buf],
+                    [b[2] for b in buf],
+                    cur_state,
+                    cur_from,
+                    cur_version,
+                    cur_n,
+                )
+            )
+            if buf:
+                # arm an event-time timer so buffered events finalize as
+                # soon as the watermark passes them, even if this key
+                # never receives another event (batching-independence)
+                state.setTimeoutTimestamp(
+                    max(min(b[0] for b in buf) // 1000 + 1, wm_ms + 1)
+                )
+        else:
+            state.remove()
+        yield pd.DataFrame(rows, columns=cols)
+
+    return update
+
+
+def scd2_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming SCD-2 history: each key's CLOSED validity intervals
+    (version, state, from/to epoch-micros, run length), emitted exactly
+    once as soon as the closing event is watermark-finalized. The open
+    interval never emits (append mode cannot retract); it surfaces when a
+    later state change closes it — identical rows to the batch operator's
+    effective_to IS NOT NULL subset for finalized closers."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_scd2_update(),
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1246,3 +1246,97 @@ def test_streaming_token_sketch_equals_batch_cms(spark, pages_dir, pages_pdf, tm
     j = cms_estimates(exact, sk).join(exact, "tok").toPandas()
     assert len(j) > 0
     assert (j.est_cnt >= j.exact_cnt).all()
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
+    """Streaming SCD-2 must emit EXACTLY the batch operator's closed
+    intervals whose closing event the final watermark finalized — same
+    rows, no extras, no duplicates (the CEP stream==batch protocol)."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark import contract
+    from fasta_windows_spark.streaming.cep import scd2_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    src = str(tmp_path / "scd2_stream_src")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "scd2_out")
+    q = S.write_exactly_once(
+        scd2_stream(stream, watermark="1 hour"), out, str(tmp_path / "scd2_ck")
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas()
+    got_set = {tuple(r) for r in got.to_numpy()}
+    assert len(got_set) == len(got), "duplicate emissions"
+
+    batch = contract.queries()["events_state_history_scd2"](spark, sf_dir).toPandas()
+    wm_final_us = int(ev["ts"].max().value // 1_000) - 3_600 * 1_000_000
+    exp = batch[batch["to_us"].notna() & (batch["to_us"] <= wm_final_us)]
+    exp_set = {
+        tuple(r)
+        for r in exp[
+            ["user_id", "version", "state", "from_us", "to_us", "n_events"]
+        ].to_numpy()
+    }
+    assert len(exp_set) > 0, "fixture produced no finalized closed intervals"
+    assert got_set == exp_set
+
+
+def test_scd2_stream_checkpoint_resume(spark, tmp_path):
+    """Kill the SCD-2 stream after its first progress and resume from the
+    same checkpoint: final interval set equals an uninterrupted run — no
+    duplicate or missing intervals (exactly-once under replay)."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark.streaming.cep import scd2_stream
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet").sort_values("ts")
+    src = str(tmp_path / "scd2_src")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    schema = spark.read.parquet(src).schema
+
+    def stream(max_files=None):
+        r = spark.readStream.schema(schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return scd2_stream(r.parquet(src), watermark="1 hour")
+
+    out1, ck1 = str(tmp_path / "single"), str(tmp_path / "ck_single")
+    S.write_exactly_once(stream(), out1, ck1).awaitTermination(180)
+    single = spark.read.parquet(out1).toPandas()
+
+    out2, ck2 = str(tmp_path / "resumed"), str(tmp_path / "ck_resumed")
+    q1 = (
+        stream(max_files=1).writeStream.format("parquet")
+        .outputMode("append").option("path", out2)
+        .option("checkpointLocation", ck2).start()
+    )
+    while not q1.recentProgress:
+        pass
+    q1.stop()
+    q1.awaitTermination(60)
+    S.write_exactly_once(stream(), out2, ck2).awaitTermination(180)
+    resumed = spark.read.parquet(out2).toPandas()
+
+    s = {tuple(r) for r in single.to_numpy()}
+    r = {tuple(r) for r in resumed.to_numpy()}
+    assert len(resumed) == len(r), "duplicate SCD-2 emissions after resume"
+    assert r == s, "resumed output differs from single-run output"

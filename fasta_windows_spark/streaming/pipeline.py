@@ -624,3 +624,79 @@ def write_exactly_once(
     if once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+# --- exactly-once sink snapshot reads (time travel over commit manifests) ----
+
+
+def sink_batches(out_path: str) -> list[int]:
+    """Committed batch ids of a file-sink output, from _spark_metadata."""
+    import os
+
+    meta = os.path.join(out_path, "_spark_metadata")
+    ids = set()
+    for name in os.listdir(meta):
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if not name.startswith(".") and base.isdigit():
+            ids.add(int(base))
+    return sorted(ids)
+
+
+def _manifest_files(out_path: str, up_to_batch: int) -> list[str]:
+    """Resolve the committed file set as of `up_to_batch` from the sink's
+    transaction log (Spark FileStreamSinkLog v1 format: per-batch JSON-line
+    manifests, periodically rolled into <b>.compact files that carry the
+    full history up to b). Only manifest-listed 'add' actions count —
+    orphan parquet files from failed/zombie attempts are invisible, which
+    is exactly the sink's exactly-once contract."""
+    import json
+    import os
+
+    meta = os.path.join(out_path, "_spark_metadata")
+    compacts, plains = {}, {}
+    for name in os.listdir(meta):
+        if name.startswith("."):
+            continue
+        if name.endswith(".compact") and name[: -len(".compact")].isdigit():
+            b = int(name[: -len(".compact")])
+            if b <= up_to_batch:
+                compacts[b] = name
+        elif name.isdigit():
+            b = int(name)
+            if b <= up_to_batch:
+                plains[b] = name
+    start = max(compacts) if compacts else None
+    names = ([compacts[start]] if start is not None else []) + [
+        plains[b] for b in sorted(plains) if start is None or b > start
+    ]
+    paths: dict[str, bool] = {}
+    for name in names:
+        with open(os.path.join(meta, name)) as f:
+            header = f.readline().strip()
+            assert header == "v1", f"unknown sink log version {header!r}"
+            for line in f:
+                if not line.strip():
+                    continue
+                entry = json.loads(line)
+                paths[entry["path"]] = entry.get("action", "add") == "add"
+    return [p for p, added in paths.items() if added]
+
+
+def read_sink_snapshot(
+    spark: SparkSession, out_path: str, up_to_batch: int | None = None
+) -> DataFrame:
+    """Time-travel read of an exactly-once file sink: the rows committed
+    as of `up_to_batch` (default: latest). The manifest IS the table —
+    a batch's files become visible atomically with its manifest write,
+    so this read is consistent under a concurrently running stream, and
+    replayed/aborted attempts never surface. The Iceberg-snapshot
+    semantics of the north rule, expressed over the file sink this
+    sandbox can run."""
+    batches = sink_batches(out_path)
+    if up_to_batch is None:
+        up_to_batch = batches[-1] if batches else -1
+    files = _manifest_files(out_path, up_to_batch)
+    if not files:
+        # schema from the full sink dir, rows from nothing
+        return spark.read.parquet(out_path).limit(0)
+    return spark.read.parquet(*files)

@@ -1340,3 +1340,61 @@ def test_scd2_stream_checkpoint_resume(spark, tmp_path):
     r = {tuple(r) for r in resumed.to_numpy()}
     assert len(resumed) == len(r), "duplicate SCD-2 emissions after resume"
     assert r == s, "resumed output differs from single-run output"
+
+
+def test_sink_snapshot_time_travel(spark, tmp_path):
+    """read_sink_snapshot(up_to_batch=N) must return exactly the rows the
+    first N+1 commits made visible: snapshots grow monotonically, the
+    latest equals the full read, earlier snapshots exclude later batches,
+    and an orphan parquet file (a failed attempt never committed to the
+    manifest) is invisible at every snapshot. Compaction of the sink log
+    is exercised (compactInterval=3) so the .compact resolution path runs."""
+    import shutil
+
+    import pandas as pd
+
+    from fasta_windows_spark.sources import pages as P
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = P.gen_pages(n_pages=240, n_hosts=6, seed=7)
+    P.write_pages_parquet(pdf, src, n_files=6)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    old = spark.conf.get("spark.sql.streaming.fileSink.log.compactInterval", None)
+    spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "3")
+    try:
+        agg = S.host_window_stats(
+            S.read_pages_stream(spark, src, max_files_per_trigger=1)
+        )
+        q = S.write_exactly_once(agg, out, ck)
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.fileSink.log.compactInterval")
+        else:
+            spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", old)
+
+    batches = S.sink_batches(out)
+    assert len(batches) >= 4, batches  # compaction boundary crossed
+
+    full = spark.read.parquet(out).count()
+    counts = [S.read_sink_snapshot(spark, out, b).count() for b in batches]
+    assert counts == sorted(counts), counts
+    assert counts[-1] == full > 0
+    assert counts[0] < counts[-1]
+    assert S.read_sink_snapshot(spark, out).count() == full
+
+    # plant an orphan data file (a failed attempt never committed to the
+    # manifest): pick a committed file that actually has rows, copy it in,
+    # and require every snapshot count unchanged — the manifest IS the table
+    committed = S._manifest_files(out, batches[-1])
+    orphan_src = max(
+        (p.replace("file:", "") for p in committed), key=os.path.getsize
+    )
+    orphan_rows = spark.read.parquet(orphan_src).count()
+    assert orphan_rows > 0
+    shutil.copy(orphan_src, os.path.join(out, "part-99999-orphan.parquet"))
+    assert [
+        S.read_sink_snapshot(spark, out, b).count() for b in batches
+    ] == counts

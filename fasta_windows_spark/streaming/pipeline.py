@@ -700,3 +700,64 @@ def read_sink_snapshot(
         # schema from the full sink dir, rows from nothing
         return spark.read.parquet(out_path).limit(0)
     return spark.read.parquet(*files)
+
+
+def encode_embeddings_stream(
+    emb: DataFrame, centroids, books, m: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Online ANN index ingest: PQ-encode a stream of new embeddings under
+    ALREADY-FITTED tables (fit offline on a sample — operators/cluster.py
+    pq_fit — encode forever). The encode is pure narrow column arithmetic
+    (no aggregation, no join: codebooks ride as plan literals), so it is
+    stream-safe as-is and emits one (id, cell, code_0..m-1) row per input
+    row, exactly the batch encoder's output — appendable straight into the
+    exactly-once sink as index segments."""
+    from ..operators.cluster import pq_encode_with
+
+    return pq_encode_with(emb, centroids, books, m, id_col, vec_col)
+
+
+def write_lang_id_stream(
+    pages: DataFrame,
+    profiles_rows: list,
+    out_path: str,
+    checkpoint: str,
+    n: int = 3,
+    top: int = 64,
+    once: bool = True,
+):
+    """In-stream language ID with OFFLINE-trained rank profiles (train
+    once on labelled data — functions/text.py char_ngram_profiles — then
+    classify every arriving page): foreachBatch operator reuse, because
+    the per-doc top-N gram ranking is a window function (unsupported in a
+    streaming query) but each page's grams derive from its single row, so
+    a batch-local classification is exact. Idempotent under micro-batch
+    replay via the batch_id=<id> overwrite recipe (same contract as
+    write_topn_hosts_per_window). `profiles_rows` is the collected
+    (lang, gram, rank) table — profile-sized, rides the closure and
+    broadcasts inside each batch."""
+    from ..functions.text import classify_rank_profile
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            prof = batch_df.sparkSession.createDataFrame(
+                profiles_rows, ["lang", "gram", "rank"]
+            )
+            out = classify_rank_profile(
+                batch_df.select("url", "text"), prof, n=n, top=top, id_col="url"
+            )
+        else:
+            out = batch_df.sparkSession.createDataFrame(
+                [], "url string, pred_lang string, dist long"
+            )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    w = (
+        pages.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        w = w.trigger(availableNow=True)
+    return w.start()

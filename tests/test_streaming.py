@@ -1398,3 +1398,68 @@ def test_sink_snapshot_time_travel(spark, tmp_path):
     assert [
         S.read_sink_snapshot(spark, out, b).count() for b in batches
     ] == counts
+
+
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """Online index ingest: PQ codes computed on a stream of embeddings
+    under offline-fitted tables must equal the batch encoder row-for-row
+    (the encode is narrow column arithmetic — no state, no shuffle)."""
+    from fasta_windows_spark.operators.cluster import pq_encode_with, pq_fit
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    centroids, books = pq_fit(emb, k=8, n_iter=1, m=8, ks=16, pq_iter=1)
+    want = {
+        tuple(r) for r in pq_encode_with(emb, centroids, books, 8).collect()
+    }
+
+    import shutil
+
+    stream_src = str(tmp_path / "emb_src")
+    os.makedirs(stream_src)
+    shutil.copy(src, os.path.join(stream_src, "part-0000.parquet"))
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_src)
+    out, ck = str(tmp_path / "pq_out"), str(tmp_path / "pq_ck")
+    q = S.write_exactly_once(
+        S.encode_embeddings_stream(stream, centroids, books, 8), out, ck
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want and got
+
+
+def test_streaming_lang_id_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
+    """In-stream classification with offline-trained profiles must equal
+    the batch classifier on the same pages, and replaying a batch must not
+    duplicate rows (batch_id overwrite idempotence)."""
+    from fasta_windows_spark.functions.text import (
+        char_ngram_profiles,
+        classify_rank_profile,
+    )
+
+    batch = P.spark_pages(spark, pages_pdf)
+    labelled = batch.select("lang", "text")
+    profiles_rows = [
+        (r.lang, r.gram, r.rank)
+        for r in char_ngram_profiles(labelled, n=3, top=32).collect()
+    ]
+    prof = spark.createDataFrame(profiles_rows, ["lang", "gram", "rank"])
+    want = {
+        (r.url, r.pred_lang, r.dist)
+        for r in classify_rank_profile(
+            batch.select("url", "text"), prof, n=3, top=32, id_col="url"
+        ).collect()
+    }
+
+    out, ck = str(tmp_path / "lid_out"), str(tmp_path / "lid_ck")
+    q = S.write_lang_id_stream(
+        S.read_pages_stream(spark, pages_dir, max_files_per_trigger=2),
+        profiles_rows, out, ck, n=3, top=32,
+    )
+    q.awaitTermination(120)
+    got_df = spark.read.parquet(out)
+    got = {(r.url, r.pred_lang, r.dist) for r in got_df.collect()}
+    assert got == want and got
+    assert got_df.count() == len(got), "duplicate classifications"

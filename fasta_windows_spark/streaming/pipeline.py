@@ -695,6 +695,14 @@ def read_sink_snapshot(
     batches = sink_batches(out_path)
     if up_to_batch is None:
         up_to_batch = batches[-1] if batches else -1
+    elif batches and up_to_batch not in batches:
+        # a log file below the retention window may have been deleted by
+        # the running query; silently returning a partial file set would
+        # be a WRONG snapshot, so refuse instead
+        raise ValueError(
+            f"batch {up_to_batch} has no manifest in {out_path} "
+            f"(available: {batches[0]}..{batches[-1]})"
+        )
     files = _manifest_files(out_path, up_to_batch)
     if not files:
         # schema from the full sink dir, rows from nothing

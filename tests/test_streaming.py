@@ -1463,3 +1463,22 @@ def test_streaming_lang_id_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
     got = {(r.url, r.pred_lang, r.dist) for r in got_df.collect()}
     assert got == want and got
     assert got_df.count() == len(got), "duplicate classifications"
+
+
+def test_sink_snapshot_refuses_unknown_batch(spark, tmp_path):
+    """Requesting a snapshot at a batch with no manifest (e.g. aged out of
+    the log retention window) must raise, never silently undercount."""
+    import pytest as _pytest
+
+    from fasta_windows_spark.sources import pages as P2
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    P2.write_pages_parquet(P2.gen_pages(n_pages=40, n_hosts=3, seed=3), src, n_files=1)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = S.write_exactly_once(
+        S.host_window_stats(S.read_pages_stream(spark, src)), out, ck
+    )
+    q.awaitTermination(60)
+    with _pytest.raises(ValueError, match="no manifest"):
+        S.read_sink_snapshot(spark, out, up_to_batch=99)

@@ -4073,6 +4073,74 @@ from .operators import sequence as _seq  # noqa: E402
 
 
 @q(
+    "events_hourly_anomaly",
+    """
+WITH h AS (
+  SELECT event_type,
+         (floor(epoch(ts) / 3600))::BIGINT AS hour_num,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, hour_num, cnt,
+         count(*) OVER w AS n_trail,
+         coalesce(sum(cnt) OVER w, 0) AS sum_trail,
+         coalesce(sum(cnt * cnt) OVER w, 0) AS ss_trail
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_num
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_num, cnt,
+       n_trail::BIGINT AS n_trail, sum_trail::BIGINT AS sum_trail,
+       (n_trail >= 12 AND
+        (n_trail * cnt - sum_trail) * (n_trail * cnt - sum_trail)
+          > 9 * (n_trail * ss_trail - sum_trail * sum_trail)) AS is_anomaly
+FROM t
+""",
+)
+def events_hourly_anomaly(spark, sf_dir):
+    """Trend/anomaly detection on an event stream: per (event_type, hour),
+    flag counts more than 3 trailing standard deviations from the trailing
+    24-hour mean — the crawl-monitoring shape (a host going viral or a
+    source going dark). The z-score test is evaluated in its EXACT integer
+    form, z^2 > 9  <=>  (n*cnt - S)^2 > 9*(n*SS - S^2) (counts are
+    integers), so no float accumulation can flip a boundary row between
+    engines. RANGE frame over the integer hour number, not ROWS: silent
+    hours leave gaps and a row-based frame would silently stretch the
+    lookback. One shuffle on event_type for both the window and the
+    pre-aggregate."""
+    from pyspark.sql import Window as PW
+
+    ev = _events(spark, sf_dir)
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+            .cast("long")
+            .alias("hour_num"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        PW.partitionBy("event_type")
+        .orderBy("hour_num")
+        .rangeBetween(-24, -1)
+    )
+    n = F.coalesce(F.count("*").over(w), F.lit(0))
+    s = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ss = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+    dev = n * F.col("cnt") - s
+    return h.select(
+        "event_type",
+        "hour_num",
+        "cnt",
+        n.cast("long").alias("n_trail"),
+        s.cast("long").alias("sum_trail"),
+        ((n >= 12) & (dev * dev > 9 * (n * ss - s * s))).alias("is_anomaly"),
+    )
+
+
+@q(
     "events_state_history_scd2",
     """
 WITH o AS (

@@ -601,3 +601,120 @@ def scd2_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- trailing-window anomaly stream -------------------------------------------
+# Streaming twin of contract.events_hourly_anomaly: per event_type, flag
+# hourly counts >3 trailing sigma from the trailing-24h mean, emitted as
+# each hour is watermark-finalized.
+
+ANOM_STATE_SCHEMA = (
+    "ring_hours ARRAY<LONG>, ring_cnts ARRAY<LONG>, "
+    "open_hours ARRAY<LONG>, open_cnts ARRAY<LONG>"
+)
+
+ANOM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("hour_num", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_trail", T.LongType()),
+        T.StructField("sum_trail", T.LongType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+def make_anomaly_update(lookback: int = 24, min_trail: int = 12, z2: int = 9):
+    cols = [f.name for f in ANOM_OUTPUT_SCHEMA.fields]
+
+    def update(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (etype,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows: list[dict] = []
+
+        if state.exists:
+            ring_h, ring_c, open_h, open_c = state.get
+            ring = dict(zip(ring_h, ring_c))
+            open_ = dict(zip(open_h, open_c))
+        else:
+            ring, open_ = {}, {}
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                hours = (pdf["ts"].astype("int64") // 1_000 // _HOUR_US).tolist()
+                for h in hours:
+                    open_[int(h)] = open_.get(int(h), 0) + 1
+
+        # an hour is complete once the watermark passes its end: no event
+        # with ts inside it can still arrive. Finalize in hour order so the
+        # trailing ring is exactly the batch window's content.
+        for h in sorted(k for k in open_ if (k + 1) * _HOUR_US <= wm_us):
+            cnt = open_.pop(h)
+            trail = [(hh, cc) for hh, cc in ring.items() if h - lookback <= hh <= h - 1]
+            n = len(trail)
+            s = sum(c for _, c in trail)
+            ss = sum(c * c for _, c in trail)
+            dev = n * cnt - s
+            rows.append(
+                dict(
+                    event_type=etype,
+                    hour_num=h,
+                    cnt=cnt,
+                    n_trail=n,
+                    sum_trail=s,
+                    is_anomaly=bool(
+                        n >= min_trail and dev * dev > z2 * (n * ss - s * s)
+                    ),
+                )
+            )
+            ring[h] = cnt
+            ring = {hh: cc for hh, cc in ring.items() if hh >= h - (lookback - 1)}
+
+        if ring or open_:
+            # the ring (<= lookback pairs) is the operator's bounded
+            # permanent state; open hours are watermark-bounded
+            state.update(
+                (
+                    list(ring.keys()),
+                    list(ring.values()),
+                    list(open_.keys()),
+                    list(open_.values()),
+                )
+            )
+            if open_:
+                fire_ms = (min(open_) + 1) * _HOUR_US // 1000
+                state.setTimeoutTimestamp(max(fire_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+        yield pd.DataFrame(rows, columns=cols)
+
+    return update
+
+
+def hourly_anomaly_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming per-type hourly anomaly flags, batch-identical on
+    finalized hours (same integer-exact z^2 test, same gap-aware trailing
+    frame — the ring holds only hours that had events, exactly the batch
+    RANGE window's row set). State per event_type: <=24 (hour, count)
+    pairs plus the watermark-bounded open hours."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return (
+        ev.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_anomaly_update(),
+            outputStructType=ANOM_OUTPUT_SCHEMA,
+            stateStructType=ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1482,3 +1482,52 @@ def test_sink_snapshot_refuses_unknown_batch(spark, tmp_path):
     q.awaitTermination(60)
     with _pytest.raises(ValueError, match="no manifest"):
         S.read_sink_snapshot(spark, out, up_to_batch=99)
+
+
+def test_anomaly_stream_matches_batch_finalized_hours(spark, tmp_path):
+    """Streaming anomaly flags must equal the batch query's rows for every
+    hour the final watermark finalized — same counts, same trailing stats,
+    same flags, no duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_spark import contract
+    from fasta_windows_spark.streaming.cep import hourly_anomaly_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 8)):
+        ev.iloc[idx].to_parquet(
+            f"{src}/part-{i:04d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "anom_out")
+    q = S.write_exactly_once(
+        hourly_anomaly_stream(stream, watermark="1 hour"),
+        out, str(tmp_path / "anom_ck"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas()
+    got_set = {tuple(r) for r in got.to_numpy()}
+    assert len(got_set) == len(got), "duplicate emissions"
+
+    batch = contract.queries()["events_hourly_anomaly"](spark, sf_dir).toPandas()
+    wm_final_us = int(ev["ts"].max().value // 1_000) - 3_600 * 1_000_000
+    last_final_hour = wm_final_us // (3_600 * 1_000_000) - 1
+    exp = batch[batch["hour_num"] <= last_final_hour]
+    exp_set = {
+        tuple(r)
+        for r in exp[
+            ["event_type", "hour_num", "cnt", "n_trail", "sum_trail", "is_anomaly"]
+        ].to_numpy()
+    }
+    assert len(exp_set) > 0
+    assert {r for r in got_set} == exp_set
+    assert any(r[-1] for r in got_set), "no anomaly fired on the fixture"

@@ -1954,6 +1954,112 @@ def docs_unigram_surprisal(spark, sf_dir):
 
 # Synthetic crawl URL per doc, exercising every normalization rule: uppercase
 # scheme/www/host, default vs explicit port, mid/tail/only utm params, fragment.
+_SYNTH_HOST_SQL = """CASE doc_id % 4
+      WHEN 0 THEN 'www.' || source || '.com'
+      WHEN 1 THEN 'a.' || source || '.co.uk'
+      WHEN 2 THEN source || '.blogspot.com'
+      ELSE 'co.uk' END"""
+
+
+def _synth_host_spark():
+    d = F.col("doc_id") % 4
+    return (
+        F.when(d == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".com")))
+        .when(d == 1, F.concat(F.lit("a."), F.col("source"), F.lit(".co.uk")))
+        .when(d == 2, F.concat(F.col("source"), F.lit(".blogspot.com")))
+        .otherwise(F.lit("co.uk"))
+    )
+
+
+_PSL_ORACLE_S = f"""
+u AS (SELECT doc_id, n_chars, {_SYNTH_HOST_SQL} AS host FROM documents),
+l AS (SELECT doc_id, n_chars, host, string_split(host, '.') AS labels FROM u),
+s AS (
+  SELECT doc_id, n_chars, host, labels,
+    CASE
+      WHEN len(labels) >= 2 AND list_contains(
+             ['co.uk','org.uk','com.au','blogspot.com'],
+             array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.'))
+        THEN array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.')
+      WHEN list_contains(['com','org','net','uk','au'], labels[len(labels)])
+        THEN labels[len(labels)]
+    END AS public_suffix
+  FROM l
+),
+reg AS (
+  SELECT doc_id, n_chars, host, public_suffix,
+    CASE WHEN public_suffix IS NOT NULL
+          AND len(labels) > len(string_split(public_suffix, '.'))
+         THEN array_to_string(list_slice(labels,
+                len(labels) - len(string_split(public_suffix, '.')),
+                len(labels)), '.') END AS registrable_domain
+  FROM s
+)"""
+
+
+@q(
+    "docs_registrable_domain",
+    f"""
+WITH {_PSL_ORACLE_S}
+SELECT doc_id, host, public_suffix, registrable_domain FROM reg
+""",
+)
+def docs_registrable_domain(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction — the key per-domain crawl
+    quotas and domain-level dedup actually group by. Longest-suffix-match
+    over a COMMITTED public-suffix subset (functions/text.py, declared;
+    the private-registry entry blogspot.com correctly beats com), pure
+    JVM expressions with zero joins. Hosts synthesized with single- and
+    multi-label suffixes plus a bare-suffix edge (registrable NULL)."""
+    from .functions.text import with_registrable_domain
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _synth_host_spark().alias("host")
+    )
+    return with_registrable_domain(d).select(
+        "doc_id", "host", "public_suffix", "registrable_domain"
+    )
+
+
+@q(
+    "docs_domain_quota",
+    f"""
+WITH {_PSL_ORACLE_S}
+SELECT doc_id, registrable_domain, rank FROM (
+  SELECT doc_id, registrable_domain,
+         row_number() OVER (PARTITION BY registrable_domain
+                            ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+  FROM reg WHERE registrable_domain IS NOT NULL
+) WHERE rank <= 3
+""",
+)
+def docs_domain_quota(spark, sf_dir):
+    """Per-domain quota enforcement: keep at most 3 docs per registrable
+    domain, best-first (n_chars desc, doc_id tiebreak) — the anti-spam /
+    source-diversity cap CommonCrawl-style curation applies before
+    training mixes. Bounded per-domain window over the eTLD+1 key; docs
+    on bare public suffixes carry no registrable domain and are exempt
+    (they fail curation elsewhere)."""
+    from pyspark.sql import Window as PW
+
+    from .functions.text import with_registrable_domain
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", _synth_host_spark().alias("host")
+    )
+    reg = with_registrable_domain(d).where(
+        F.col("registrable_domain").isNotNull()
+    )
+    w = PW.partitionBy("registrable_domain").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        reg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "registrable_domain", "rank")
+    )
+
+
 def _synth_url(spark_side: bool):
     if spark_side:
         d = F.col("doc_id")

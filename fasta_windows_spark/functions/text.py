@@ -643,3 +643,65 @@ def classify_rank_profile(
         .where(F.col("_rn") == 1)
         .select(id_col, F.col("lang").alias("pred_lang"), "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) extraction: the per-domain key every crawl
+# curation quota/dedup actually groups by (host groups "a.example.com" and
+# "b.example.com" apart; the registrable domain unites them, while keeping
+# "a.co.uk" and "b.co.uk" separate because "co.uk" is a public suffix).
+# ---------------------------------------------------------------------------
+
+# Committed public-suffix subset (declared: the real PSL is ~10k entries —
+# at that size swap the literal arrays for a broadcast join; the longest-
+# match semantics below are the PSL algorithm either way).
+PUBLIC_SUFFIX_SUBSET = [
+    "com", "org", "net", "uk", "co.uk", "org.uk", "au", "com.au",
+    "blogspot.com",
+]
+
+
+def with_registrable_domain(
+    df: DataFrame, host_col: str = "host", suffixes: list[str] | None = None
+) -> DataFrame:
+    """Adds `public_suffix` (the LONGEST suffix-list entry matching the
+    host's trailing labels — the PSL rule, so the private-registry entry
+    "blogspot.com" beats "com") and `registrable_domain` (one label more
+    than the suffix; NULL when the host IS a bare suffix). Pure JVM
+    expressions, zero joins, zero shuffles — a narrow projection at any
+    corpus size."""
+    sfx = suffixes if suffixes is not None else PUBLIC_SUFFIX_SUBSET
+    labels = f"split({host_col}, '\\\\.')"
+
+    def lastk(k: int) -> str:
+        return (
+            f"array_join(slice({labels}, size({labels}) - {k - 1}, {k}), '.')"
+        )
+
+    def lit_arr(vals: list[str]) -> str:
+        return "array(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+    max_k = max(s.count(".") + 1 for s in sfx)
+    branches = []
+    for k in range(max_k, 0, -1):  # longest match first
+        of_len = [s for s in sfx if s.count(".") + 1 == k]
+        if of_len:
+            branches.append(
+                f"WHEN size({labels}) >= {k} "
+                f"AND array_contains({lit_arr(of_len)}, {lastk(k)}) "
+                f"THEN {lastk(k)}"
+            )
+    suffix_expr = "CASE " + " ".join(branches) + " END"
+    out = df.withColumn("public_suffix", F.expr(suffix_expr))
+    n_sfx = F.size(F.split("public_suffix", "\\."))
+    n_all = F.expr(f"size({labels})")
+    reg = F.expr(
+        f"array_join(slice({labels}, size({labels}) - size(split(public_suffix, '\\\\.')), "
+        f"size(split(public_suffix, '\\\\.')) + 1), '.')"
+    )
+    return out.withColumn(
+        "registrable_domain",
+        F.when(
+            F.col("public_suffix").isNotNull() & (n_all > n_sfx), reg
+        ),
+    )

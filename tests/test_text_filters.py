@@ -87,3 +87,26 @@ def test_rank_profile_classifier_recovers_correlated_labels(spark):
     }
     expected = {r[0]: r[2] for r in rows[:-1]}
     assert out == expected
+
+
+def test_registrable_domain_psl_semantics(spark):
+    """Pins the PSL rules on crafted hosts: longest match wins (the
+    private-registry entry blogspot.com beats com), a bare suffix has no
+    registrable domain, an unknown TLD matches nothing, and deep
+    subdomains collapse to eTLD+1."""
+    from fasta_windows_spark.functions.text import with_registrable_domain
+
+    hosts = [
+        ("x.co.uk", "co.uk", "x.co.uk"),
+        ("blog.blogspot.com", "blogspot.com", "blog.blogspot.com"),
+        ("com", "com", None),
+        ("foo.internal", None, None),
+        ("deep.a.b.example.com", "com", "example.com"),
+        ("uk", "uk", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in hosts], ["host"])
+    got = {
+        r.host: (r.public_suffix, r.registrable_domain)
+        for r in with_registrable_domain(df).collect()
+    }
+    assert got == {h: (s, reg) for h, s, reg in hosts}

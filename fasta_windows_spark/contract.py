@@ -1924,6 +1924,52 @@ def docs_split_assign(spark, sf_dir):
     return _sampling.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+_PS_K = 50
+
+_SQL_PRIORITY_SAMPLE = f"""
+WITH pri AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS w,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':priority'), 1, 8))::BIGINT + 1) AS u_fp
+  FROM documents
+),
+q AS (
+  SELECT doc_id, w, (w * 4294967296) // u_fp AS q_fp
+  FROM pri WHERE w > 0
+),
+ranked AS (
+  SELECT doc_id, w, q_fp,
+         row_number() OVER (ORDER BY q_fp DESC, doc_id ASC) AS rn
+  FROM q
+  ORDER BY q_fp DESC, doc_id ASC
+  LIMIT {_PS_K + 1}
+),
+tau AS (
+  SELECT max(CASE WHEN rn = {_PS_K + 1} THEN q_fp ELSE 0 END)::BIGINT AS tau_fp
+  FROM ranked
+)
+SELECT doc_id, w, q_fp, tau_fp,
+       greatest(w * 4294967296, tau_fp)::BIGINT AS est_fp
+FROM ranked CROSS JOIN tau
+WHERE rn <= {_PS_K}
+"""
+
+
+@q("docs_priority_sample", _SQL_PRIORITY_SAMPLE)
+def docs_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield–Lund–Thorup): the k={_PS_K} highest
+    priorities q = w/u with deterministic md5-derived u, plus the
+    threshold tau (the (k+1)-th priority) and the unbiased subset-sum
+    estimator w_hat = max(w, tau) — the weight-sensitive corpus sketch
+    (operators/sampling.py:priority_sample). All fixed-point BIGINT:
+    Spark and the oracle agree bit-for-bit. The selection compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("w")
+    )
+    return _sampling.priority_sample(d, k=_PS_K, weight_col="w")
+
+
 # Shared unigram-LM CTEs (sur = per-doc rounded bits/token). Used by BOTH
 # docs_unigram_surprisal and docs_surprisal_buckets so the two oracles
 # cannot drift — the bucket thresholds must be computed over the SAME
@@ -4445,6 +4491,102 @@ def docs_host_pagerank(spark, sf_dir):
     edges = e0.where(F.col("src") != F.col("dst")).distinct()
     out = pagerank(edges, iterations=3, scale=_PR_SCALE)
     return out.select(F.col("node").alias("host"), "rank_fp")
+
+
+def _host_edges(spark, sf_dir) -> DataFrame:
+    """The deterministic corpus-derived host link graph shared by
+    docs_host_pagerank and docs_host_hits (the SQL twin is the e0/edges
+    CTE pair in both oracles): each doc's host md5-links to 3 hosts."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    e0 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % _PR_N_HOSTS).cast("string")
+        ).alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).select(
+        "src",
+        F.concat(
+            F.lit("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _PR_N_HOSTS
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    return e0.where(F.col("src") != F.col("dst")).distinct()
+
+
+# One unrolled fixed-point HITS iteration (operators/graph.py:140). The
+# L1-normalization product araw*scale exceeds 64 bits, so it is widened to
+# HUGEINT here and DECIMAL(38,0) on the Spark side — floor quotients are
+# bit-identical across the two engines (verified on 10^18-scale operands).
+def _hits_iter_sql(i: int) -> str:
+    return f"""
+ar{i} AS (SELECT dst AS node, sum(h)::BIGINT AS araw
+          FROM edges JOIN h{i - 1} ON edges.src = h{i - 1}.node GROUP BY dst),
+ta{i} AS (SELECT sum(araw)::BIGINT AS t FROM ar{i}),
+a{i} AS (SELECT node, ((araw::HUGEINT * {_PR_SCALE}) // t)::BIGINT AS a
+         FROM ar{i} CROSS JOIN ta{i}),
+hr{i} AS (SELECT src AS node, sum(a)::BIGINT AS hraw
+          FROM edges JOIN a{i} ON edges.dst = a{i}.node GROUP BY src),
+th{i} AS (SELECT sum(hraw)::BIGINT AS t FROM hr{i}),
+h{i} AS (SELECT node, ((hraw::HUGEINT * {_PR_SCALE}) // t)::BIGINT AS h
+         FROM hr{i} CROSS JOIN th{i})"""
+
+
+_SQL_HITS = f"""
+WITH e0 AS (
+  SELECT 'h' || (doc_id % {_PR_N_HOSTS})::VARCHAR AS src,
+         'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                  % {_PR_N_HOSTS})::VARCHAR) AS dst
+  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j) js
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+h0 AS (SELECT node, ({_PR_SCALE} // n)::BIGINT AS h FROM nodes CROSS JOIN nn),
+{_hits_iter_sql(1)},
+{_hits_iter_sql(2)},
+{_hits_iter_sql(3)}
+SELECT nodes.node AS host,
+       coalesce(h3.h, 0)::BIGINT AS hub_fp,
+       coalesce(a3.a, 0)::BIGINT AS auth_fp
+FROM nodes LEFT JOIN h3 ON nodes.node = h3.node
+           LEFT JOIN a3 ON nodes.node = a3.node
+"""
+
+
+@q("docs_host_hits", _SQL_HITS)
+def docs_host_hits(spark, sf_dir):
+    """Host hubs-and-authorities: 3-iteration fixed-point HITS (Kleinberg)
+    over the same deterministic host link graph as docs_host_pagerank —
+    the seed-expansion / mirror-detection companion signal where
+    PageRank's random-surfer prior is the wrong model. Integer arithmetic
+    end-to-end: raw scores are exact BIGINT sums and the per-iteration L1
+    normalization is a DECIMAL(38,0)/HUGEINT-widened floor division, so
+    the oracle's unrolled recurrence matches bit-for-bit. Per iteration:
+    two partial-agg shuffles over the edge table plus two broadcast 1-row
+    totals; lineage truncated every half-iteration (operators/graph.py)."""
+    from .operators.graph import hits
+
+    out = hits(_host_edges(spark, sf_dir), iterations=3, scale=_PR_SCALE)
+    return out.select(F.col("node").alias("host"), "hub_fp", "auth_fp")
 
 
 _SQL_C4_LINES = """

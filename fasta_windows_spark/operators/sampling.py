@@ -129,3 +129,79 @@ def mixture_weights(
         "n_tokens",
         F.round(F.col("p") / F.col("tp"), 9).alias("weight"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "w",
+    key_col: str = "doc_id",
+    salt: str = "priority",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weight-
+    sensitive sample of k rows supporting unbiased subset-sum estimation —
+    the principled way to keep a small, heavy-hitter-aware sketch of a
+    corpus (e.g. per-domain token mass) when uniform sampling would miss
+    the tail that carries the bytes.
+
+    Each row gets priority q_i = w_i / u_i with u_i uniform in (0, 1];
+    the k highest-priority rows are kept, tau is the (k+1)-th priority,
+    and w_hat_i = max(w_i, tau) is unbiased for subset sums over the
+    sample. When the input has <= k rows the sample is exact (tau = 0,
+    w_hat = w).
+
+    Determinism + cross-engine exactness: u_i is derived from md5(key:salt)
+    — the same rerun/resume/repartition stability argument as the md5
+    bucketing above — as the 32-bit integer h+1 in [1, 2^32], and the
+    priority is kept in fixed point: q_fp = (w << 32) div (h+1), exact
+    BIGINT arithmetic in any engine (w must be < 2^30; token counts are).
+    tau_fp and est_fp (= max(w << 32, tau_fp)) are published in the same
+    1/2^32 fixed point, so the driver hashes integers, never floats.
+    Rows with w <= 0 carry no mass and are excluded (DLT assumes w > 0).
+
+    Scale shape: the k-largest selection compiles to TakeOrderedAndProject
+    — per-partition top-(k+1) heaps merged on the driver, no global sort,
+    no full shuffle; the tau extraction then runs over a k+1-row frame
+    (single partition BY CONSTRUCTION — bounded by k, not by data size).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    key, w = F.col(key_col), F.col(weight_col).cast("long")
+    h1 = (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    q = df.select(
+        key.alias("pk"),
+        w.alias("w"),
+        (w * F.lit(2**32)).alias("wq"),
+        h1.alias("u_fp"),
+    ).where(w > 0)
+    q = q.select("pk", "w", F.expr("wq div u_fp").alias("q_fp"), "wq")
+    top = q.orderBy(F.col("q_fp").desc(), F.col("pk").asc()).limit(k + 1)
+    rn = F.row_number().over(
+        Window.orderBy(F.col("q_fp").desc(), F.col("pk").asc())
+    )
+    ranked = top.select("pk", "w", "wq", "q_fp", rn.alias("rn"))
+    tau = ranked.agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("q_fp")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tau_fp")
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("pk").alias(key_col),
+            "w",
+            "q_fp",
+            "tau_fp",
+            F.greatest(F.col("wq"), F.col("tau_fp")).cast("long").alias("est_fp"),
+        )
+    )

@@ -108,3 +108,86 @@ def test_pagerank_releases_its_caches(spark):
     pagerank(df, iterations=2).count()
     after = n_cached()
     assert after <= before, (before, after)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+from fasta_windows_spark.operators.graph import hits
+
+
+def _py_hits(edges, iterations=3, scale=SCALE):
+    """Dict-based reference using the same integer recurrence, written
+    against the spec: exact sums, L1 normalization via (x*scale)//total
+    (Python ints are arbitrary-precision, so no widening needed here)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    h = {v: scale // n for v in nodes}
+    a = {}
+    for _ in range(iterations):
+        a_raw = {}
+        for s, d in edges:
+            if s in h:
+                a_raw[d] = a_raw.get(d, 0) + h[s]
+        ta = sum(a_raw.values())
+        a = {v: (x * scale) // ta for v, x in a_raw.items()}
+        h_raw = {}
+        for s, d in edges:
+            if d in a:
+                h_raw[s] = h_raw.get(s, 0) + a[d]
+        th = sum(h_raw.values())
+        h = {v: (x * scale) // th for v, x in h_raw.items()}
+    return {v: (h.get(v, 0), a.get(v, 0)) for v in nodes}
+
+
+def test_hits_matches_python_reference_exactly(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in hits(df).collect()}
+    assert got == _py_hits(EDGES)
+
+
+def test_hits_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    one = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits(df.coalesce(1)).collect()}
+    many = {r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits(df.repartition(13)).collect()}
+    assert one == many
+
+
+def test_hits_star_hub_vs_authority(spark):
+    # star: 'hub' points at 4 leaves; leaves point nowhere.
+    edges = [("hub", f"x{i}") for i in range(4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in hits(df).collect()}
+    # the center is a pure hub (all hub mass, zero authority); the leaves
+    # split the authority mass equally and have zero hub score.
+    assert got["hub"][0] == SCALE and got["hub"][1] == 0
+    for i in range(4):
+        assert got[f"x{i}"][0] == 0 and got[f"x{i}"][1] == SCALE // 4
+
+
+def test_hits_plan_depth_bounded(spark):
+    """Lineage is truncated every half-iteration, so the compiled plan of
+    the result must not grow with the iteration count."""
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    p2 = hits(df, iterations=2)._jdf.queryExecution().executedPlan().treeString()
+    p6 = hits(df, iterations=6)._jdf.queryExecution().executedPlan().treeString()
+    assert len(p6.splitlines()) == len(p2.splitlines())
+    assert len(p6.splitlines()) < 30
+
+
+def test_hits_releases_its_caches(spark):
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    before = n_cached()
+    hits(df).collect()
+    hits(df).collect()
+    # localCheckpoint RDDs are expected to persist (they ARE the data);
+    # the nodes cache must not accumulate across invocations.
+    assert n_cached() <= before + 8

@@ -179,3 +179,63 @@ def test_paragraph_dedup_conserves_distinct_count(spark):
     )
     assert kept == distinct
     assert all(0 <= r["n_kept"] <= r["n_paras"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield–Lund–Thorup)
+# ---------------------------------------------------------------------------
+
+def _py_priority_sample(rows, k, salt="priority"):
+    """Pure-Python twin written against the DLT spec with exact integers:
+    q = (w << 32) // (h+1), keep k largest (ties: smaller key first),
+    tau = the (k+1)-th priority (0 if none), est = max(w << 32, tau)."""
+    pri = []
+    for key, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+        pri.append((key, w, (w << 32) // (h + 1)))
+    pri.sort(key=lambda t: (-t[2], t[0]))
+    tau = pri[k][2] if len(pri) > k else 0
+    return {
+        key: (w, q, tau, max(w << 32, tau)) for key, w, q in pri[:k]
+    }
+
+
+def test_priority_sample_matches_python_reference(spark):
+    rows = [(f"d{i}", (i * 37) % 91 + 1) for i in range(200)]
+    rows += [("zero", 0), ("neg", -5)]  # excluded: no mass
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {
+        r["doc_id"]: (r["w"], r["q_fp"], r["tau_fp"], r["est_fp"])
+        for r in sampling.priority_sample(df, k=25).collect()
+    }
+    assert got == _py_priority_sample([(k, w) for k, w in rows], 25)
+
+
+def test_priority_sample_exact_when_k_covers_input(spark):
+    rows = [(f"d{i}", i + 1) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = sampling.priority_sample(df, k=50).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["tau_fp"] == 0
+        assert r["est_fp"] == r["w"] << 32  # estimator degenerates to exact
+
+
+def test_priority_sample_partition_invariant(spark):
+    rows = [(f"d{i}", (i * 13) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    one = sorted(map(tuple, sampling.priority_sample(df.coalesce(1), 20).collect()))
+    many = sorted(map(tuple, sampling.priority_sample(df.repartition(17), 20).collect()))
+    assert one == many
+
+
+def test_priority_sample_estimator_is_one_sided(spark):
+    """w_hat = max(w, tau) >= w for every sampled row, and every sampled
+    row's priority is >= tau (the defining property of the sample)."""
+    rows = [(f"d{i}", (i * 7) % 30 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    for r in sampling.priority_sample(df, k=15).collect():
+        assert r["est_fp"] >= r["w"] << 32
+        assert r["q_fp"] >= r["tau_fp"]

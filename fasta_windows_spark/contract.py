@@ -1526,6 +1526,53 @@ def docs_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "docs_containment_pairs",
+    """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+shg AS (
+  SELECT DISTINCT doc_id, l[p+1]||' '||l[p+2]||' '||l[p+3] AS shingle
+  FROM t, LATERAL (SELECT unnest(range(len(l)-2)) AS p) x
+  WHERE len(l) >= 3
+),
+rare AS (SELECT shingle FROM shg GROUP BY shingle HAVING count(*) <= 20),
+rsh AS (SELECT shg.doc_id, shg.shingle FROM shg JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM rsh l JOIN rsh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_common::BIGINT AS n_common,
+       round(c.n_common::DOUBLE/sa.n_sh, 6) AS containment_a,
+       round(c.n_common::DOUBLE/sb.n_sh, 6) AS containment_b,
+       round(c.n_common::DOUBLE/least(sa.n_sh, sb.n_sh), 6) AS overlap
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE round(c.n_common::DOUBLE/least(sa.n_sh, sb.n_sh), 6) >= 0.6
+""",
+)
+def docs_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup: shingle containment / overlap coefficient
+    (operators/dedup.py:rare_shingle_containment_pairs) — catches
+    subset relationships (quote inclusion, boilerplate wrappers,
+    truncated mirrors) that symmetric Jaccard structurally misses. Same
+    rare-shingle inverted index and recall bound as docs_jaccard_pairs;
+    hash_shingles pinned at the call site for the same oracle-semantics
+    reason."""
+    return _dedup.rare_shingle_containment_pairs(
+        _docs(spark, sf_dir), hash_shingles=True
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        "containment_a",
+        "containment_b",
+        "overlap",
+    )
+
+
+@q(
     "docs_decontaminate",
     """
 WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -203,6 +203,42 @@ def rare_shingle_jaccard_pairs(
     is a 64-bit collision inflating n_common (P ~ n_shingles^2 / 2^65 —
     ~1e-7 at 10^6 distinct shingles); set False to reproduce exact string
     semantics (the DuckDB oracle's form)."""
+    common, sizes = _rare_shingle_counts(
+        docs, text_col, id_col, shingle_words, max_df, stage, hash_shingles,
+        scope="jaccard",
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def _rare_shingle_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_words: int,
+    max_df: int,
+    stage: bool,
+    hash_shingles: bool,
+    scope: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pair-generation core for rare_shingle_jaccard_pairs and
+    rare_shingle_containment_pairs: explode per-doc-distinct word shingles,
+    keep only rare ones (document frequency <= max_df — the inverted-index
+    bound that keeps the self-join from exploding on boilerplate), and
+    return (common, sizes): per-pair shared-rare-shingle counts with
+    doc_a < doc_b, and per-doc rare-shingle counts. `scope` namespaces the
+    staged caches so the two callers don't evict each other's subtrees."""
     # (doc, shingle) distinct == per-doc dedup, so array_distinct BEFORE the
     # explode does it narrowly — no shuffle-distinct over the exploded table
     shingle_expr = (
@@ -222,7 +258,7 @@ def rare_shingle_jaccard_pairs(
     if stage:
         from ..staging import stage_scoped
 
-        sh = stage_scoped(sh, "jaccard_sh")
+        sh = stage_scoped(sh, f"{scope}_sh")
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -233,7 +269,7 @@ def rare_shingle_jaccard_pairs(
     if stage:
         from ..staging import stage_scoped
 
-        rsh = stage_scoped(rsh, "jaccard_rsh")
+        rsh = stage_scoped(rsh, f"{scope}_rsh")
     sizes = rsh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     l, r = rsh.alias("l"), rsh.alias("r")
     common = (
@@ -241,19 +277,51 @@ def rare_shingle_jaccard_pairs(
         .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    return common, sizes
+
+
+def rare_shingle_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    max_df: int = 20,
+    min_overlap: float = 0.6,
+    stage: bool = True,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Asymmetric near-dup via shingle CONTAINMENT (Broder's resemblance
+    companion): overlap = n_common / min(n_a, n_b) — the overlap
+    coefficient — plus both directional containments n_common/n_a and
+    n_common/n_b. Jaccard misses subset relationships by construction
+    (a page quoted inside a 10x-larger page has Jaccard <= 0.1 however
+    complete the inclusion); containment is the signal that catches
+    quote inclusion, page-plus-boilerplate wrappers, and truncated
+    mirrors — the cases a dedup pass over a crawl actually meets.
+
+    Same inverted-index pair generation and same rare-shingle recall
+    bound as rare_shingle_jaccard_pairs (`max_df` semantics documented
+    there); candidates only ever come from shared RARE shingles, so the
+    join stays bucketed at corpus scale. Ratios are round(6) — the
+    repo-wide float protocol."""
+    common, sizes = _rare_shingle_counts(
+        docs, text_col, id_col, shingle_words, max_df, stage, hash_shingles,
+        scope="containment",
+    )
     out = (
         common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
+        .withColumn("overlap", F.round(F.col("n_common") / F.least("n_a", "n_b"), 6))
+        .where(F.col("overlap") >= min_overlap)
     )
-    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+        "overlap",
+    )
 
 
 def decontaminate_overlap(

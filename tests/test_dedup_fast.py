@@ -327,3 +327,41 @@ def test_bloom_decontaminate_equals_exact(spark):
         ).collect()
     }
     assert exact == bloom and len(exact) > 0
+
+
+def test_containment_catches_subset_pairs_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted verbatim inside a
+    much larger doc has full containment but tiny Jaccard."""
+    from fasta_windows_spark.operators.dedup import (
+        rare_shingle_containment_pairs,
+        rare_shingle_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    wrapper = quote + " " + " ".join(f"pad{i}" for i in range(400))
+    others = [" ".join(f"o{d}x{i}" for i in range(40)) for d in range(3)]
+    docs = _docs(spark, [quote, wrapper, *others])
+
+    cont = rare_shingle_containment_pairs(docs, max_df=10, min_overlap=0.9)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in cont.collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    # every shingle of the quote appears in the wrapper
+    assert r["containment_a"] == 1.0
+    assert r["overlap"] == 1.0
+    assert r["containment_b"] < 0.1
+
+    jac = rare_shingle_jaccard_pairs(docs, max_df=10, min_jaccard=0.4)
+    assert jac.count() == 0  # symmetric Jaccard structurally misses it
+
+
+def test_containment_partition_invariant(spark):
+    from fasta_windows_spark.operators.dedup import rare_shingle_containment_pairs
+
+    texts = [" ".join(f"w{(i * 7 + j) % 60}" for j in range(50)) for i in range(20)]
+    docs = _docs(spark, texts)
+    one = sorted(map(tuple, rare_shingle_containment_pairs(
+        docs.coalesce(1), max_df=30, min_overlap=0.1).collect()))
+    many = sorted(map(tuple, rare_shingle_containment_pairs(
+        docs.repartition(11), max_df=30, min_overlap=0.1).collect()))
+    assert one == many and len(one) > 0

@@ -2153,6 +2153,46 @@ def docs_domain_quota(spark, sf_dir):
     )
 
 
+_PMI_MIN_COUNT = 5
+
+_SQL_PMI = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT unnest(l) AS w FROM toks),
+ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+nn AS (SELECT sum(c)::BIGINT AS n FROM ucnt),
+bg AS (
+  SELECT l[p+1] AS w1, l[p+2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(len(l)-1)) AS p) x
+  WHERE len(l) >= 2
+),
+mm AS (SELECT count(*)::BIGINT AS m FROM bg),
+bcnt AS (
+  SELECT w1, w2, count(*)::BIGINT AS c_xy
+  FROM bg GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.c_xy,
+       round(log2((b.c_xy::DOUBLE * nn.n * nn.n) / (mm.m::DOUBLE * u1.c * u2.c)), 6) AS pmi
+FROM bcnt b
+JOIN ucnt u1 ON b.w1 = u1.w
+JOIN ucnt u2 ON b.w2 = u2.w
+CROSS JOIN nn CROSS JOIN mm
+"""
+
+
+@q("docs_bigram_pmi", _SQL_PMI)
+def docs_bigram_pmi(spark, sf_dir):
+    """Collocation mining: corpus-wide PMI of adjacent token bigrams
+    (Church & Hanks) with count >= {_PMI_MIN_COUNT}
+    (functions/text.py:collocation_pmi). The row set is decided by the
+    integer count threshold alone; the float pmi column uses the same
+    left-associated DOUBLE expression in both engines and rounds to 6 dp.
+    Two map-side-combined aggs + vocabulary-sized joins + two broadcast
+    1-row totals — nothing corpus-wide is cached or re-shuffled."""
+    return _text.collocation_pmi(
+        _docs(spark, sf_dir), min_count=_PMI_MIN_COUNT
+    )
+
+
 def _synth_url(spark_side: bool):
     if spark_side:
         d = F.col("doc_id")

@@ -705,3 +705,73 @@ def with_registrable_domain(
             F.col("public_suffix").isNotNull() & (n_all > n_sfx), reg
         ),
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide collocation mining: pointwise mutual information of
+    adjacent token bigrams, PMI(x,y) = log2(P(xy) / (P(x)P(y))) — the
+    classic phrase/multi-word-expression detector (Church & Hanks 1990)
+    a tokenizer-training or term-mining pass runs over a crawl.
+
+    Returns (w1, w2, c_xy, pmi) for bigrams with c_xy >= min_count. The
+    ROW SET is decided purely by the integer count threshold (never by
+    the float PMI), so the result is engine-exact; pmi itself is
+    round(log2((c_xy*N*N)/(M*c_x*c_y)), 6) with the products evaluated
+    left-associated in DOUBLE — the same expression form as the oracle,
+    so both engines round the same float. N = total tokens, M = total
+    bigrams.
+
+    Scale shape: two map-side-combined aggregations (unigram + bigram
+    counts, both vocabulary-sized after the combine), two joins of the
+    bigram table to the unigram table (both shrink to vocabulary size
+    long before the join), and two broadcast 1-row totals. The token
+    explosion is never cached or shuffled at corpus width: bigrams are
+    built narrowly with zip_with over two slices of the SAME split
+    array, so nothing Python-side and nothing row-multiplied beyond the
+    (w1, w2) pairs themselves. min_count prunes the singleton tail —
+    the zipfian mass — before any join."""
+    toks = F.split(F.col(text_col), " ")
+    uni = docs.select(F.explode(toks).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = ucnt.agg(F.sum("c").cast("long").alias("n"))
+
+    sz = F.size(toks)
+    bg = docs.where(sz >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, sz - 1),
+                F.slice(toks, 2, sz - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    m_tot = bg.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    bcnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    u1 = ucnt.select(F.col("w").alias("u1w"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("u2w"), F.col("c").alias("c2"))
+    return (
+        bcnt.join(u1, F.col("w1") == F.col("u1w"))
+        .join(u2, F.col("w2") == F.col("u2w"))
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.log2(
+                    (F.col("c_xy").cast("double") * F.col("n") * F.col("n"))
+                    / (F.col("m").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

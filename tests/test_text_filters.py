@@ -110,3 +110,34 @@ def test_registrable_domain_psl_semantics(spark):
         for r in with_registrable_domain(df).collect()
     }
     assert got == {h: (s, reg) for h, s, reg in hosts}
+
+
+def test_collocation_pmi_planted_phrase(spark):
+    """A planted always-together bigram must out-PMI independent fillers,
+    and the value must equal the hand-computed expression exactly."""
+    import math
+
+    from fasta_windows_spark.functions.text import collocation_pmi
+
+    # 8 docs: 'new york' 8 times; fillers a..d shuffled independently
+    texts = [f"new york a{i % 2} b{i % 3} c{i % 2} d{i % 3}" for i in range(8)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): (r["c_xy"], r["pmi"])
+           for r in collocation_pmi(df, min_count=4).collect()}
+    assert ("new", "york") in out
+    c_xy, pmi = out[("new", "york")]
+    n = 8 * 6          # total tokens
+    m = 8 * 5          # total bigrams
+    expected = round(math.log2((float(c_xy) * n * n) / (float(m) * 8 * 8)), 6)
+    assert c_xy == 8 and pmi == expected
+    assert all(pmi >= v[1] for v in out.values())
+
+
+def test_collocation_pmi_partition_invariant(spark):
+    from fasta_windows_spark.functions.text import collocation_pmi
+
+    texts = [" ".join(f"t{(i * 11 + j) % 17}" for j in range(30)) for i in range(40)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    one = sorted(map(tuple, collocation_pmi(df.coalesce(1), min_count=3).collect()))
+    many = sorted(map(tuple, collocation_pmi(df.repartition(9), min_count=3).collect()))
+    assert one == many and len(one) > 0

@@ -116,6 +116,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     1,000-token doc into 60,000 pre-shuffle rows) and NO shuffle at all —
     the output is already one row per input doc. bsum > 0  <=>
     2*ones > n_tokens, so only ones-counts are folded."""
+    # NULL text folds to a NULL signature; the explode-based formulation (and
+    # the DuckDB oracle's unnest) drop such docs entirely — match that
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.expr(simhash_sql_expr(text_col)).alias("simhash")
+    )
+
+
+def simhash_sql_expr(text_col: str = "text") -> str:
+    """The SimHash fold as a reusable SQL expression string, so callers
+    that must keep their other columns (e.g. the streaming near-dup path,
+    which carries url/warc_ts through) can withColumn it instead of
+    re-deriving the fold. Semantics documented on :func:`simhash`."""
     b = SIMHASH_BITS
     hs = (
         f"transform(split({text_col}, ' '), tok -> "
@@ -124,17 +136,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # accumulator: slots 0..b-1 = per-bit ones-counts, slot b = token count;
     # the finish lambda packs sign bits (2*ones > n) into the signature. The
     # hash array appears exactly once, so each token is md5'd exactly once.
-    sig = (
+    return (
         f"aggregate({hs}, array_repeat(cast(0 as bigint), {b + 1}), "
         f"(acc, h) -> transform(acc, (a, j) -> a + if(j < {b}, shiftright(h, j) & 1, 1)), "
         f"acc -> aggregate(zip_with(slice(acc, 1, {b}), sequence(0, {b - 1}), "
         f"(o, j) -> if(2*o > acc[{b}], shiftleft(cast(1 as bigint), j), cast(0 as bigint))), "
         "cast(0 as bigint), (s, x) -> s + x))"
-    )
-    # NULL text folds to a NULL signature; the explode-based formulation (and
-    # the DuckDB oracle's unnest) drop such docs entirely — match that
-    return docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.expr(sig).alias("simhash")
     )
 
 

@@ -1531,3 +1531,161 @@ def test_anomaly_stream_matches_batch_finalized_hours(spark, tmp_path):
     assert len(exp_set) > 0
     assert {r for r in got_set} == exp_set
     assert any(r[-1] for r in got_set), "no anomaly fired on the fixture"
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate suppression (SimHash band LSH, bounded ring state)
+# ---------------------------------------------------------------------------
+
+from fasta_windows_spark.streaming import neardup as ND
+
+
+def _py_simhash(text: str) -> int:
+    """Python twin of operators/dedup.simhash_sql_expr, written against the
+    spec: per-token md5 (first 15 hex = 60 bits), bit j set iff more than
+    half the tokens have bit j set."""
+    import hashlib
+
+    toks = text.split(" ")
+    ones = [0] * 60
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for j in range(60):
+            ones[j] += (h >> j) & 1
+    return sum(1 << j for j in range(60) if 2 * ones[j] > len(toks))
+
+
+def _py_neardup(pdf, max_hamming=3, ring_size=256):
+    """Pure-pandas reference of the full band/ring pipeline for a SINGLE
+    micro-batch: per bucket, rows in (warc_ts, url) order; matched iff any
+    earlier in-bucket signature is within max_hamming; verdict = any band."""
+    sigs = {r.url: _py_simhash(r.text) for r in pdf.itertuples() if r.text is not None}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    matched: dict[str, bool] = {u: False for u in sigs}
+    rows = sorted(
+        ((r.warc_ts, r.url) for r in pdf.itertuples() if r.url in sigs),
+    )
+    for b in range(4):
+        for _, url in rows:
+            s = sigs[url]
+            bv = (s >> (b * 15)) & 0x7FFF
+            ring = buckets.setdefault((b, bv), [])
+            if any(bin(s ^ p).count("1") <= max_hamming for p in ring):
+                matched[url] = True
+            if len(ring) >= ring_size:
+                ring.pop(0)  # ring_size >= batch size in these tests
+            ring.append(s)
+    return {u: (sigs[u], matched[u]) for u in sigs}
+
+
+def _neardup_pages(n=80):
+    pdf = P.gen_pages(n_pages=n, n_hosts=6, seed=7)
+    dups = pdf.head(8).copy()
+    dups["url"] = dups["url"] + "?utm=mirror"
+    dups["warc_ts"] = pdf["warc_ts"].max() + pd.to_timedelta(
+        range(60, 60 + len(dups)), unit="s"
+    )
+    return pd.concat([pdf, dups], ignore_index=True)
+
+
+import pandas as pd  # noqa: E402
+
+
+def test_neardup_stream_matches_pandas_reference(spark, tmp_path):
+    src = str(tmp_path / "nd_src")
+    pdf = _neardup_pages()
+    P.write_pages_parquet(pdf, src, n_files=1)
+    stream = S.read_pages_stream(spark, src)
+    ev = ND.near_dup_band_events_stream(stream)
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("nd_ev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_events = spark.sql("SELECT * FROM nd_ev")
+    got = {
+        r["url"]: (r["simhash"], bool(r["is_near_dup"]), r["n_bands"])
+        for r in ND.finalize_near_dup(got_events).collect()
+    }
+    exp = _py_neardup(pdf)
+    assert set(got) == set(exp)
+    for url, (sig, m) in exp.items():
+        assert got[url] == (sig, m, 4), url
+    # the planted exact copies MUST be flagged (hamming 0 <= 3: exact recall)
+    flagged = {u for u, (_, m, _) in got.items() if m}
+    assert {u for u in got if u.endswith("?utm=mirror")} <= flagged
+
+
+def test_neardup_cross_batch_detection(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must match state written
+    by an earlier one (one file per trigger = one batch per file)."""
+    src = str(tmp_path / "nd_src2")
+    pdf = P.gen_pages(n_pages=40, n_hosts=4, seed=11)
+    dup = pdf.head(3).copy()
+    dup["url"] = dup["url"] + "?m=1"
+    dup["warc_ts"] = pdf["warc_ts"].max() + pd.to_timedelta([60, 61, 62], unit="s")
+    os.makedirs(src, exist_ok=True)
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf.to_parquet(os.path.join(src, "part-000.parquet"), **kw)
+    dup.to_parquet(os.path.join(src, "part-001.parquet"), **kw)
+
+    stream = S.read_pages_stream(spark, src, max_files_per_trigger=1)
+    ev = ND.near_dup_band_events_stream(stream)
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("nd_ev2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["url"]: bool(r["is_near_dup"])
+        for r in ND.finalize_near_dup(spark.sql("SELECT * FROM nd_ev2")).collect()
+    }
+    assert all(got[u + "?m=1"] for u in pdf.head(3)["url"])
+    assert not any(got[u] for u in pdf.head(3)["url"])  # originals kept
+
+
+def test_neardup_checkpoint_resume_consistent(spark, tmp_path):
+    """Kill after the first micro-batch, resume from the checkpoint: the
+    final verdict set equals the uninterrupted run's (state replay)."""
+    src = str(tmp_path / "nd_src3")
+    pdf = _neardup_pages(60)
+    P.write_pages_parquet(pdf, src, n_files=4)
+
+    def run(out_name, ck, interrupt):
+        stream = S.read_pages_stream(spark, src, max_files_per_trigger=1)
+        ev = ND.near_dup_band_events_stream(stream)
+        if interrupt:
+            q1 = (
+                ev.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_name)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            while not q1.recentProgress:
+                pass
+            q1.stop()
+            q1.awaitTermination(60)
+        q = (
+            ev.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["url"], r["band"]): bool(r["matched"])
+            for r in spark.read.parquet(out_name).collect()
+        }
+
+    a = run(str(tmp_path / "o1"), str(tmp_path / "c1"), interrupt=False)
+    b = run(str(tmp_path / "o2"), str(tmp_path / "c2"), interrupt=True)
+    assert a == b and len(a) == 68 * 4

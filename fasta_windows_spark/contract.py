@@ -4659,6 +4659,70 @@ FROM nodes LEFT JOIN h3 ON nodes.node = h3.node
 """
 
 
+_PPR_SEEDS = ["h0", "h1", "h2", "h3"]
+
+
+# One unrolled fixed-point personalized-PageRank iteration
+# (operators/graph.py:personalized_pagerank): teleport + dangling mass go
+# to the SEED SET only; everything else matches _pr_iter_sql's recipe.
+def _ppr_iter_sql(i: int) -> str:
+    return f"""
+s{i} AS (SELECT node AS s, (r // deg)::BIGINT AS share
+         FROM r{i - 1} JOIN outdeg ON node = src),
+m{i} AS (SELECT dst, sum(share)::BIGINT AS insum
+         FROM edges JOIN s{i} ON edges.src = s{i}.s GROUP BY dst),
+dg{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS dang FROM r{i - 1}
+          WHERE node NOT IN (SELECT src FROM outdeg)),
+r{i} AS (SELECT node, is_seed,
+                (CASE WHEN is_seed THEN ({_PR_SCALE} * 15) // (100 * sc) ELSE 0 END
+                 + (85 * (coalesce(insum, 0)
+                          + CASE WHEN is_seed THEN dang // sc ELSE 0 END)) // 100
+                )::BIGINT AS r
+         FROM nodes CROSS JOIN scnt CROSS JOIN dg{i}
+         LEFT JOIN m{i} ON node = dst)"""
+
+
+_SQL_PPR = f"""
+WITH e0 AS (
+  SELECT 'h' || (doc_id % {_PR_N_HOSTS})::VARCHAR AS src,
+         'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                  % {_PR_N_HOSTS})::VARCHAR) AS dst
+  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j) js
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+seeds AS (SELECT unnest({_PPR_SEEDS!r}) AS sn),
+nodes AS (SELECT node, node IN (SELECT sn FROM seeds) AS is_seed
+          FROM (SELECT DISTINCT node
+                FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))),
+scnt AS (SELECT count(*)::BIGINT AS sc FROM nodes WHERE is_seed),
+outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, is_seed,
+              (CASE WHEN is_seed THEN {_PR_SCALE} // sc ELSE 0 END)::BIGINT AS r
+       FROM nodes CROSS JOIN scnt),
+{_ppr_iter_sql(1)},
+{_ppr_iter_sql(2)},
+{_ppr_iter_sql(3)}
+SELECT node AS host, r AS rank_fp FROM r3
+"""
+
+
+@q("docs_host_ppr", _SQL_PPR)
+def docs_host_ppr(spark, sf_dir):
+    """Seed-set expansion: 3-iteration fixed-point PERSONALIZED PageRank
+    from 4 trusted seed hosts over the shared deterministic host link
+    graph — teleport and dangling mass return to the seeds, so rank is
+    proximity-to-seed-set, the curated-list expansion / spam-neighborhood
+    primitive (operators/graph.py:personalized_pagerank). Same integer
+    contract and per-iteration plan shape as docs_host_pagerank."""
+    from .operators.graph import personalized_pagerank
+
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], ["node"])
+    out = personalized_pagerank(
+        _host_edges(spark, sf_dir), seeds, iterations=3, scale=_PR_SCALE
+    )
+    return out.select(F.col("node").alias("host"), "rank_fp")
+
+
 @q("docs_host_hits", _SQL_HITS)
 def docs_host_hits(spark, sf_dir):
     """Host hubs-and-authorities: 3-iteration fixed-point HITS (Kleinberg)

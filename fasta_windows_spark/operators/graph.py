@@ -224,3 +224,90 @@ def hits(
     out = out.localCheckpoint(eager=True)
     nodes.unpersist()
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-point PERSONALIZED PageRank: teleport mass returns to a seed
+    set instead of uniformly to all nodes — the seed-expansion primitive
+    (start from a curated list of trusted hosts, rank the rest of the web
+    by proximity to it) and its dual, spam-neighborhood scoring from a
+    spam seed list. `seeds` is a 1-column (node) DataFrame; seeds not in
+    the graph are ignored.
+
+    Same integer fixed-point contract as `pagerank` above (BIGINT units of
+    1/scale, floor division, engine-exact). Update rule per iteration:
+      share(v) = r(v) div outdeg(v);  insum(u) = sum over (v,u) of share(v)
+      dang     = sum of r(v) over dangling v;  s = |seeds ∩ nodes|
+      r'(u)    = [u∈S] * (scale*(den-num)) div (den*s)
+                 + (num * (insum(u) + [u∈S]*(dang div s))) div den
+    Initial mass: scale div s on each seed, 0 elsewhere.
+
+    Scale shape identical to `pagerank`: one partial-agg shuffle per
+    iteration plus a broadcast 1-row dangling scalar; the seed flag rides
+    the node frame as one boolean column; lineage truncated every round.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("sn")).distinct()
+    nodes = nodes.join(
+        seed_nodes, F.col("node") == F.col("sn"), "left"
+    ).select("node", F.col("sn").isNotNull().alias("is_seed")).cache()
+    s_count = nodes.where("is_seed").count()  # scalar only
+    if s_count == 0:
+        raise ValueError("no seed appears in the edge set")
+    n_tele = (scale * (damping_den - damping_num)) // (damping_den * s_count)
+
+    outdeg = edges.groupBy(F.col("src").alias("od_node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).cache()
+    ranks = nodes.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(scale // s_count))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iterations):
+        shares = (
+            ranks.join(outdeg, F.col("node") == F.col("od_node"), "inner")
+            .select(F.col("node").alias("s"), F.expr("r div deg").alias("share"))
+        )
+        insum = (
+            edges.join(shares, F.col("src") == F.col("s"), "inner")
+            .groupBy(F.col("dst").alias("m_node"))
+            .agg(F.sum("share").alias("insum"))
+        )
+        dangling = (
+            ranks.join(outdeg, F.col("node") == F.col("od_node"), "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(insum, F.col("node") == F.col("m_node"), "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(n_tele)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_num} * (coalesce(insum, 0)"
+                        f" + if(is_seed, dang div {s_count}, 0))) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    outdeg.unpersist()
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -191,3 +191,67 @@ def test_hits_releases_its_caches(spark):
     # localCheckpoint RDDs are expected to persist (they ARE the data);
     # the nodes cache must not accumulate across invocations.
     assert n_cached() <= before + 8
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from fasta_windows_spark.operators.graph import personalized_pagerank
+
+
+def _py_ppr(edges, seeds, iterations=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    S = [v for v in nodes if v in set(seeds)]
+    sc = len(S)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: (scale // sc if v in S else 0) for v in nodes}
+    for _ in range(iterations):
+        insum = {v: 0 for v in nodes}
+        for s, d in edges:
+            insum[d] += r[s] // out[s]
+        dang = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: ((scale * 15) // (100 * sc) if v in S else 0)
+            + (85 * (insum[v] + (dang // sc if v in S else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_ppr_matches_python_reference_exactly(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("e",), ("zz-not-in-graph",)], ["node"])
+    got = {r["node"]: r["rank_fp"] for r in personalized_pagerank(df, seeds).collect()}
+    assert got == _py_ppr(EDGES, ["a", "e"])
+
+
+def test_ppr_mass_stays_near_seeds(spark):
+    # two disconnected components; seeding only one must leave the other at 0
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["rank_fp"] for r in personalized_pagerank(df, seeds).collect()}
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_ppr_rejects_seedless_graph(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("nope",)], ["node"])
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(df, seeds)
+
+
+def test_ppr_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("d",)], ["node"])
+    one = {r["node"]: r["rank_fp"]
+           for r in personalized_pagerank(df.coalesce(1), seeds).collect()}
+    many = {r["node"]: r["rank_fp"]
+            for r in personalized_pagerank(df.repartition(13), seeds).collect()}
+    assert one == many

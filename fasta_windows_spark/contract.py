@@ -1445,6 +1445,44 @@ def docs_minhash_band_pairs(spark, sf_dir):
     return _dedup.minhash_band_pairs(sigs)
 
 
+@q(
+    "docs_minhash_incremental",
+    f"""
+WITH {_SQL_MINHASH},
+bands AS (
+  SELECT doc_id, 0 AS band, sig_0 AS b0, sig_1 AS b1, sig_2 AS b2, sig_3 AS b3 FROM sig
+  UNION ALL
+  SELECT doc_id, 1, sig_4, sig_5, sig_6, sig_7 FROM sig
+),
+nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+ib AS (SELECT * FROM bands WHERE doc_id % 10 <> 0)
+SELECT DISTINCT doc_new, doc_match, match_src FROM (
+  SELECT l.doc_id AS doc_new, r.doc_id AS doc_match, 'index' AS match_src
+  FROM nb l JOIN ib r
+    ON l.band = r.band AND l.b0 = r.b0 AND l.b1 = r.b1
+   AND l.b2 = r.b2 AND l.b3 = r.b3
+  UNION ALL
+  SELECT l.doc_id, r.doc_id, 'new'
+  FROM nb l JOIN nb r
+    ON l.band = r.band AND l.b0 = r.b0 AND l.b1 = r.b1
+   AND l.b2 = r.b2 AND l.b3 = r.b3 AND l.doc_id < r.doc_id
+)
+""",
+)
+def docs_minhash_incremental(spark, sf_dir):
+    """Incremental dedup: the daily-crawl mode — a new increment (docs with
+    doc_id % 10 = 0, the deterministic stand-in for today's crawl) banded
+    against the EXISTING signature index plus itself, never re-pairing
+    index-vs-index (operators/dedup.py:incremental_minhash_pairs). At
+    10^12 docs the index band table is bucketed on the band key so the
+    increment join is shuffle-one-side."""
+    d = _docs(spark, sf_dir)
+    sigs = _dedup.minhash_signatures(d)
+    new_sigs = sigs.where(F.col("doc_id") % 10 == 0)
+    index_sigs = sigs.where(F.col("doc_id") % 10 != 0)
+    return _dedup.incremental_minhash_pairs(new_sigs, index_sigs)
+
+
 _SQL_SIMHASH = f"""
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),

@@ -84,18 +84,8 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Bands come from ONE `inline(array(struct...))` pass (not a unionAll of
     per-band projections, which would recompute the upstream signature
     expressions once per band copy on each join side)."""
-    rows = ", ".join(
-        "struct({b} as band, {ks})".format(
-            b=b,
-            ks=", ".join(f"sig_{4 * b + i} as bk{i}" for i in range(4)),
-        )
-        for b in range(2)
-    )
-    bands = sigs.select(
-        F.col(id_col).alias("doc"), F.expr(f"inline(array({rows}))")
-    )
-    left = bands.alias("l")
-    right = bands.alias("r")
+    left = _minhash_band_rows(sigs, id_col).alias("l")
+    right = _minhash_band_rows(sigs, id_col).alias("r")
     cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
     for i in range(4):
         cond = cond & (F.col(f"l.bk{i}") == F.col(f"r.bk{i}"))
@@ -104,6 +94,69 @@ def minhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def _minhash_band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(doc, band, bk0..bk3): one row per LSH band per doc, from ONE
+    inline(array(struct...)) pass (see minhash_band_pairs docstring)."""
+    rows = ", ".join(
+        "struct({b} as band, {ks})".format(
+            b=b,
+            ks=", ".join(f"sig_{4 * b + i} as bk{i}" for i in range(4)),
+        )
+        for b in range(2)
+    )
+    return sigs.select(F.col(id_col).alias("doc"), F.expr(f"inline(array({rows}))"))
+
+
+def incremental_minhash_pairs(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup candidates: a NEW crawl increment against an
+    EXISTING signature index, plus new-vs-new — the production daily mode.
+    Re-pairing index-vs-index (quadratic in corpus age, and work already
+    done when each prior increment landed) never happens: the increment
+    only joins bands it actually has.
+
+    Output: (doc_new, doc_match, match_src) with match_src in
+    {'index', 'new'}; for new-vs-new, doc_new < doc_match.
+
+    Scale shape: at 10^12 docs the index's band rows are a persisted table
+    bucketed by the band key, so the daily increment's band join is a
+    local (shuffle-one-side) join of increment-size against it; the
+    new-vs-new self-join is increment-sized. Both are candidates-only
+    (LSH buckets), never all-pairs."""
+    nb = _minhash_band_rows(new_sigs, id_col)
+    ib = _minhash_band_rows(index_sigs, id_col)
+    key_eq = [F.col(f"l.bk{i}") == F.col(f"r.bk{i}") for i in range(4)]
+
+    cond_idx = (F.col("l.band") == F.col("r.band"))
+    for e in key_eq:
+        cond_idx = cond_idx & e
+    vs_index = (
+        nb.alias("l")
+        .join(ib.alias("r"), cond_idx)
+        .select(
+            F.col("l.doc").alias("doc_new"),
+            F.col("r.doc").alias("doc_match"),
+            F.lit("index").alias("match_src"),
+        )
+    )
+    cond_new = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
+    for e in key_eq:
+        cond_new = cond_new & e
+    vs_new = (
+        nb.alias("l")
+        .join(nb.alias("r"), cond_new)
+        .select(
+            F.col("l.doc").alias("doc_new"),
+            F.col("r.doc").alias("doc_match"),
+            F.lit("new").alias("match_src"),
+        )
+    )
+    return vs_index.unionByName(vs_new).distinct()
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

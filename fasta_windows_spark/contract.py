@@ -4166,6 +4166,22 @@ def docs_tfidf_top_terms(spark, sf_dir):
     )
 
 
+from .operators import retrieval as _retrieval  # noqa: E402
+
+
+@q("docs_bm25_search", _retrieval.bm25_oracle_sql())
+def docs_bm25_search(spark, sf_dir):
+    """Top-20 BM25 retrieval for the fixed query (stream, window, join) —
+    full-text search over the corpus, EXACT across engines: pre-log
+    rational idf and a 10*S-cleared saturation term keep every term score
+    a ratio of sub-2^53 BIGINTs, and the 3-term sum is fixed-order, so
+    the float scores are bit-identical and (score DESC, doc_id) is a
+    cross-engine total order (operators/retrieval.py). Plan: one narrow
+    HOF projection (no explode), a 1-row broadcast of (N, S, df_t), and
+    TakeOrderedAndProject — a single corpus scan at any scale."""
+    return _retrieval.bm25_search(_docs(spark, sf_dir))
+
+
 @q(
     "events_session_dynamic_gap",
     """

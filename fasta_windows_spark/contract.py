@@ -4182,6 +4182,21 @@ def docs_bm25_search(spark, sf_dir):
     return _retrieval.bm25_search(_docs(spark, sf_dir))
 
 
+from .operators import layout as _layout  # noqa: E402
+
+
+@q("docs_zorder_layout", _layout.zorder_oracle_sql())
+def docs_zorder_layout(spark, sf_dir):
+    """Z-order clustering key + file assignment (operators/layout.py):
+    Morton-interleave of (doc length, 16-bit host bucket) so range-
+    partitioned files carry tight min/max footer stats in BOTH columns —
+    the OPTIMIZE ZORDER file-skipping layout. This query is the oracle-
+    exact ntile twin; the production path (zorder_repartition: range
+    exchange + local sorts, no global window) is pinned by plan and
+    tightness tests in tests/test_layout.py."""
+    return _layout.zorder_files(_docs(spark, sf_dir))
+
+
 @q(
     "events_session_dynamic_gap",
     """

@@ -4353,6 +4353,41 @@ def docs_dup_components(spark, sf_dir):
 
 
 @q(
+    "docs_dup_components_incremental",
+    f"""
+WITH RECURSIVE {_SQL_DUP_COMP_CTES}
+SELECT doc_id, component_id FROM comp
+""",
+)
+def docs_dup_components_incremental(spark, sf_dir):
+    """Incremental clustering, checked against the FROM-SCRATCH oracle:
+    docs with doc_id % 10 <> 0 are the existing corpus (their labels
+    computed the usual way), docs with doc_id % 10 = 0 are today's crawl.
+    incremental_minhash_pairs generates only increment-touching candidate
+    pairs and components_incremental folds them into the old labels over
+    a contracted delta graph (operators/dedup.py) — the oracle is the
+    identical recursive-CTE fixpoint as docs_dup_components, so the
+    incremental path must reproduce the full recompute bit-for-bit.
+    Old-pairs ∪ increment-pairs is provably the full band-pair set: the
+    increment mode pairs new-vs-index and new-vs-new, the old labels
+    encode index-vs-index."""
+    docs = _docs(spark, sf_dir)
+    sigs = _dedup.minhash_signatures(docs)
+    old_sigs = sigs.where(F.col("doc_id") % 10 != 0)
+    new_sigs = sigs.where(F.col("doc_id") % 10 == 0)
+    old_labels = _dedup.connected_components(
+        _dedup.minhash_band_pairs(old_sigs),
+        docs.where(F.col("doc_id") % 10 != 0).select("doc_id"),
+    )
+    inc = _dedup.incremental_minhash_pairs(new_sigs, old_sigs).select(
+        F.col("doc_new").alias("doc_a"), F.col("doc_match").alias("doc_b")
+    )
+    return _dedup.components_incremental(
+        old_labels, inc, docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    )
+
+
+@q(
     "docs_media_bmp",
     """
 SELECT doc_id,

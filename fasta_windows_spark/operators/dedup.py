@@ -891,3 +891,55 @@ def split_leakage_report(
             "leak_frac"
         ),
     )
+
+
+def components_incremental(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental near-dup clustering: fold a crawl increment's candidate
+    pairs into EXISTING component labels without re-walking the old graph.
+
+    Old components are contracted to their representative (the label IS
+    the min member id, so reps of distinct old components are distinct
+    nodes), increment edges are rewritten onto reps, and min-label
+    propagation runs over that DELTA graph only — iteration cost scales
+    with the increment, not the corpus. Because every rep is already the
+    minimum of its old component and new docs rep themselves, the min
+    label reachable over the contracted graph equals the min doc id
+    reachable over the full (old ∪ new) edge set: the result is exactly
+    the from-scratch clustering, which is how the contract oracle checks
+    it (same recursive-CTE fixpoint as docs_dup_components).
+
+    Scale shape: at 10^12 docs `old_labels` is a persisted table bucketed
+    on id; the two corpus-sized operations are the rep-lookup join for
+    the increment's edge endpoints (increment-driven, shuffle-one-side)
+    and the final label-update join keyed by rep. Everything iterative
+    touches only the contracted delta graph."""
+    base = old_labels.select(
+        F.col(id_col).alias("id"), F.col("component_id").alias("rep")
+    ).unionByName(
+        new_nodes.select(
+            F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("rep")
+        )
+    )
+    rewritten = (
+        new_pairs.select(F.col(a_col).alias("ea"), F.col(b_col).alias("eb"))
+        .join(base.select(F.col("id").alias("ea"), F.col("rep").alias("ra")), "ea")
+        .join(base.select(F.col("id").alias("eb"), F.col("rep").alias("rb")), "eb")
+        .where(F.col("ra") != F.col("rb"))
+        .select(F.col("ra").alias(a_col), F.col("rb").alias(b_col))
+        .distinct()
+    )
+    reps = base.select(F.col("rep").alias(id_col)).distinct()
+    delta = connected_components(
+        rewritten, reps, id_col=id_col, a_col=a_col, b_col=b_col, max_iter=max_iter
+    )
+    return base.join(
+        delta.select(F.col(id_col).alias("rep"), "component_id"), "rep"
+    ).select(F.col("id").alias(id_col), "component_id")

@@ -365,3 +365,36 @@ def test_containment_partition_invariant(spark):
     many = sorted(map(tuple, rare_shingle_containment_pairs(
         docs.repartition(11), max_df=30, min_overlap=0.1).collect()))
     assert one == many and len(one) > 0
+
+
+def test_components_incremental_bridges_old_components(spark):
+    """The hard incremental case: one new doc whose pairs bridge TWO
+    previously-separate old components — the fold must relabel BOTH old
+    clusters to the global min, exactly matching a from-scratch run."""
+    from fasta_windows_spark.operators.dedup import (
+        components_incremental,
+        connected_components,
+    )
+
+    # old graph: {1,2} and {5,6} as separate components, 9 a singleton
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], ["doc_a", "doc_b"]
+    )
+    old_nodes = spark.createDataFrame([(1,), (2,), (5,), (6,), (9,)], ["doc_id"])
+    old_labels = connected_components(old_pairs, old_nodes)
+
+    # increment: doc 10 pairs with 2 AND 5 (bridging), doc 20 isolated
+    new_pairs = spark.createDataFrame([(10, 2), (10, 5)], ["doc_a", "doc_b"])
+    new_nodes = spark.createDataFrame([(10,), (20,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in components_incremental(old_labels, new_pairs, new_nodes).collect()
+    }
+
+    full = connected_components(
+        old_pairs.union(new_pairs), old_nodes.union(new_nodes)
+    )
+    want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+    assert got == want
+    assert got[10] == got[1] == got[5] == 1  # bridged to the global min
+    assert got[9] == 9 and got[20] == 20  # singletons untouched

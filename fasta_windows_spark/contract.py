@@ -4197,6 +4197,21 @@ def docs_zorder_layout(spark, sf_dir):
     return _layout.zorder_files(_docs(spark, sf_dir))
 
 
+@q("docs_fetch_schedule", __import__("fasta_windows_spark.streaming.scheduler", fromlist=["x"]).fetch_schedule_oracle_sql())
+def docs_fetch_schedule(spark, sf_dir):
+    """Crawl politeness schedule (streaming/scheduler.py): every doc gets
+    a per-host slot and a fetch offset slot * delay(host), delays being
+    integer md5 buckets (robots crawl-delay stand-in) — the frontier at
+    time t is then a plain filter. One hash-partitioned window keyed by
+    host: per-host parallel, no global sort. The streaming face assigns
+    the same slots as pages arrive via a one-LONG-per-host
+    applyInPandasWithState counter (stream twin pinned in
+    tests/test_streaming.py)."""
+    from .streaming.scheduler import fetch_schedule
+
+    return fetch_schedule(_docs(spark, sf_dir))
+
+
 @q(
     "events_session_dynamic_gap",
     """

@@ -1689,3 +1689,91 @@ def test_neardup_checkpoint_resume_consistent(spark, tmp_path):
     a = run(str(tmp_path / "o1"), str(tmp_path / "c1"), interrupt=False)
     b = run(str(tmp_path / "o2"), str(tmp_path / "c2"), interrupt=True)
     assert a == b and len(a) == 68 * 4
+
+
+def test_fetch_scheduler_stream_matches_file_order_replay(spark, pages_dir, tmp_path):
+    """Politeness scheduler (streaming/scheduler.py): per-host slots handed
+    out by the one-LONG-per-host stateful counter equal a deterministic
+    replay of the files in micro-batch order, and fetch offsets respect
+    slot * delay exactly."""
+    import glob
+
+    import pandas as pd
+
+    from fasta_windows_spark.streaming import scheduler as SCH
+
+    stream = S.with_host(S.read_pages_stream(spark, pages_dir, max_files_per_trigger=1))
+    out = str(tmp_path / "sched_out")
+    q = S.write_exactly_once(
+        SCH.fetch_schedule_stream(stream), out, str(tmp_path / "sched_ck")
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["host", "slot"])
+        .reset_index(drop=True)
+    )
+
+    # replay: files in name order (the source's discovery order for this
+    # fixture), rows within a file in url order, per-host counters
+    from urllib.parse import urlparse
+
+    counters: dict = {}
+    rows = []
+    for p in sorted(glob.glob(f"{pages_dir}/part-*.parquet")):
+        pdf = pd.read_parquet(p)
+        pdf["host"] = pdf["url"].map(lambda u: urlparse(u).hostname)
+        for _, r in pdf.sort_values("url").iterrows():
+            s = counters.get(r["host"], 0)
+            counters[r["host"]] = s + 1
+            d = SCH._delay_of(r["host"])
+            rows.append((r["url"], r["host"], s, d, s * d))
+    exp = (
+        pd.DataFrame(rows, columns=["url", "host", "slot", "delay_s", "fetch_offset_s"])
+        .sort_values(["host", "slot"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["url", "host", "slot", "delay_s", "fetch_offset_s"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # politeness invariant: per host, no two fetches share a slot and
+    # offsets are delay-spaced
+    per = got.groupby("host")["slot"]
+    assert (per.nunique() == per.count()).all()
+
+
+def test_fetch_scheduler_checkpoint_resume_no_double_booking(spark, tmp_path):
+    """Kill the scheduler mid-stream, add more files, resume from the
+    checkpoint: the per-host counter continues (no slot reuse, no gaps)."""
+    import pandas as pd
+
+    from fasta_windows_spark.streaming import scheduler as SCH
+
+    d = str(tmp_path / "pages2")
+    pdf = P.gen_pages(n_pages=200, n_hosts=5, seed=7)
+    paths = P.write_pages_parquet(pdf.iloc[:100], d, n_files=2)
+    assert paths
+    out = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck2")
+
+    def run_once():
+        stream = S.with_host(S.read_pages_stream(spark, d, max_files_per_trigger=1))
+        q = S.write_exactly_once(SCH.fetch_schedule_stream(stream), out, ck)
+        q.awaitTermination(120)
+
+    run_once()
+    # second half arrives, resume from checkpoint
+    import os as _os
+
+    extra = _os.path.join(d, "part-9998.parquet")
+    pdf.iloc[100:].to_parquet(extra, index=False, coerce_timestamps="us",
+                              allow_truncated_timestamps=True)
+    run_once()
+
+    got = spark.read.parquet(out).toPandas()
+    per = got.groupby("host")["slot"].agg(["nunique", "count", "min", "max"])
+    assert (per["nunique"] == per["count"]).all()  # no double-booked slot
+    assert (per["min"] == 0).all()
+    assert (per["max"] == per["count"] - 1).all()  # contiguous: resumed counter
+    assert len(got) == 200

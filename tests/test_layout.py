@@ -71,3 +71,52 @@ def test_zorder_files_are_tighter_than_id_order_on_both_columns(spark):
     # spans ~the full range in both; z-order must beat it on both axes
     assert zx_z < zx_n, (zx_z, zx_n)
     assert zy_z < zy_n, (zy_z, zy_n)
+
+
+def test_zorder_written_files_prune_on_both_columns(spark, tmp_path):
+    """End-to-end file-skipping evidence: write the range-partitioned
+    layout as real parquet and count, from the actual footer min/max, how
+    many files a narrow filter on EACH column could skip — z-order must
+    beat doc_id-order chunking on both axes."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    zdir = str(tmp_path / "z")
+    ndir = str(tmp_path / "n")
+    layout.zorder_repartition(docs, n_files=16).write.parquet(zdir)
+    layout.doc_zorder_key(docs).repartitionByRange(16, "doc_id").write.parquet(ndir)
+
+    def prunable(d, col, lo, hi):
+        """files whose [min,max] footer range misses [lo, hi]"""
+        skipped = total = 0
+        for p in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.read_metadata(p)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = md.row_group(rg).column(
+                    [md.schema[i].name for i in range(len(md.schema))].index(col)
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            total += 1
+            if min(mins) > hi or max(maxs) < lo:
+                skipped += 1
+        return skipped, total
+
+    # a narrow slice in each dimension
+    zx_skip, zx_total = prunable(zdir, "zx", 0, 63)
+    nx_skip, _ = prunable(ndir, "zx", 0, 63)
+    zy_skip, _ = prunable(zdir, "zy", 0, 4095)
+    ny_skip, _ = prunable(ndir, "zy", 0, 4095)
+    assert zx_total >= 8
+    assert zx_skip > nx_skip, (zx_skip, nx_skip)
+    assert zy_skip > ny_skip, (zy_skip, ny_skip)
+
+    # the filtered results agree between layouts (pruning changes I/O,
+    # never answers)
+    a = spark.read.parquet(zdir).where(F.col("zx") <= 63).count()
+    b = spark.read.parquet(ndir).where(F.col("zx") <= 63).count()
+    assert a == b and a > 0

@@ -48,6 +48,10 @@ HEADLINE = [
     "docs_bpe_token_counts",    # real BPE counts (vocab-only Arrow pass)
     "docs_lang_id_rank",        # rank-profile lang ID (train + classify)
     "docs_heavy_hitters_cms",   # count-min sketch heavy hitters
+    # round-4 third-session families:
+    "docs_bm25_search",         # exact cross-engine BM25 retrieval
+    "docs_minhash_incremental", # daily-increment band join vs index
+    "docs_zorder_layout",       # Morton key + file assignment
 ]
 
 

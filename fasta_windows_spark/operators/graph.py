@@ -115,8 +115,11 @@ def pagerank(
     ).cache()
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
 
+    from ..staging import free_local_checkpoint
+
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        prev = ranks
         ranks = pagerank_step(
             nodes, edges, outdeg, ranks, n, teleport, damping_num, damping_den
         )
@@ -129,6 +132,8 @@ def pagerank(
         # and it bounds plan depth independent of iteration count
         # (pinned by tests/test_graph.py::test_pagerank_plan_depth_bounded).
         ranks = ranks.localCheckpoint(eager=True)
+        if it > 0:
+            free_local_checkpoint(prev)  # superseded round's checkpoint RDD
     # the final ranks are checkpointed (lineage no longer references the
     # cached frames), so release them instead of leaking two cache entries
     # per invocation across the contract sweep / plan audit
@@ -199,19 +204,27 @@ def hits(
     n = nodes.count()  # scalar only
     h = nodes.select(F.col("node").alias("gn"), F.lit(scale // n).cast("long").alias("h"))
     a = None
-    for _ in range(iterations):
+    from ..staging import free_local_checkpoint
+
+    for it in range(iterations):
         a_raw = (
             edges.join(h, F.col("src") == F.col("gn"), "inner")
             .groupBy(F.col("dst").alias("gn"))
             .agg(F.sum("h").cast("long").alias("a_raw"))
         )
+        prev_a = a
         a = _rescale(a_raw, "a_raw")
+        if prev_a is not None:
+            free_local_checkpoint(prev_a)  # superseded: a was materialized
         h_raw = (
             edges.join(a, F.col("dst") == F.col("gn"), "inner")
             .groupBy(F.col("src").alias("gn"))
             .agg(F.sum("a").cast("long").alias("h_raw"))
         )
+        prev_h = h
         h = _rescale(h_raw, "h_raw")
+        if it > 0:
+            free_local_checkpoint(prev_h)  # round-0 h is a plain select
     out = (
         nodes.join(h.withColumnRenamed("gn", "hn"), F.col("node") == F.col("hn"), "left")
         .join(a.withColumnRenamed("gn", "an"), F.col("node") == F.col("an"), "left")
@@ -222,6 +235,8 @@ def hits(
         )
     )
     out = out.localCheckpoint(eager=True)
+    free_local_checkpoint(h)  # out is materialized; the score frames are dead
+    free_local_checkpoint(a)
     nodes.unpersist()
     return out
 
@@ -278,7 +293,10 @@ def personalized_pagerank(
         .cast("long")
         .alias("r"),
     )
-    for _ in range(iterations):
+    from ..staging import free_local_checkpoint
+
+    for it in range(iterations):
+        prev = ranks
         shares = (
             ranks.join(outdeg, F.col("node") == F.col("od_node"), "inner")
             .select(F.col("node").alias("s"), F.expr("r div deg").alias("share"))
@@ -308,6 +326,8 @@ def personalized_pagerank(
             )
         )
         ranks = ranks.localCheckpoint(eager=True)
+        if it > 0:
+            free_local_checkpoint(prev)  # superseded round's checkpoint RDD
     nodes.unpersist()
     outdeg.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -67,3 +67,20 @@ def release(scope: str | None = None) -> None:
             prev.unpersist()
         except Exception:
             pass
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the persisted RDD behind an eager localCheckpoint whose data
+    has been SUPERSEDED (a later checkpoint was materialized from it).
+
+    localCheckpoint persists its RDD (it IS the data — there is no lineage
+    to fall back on), so iterative operators that checkpoint per round
+    would otherwise hold every round's RDD until Python GC happens to drop
+    the frame. Call this only on frames no live DataFrame still reads:
+    unpersisting a checkpoint that something later recomputes from would
+    fail (the lineage was truncated), which is also why this helper never
+    guesses — the caller names the dead frame explicitly."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a LogicalRDD / session gone: nothing persisted to free

@@ -514,6 +514,8 @@ def connected_components(
     `localCheckpoint` truncates plan lineage per round so the driver
     never re-plans an iteration-deep DAG; on a cluster use reliable
     `checkpoint` instead."""
+    from ..staging import free_local_checkpoint
+
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -552,6 +554,9 @@ def connected_components(
             .where(F.col("comp") < F.col("old_comp"))
             .count()
         )
+        # the changed-count action above was the last reader of the old
+        # round's checkpoint RDD — free it instead of waiting on Python GC
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -559,6 +564,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    free_local_checkpoint(edges)  # labels is its own checkpoint; edges is dead
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
 
 

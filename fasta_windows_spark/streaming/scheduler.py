@@ -88,23 +88,25 @@ def _assign_slots(
     (host,) = key
     next_slot = state.get[0] if state.exists else 0
     delay = _delay_of(host)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("url").reset_index(drop=True)
-        n = len(pdf)
-        slots = list(range(next_slot, next_slot + n))
-        next_slot += n
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "host": host,
-                "slot": pd.Series(slots, dtype="int64"),
-                "delay_s": pd.Series([delay] * n, dtype="int64"),
-                "fetch_offset_s": pd.Series(
-                    [s * delay for s in slots], dtype="int64"
-                ),
-            }
-        )
+    # concatenate BEFORE sorting: a large group arrives as several Arrow
+    # chunks, and sorting each chunk independently would interleave the
+    # per-batch url order
+    pdf = pd.concat(list(pdfs)).sort_values("url").reset_index(drop=True)
+    n = len(pdf)
+    slots = list(range(next_slot, next_slot + n))
+    next_slot += n
     state.update((next_slot,))
+    yield pd.DataFrame(
+        {
+            "url": pdf["url"],
+            "host": host,
+            "slot": pd.Series(slots, dtype="int64"),
+            "delay_s": pd.Series([delay] * n, dtype="int64"),
+            "fetch_offset_s": pd.Series(
+                [s * delay for s in slots], dtype="int64"
+            ),
+        }
+    )
 
 
 def fetch_schedule_stream(pages: DataFrame) -> DataFrame:

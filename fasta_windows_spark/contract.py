@@ -248,7 +248,11 @@ _SQL_DNA_DOCS = (
 def _kmer_long(spark, sf_dir, k: int) -> DataFrame:
     src = _dna_docs(spark, sf_dir) if k == 4 else _docs(spark, sf_dir)
     ws = window_stats(src, window=W, id_cols=["doc_id"], f32=False, with_vectors=True)
-    names = F.array(*[F.lit(s) for s in kmer_names(k)])
+    # one parsed expression, not 4^k py4j F.lit roundtrips (256 calls
+    # ~ 0.25 s of driver latency per plan build at k=4)
+    names = F.expr(
+        "array(" + ",".join(f"'{s}'" for s in kmer_names(k)) + ")"
+    )
     return (
         ws.select(
             "doc_id",

@@ -44,6 +44,26 @@ from pyspark.sql import DataFrame
 SCALE = 1_000_000
 
 
+def _longs_sql(xs) -> str:
+    """SQL literal for array<bigint> — built as ONE expression string.
+    Composing these from per-element `F.lit` Columns costs a py4j JVM
+    roundtrip per element (~1 ms each; a k=8,d=64 centroid table is 512
+    calls ~ 0.3 s of pure driver latency per plan build, measured), so
+    every quantizer-sized literal here goes through the SQL parser
+    instead."""
+    return "array(" + ",".join(f"{int(x)}L" for x in xs) + ")"
+
+
+def _longs2_sql(xss) -> str:
+    """SQL literal for array<array<bigint>>."""
+    return "array(" + ",".join(_longs_sql(xs) for xs in xss) + ")"
+
+
+def _longs3_sql(xsss) -> str:
+    """SQL literal for array<array<array<bigint>>>."""
+    return "array(" + ",".join(_longs2_sql(xss) for xss in xsss) + ")"
+
+
 def quantize(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -69,14 +89,13 @@ def _assign(
     (d2 * k + cell). ``keep_fv`` carries the quantized vector through so
     downstream per-row folds (e.g. distance-to-query) need no join."""
     k = len(centroids)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(int(x)) for x in c]).alias("cv"),
-            )
+    cells = F.expr(
+        "array("
+        + ",".join(
+            f"struct({i} as cid, {_longs_sql(c)} as cv)"
             for i, c in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     d2 = (
         "aggregate(zip_with(fv, c.cv, (x, y) -> (x - y) * (x - y)), "
@@ -115,10 +134,10 @@ def kmeans_fit(
     SCALE^2 units); `centroids_df` renders them for `ivf_assign`/
     `ivf_search`. Empty cells keep their previous centroid.
 
-    ``with_inertia=False`` skips the per-iteration inertia action (one
-    whole Spark job per iteration whose result nothing downstream of the
-    fit consumes — assign/search/PQ paths pass False; the returned history
-    is then empty). Centroids are identical either way."""
+    ``with_inertia=False`` folds the per-iteration inertia out of the
+    stats aggregate (its value nothing downstream of the fit consumes —
+    assign/search/PQ paths pass False; the returned history is then
+    empty). Centroids are identical either way."""
     # quantize once and pin it: every iteration re-scans this frame, and
     # localCheckpoint keeps the per-iteration plans shallow (the
     # connected-components / pagerank lineage protocol)
@@ -130,16 +149,24 @@ def kmeans_fit(
     d = len(centroids[0])
     inertia: list[int] = []
     for _ in range(n_iter):
-        a = _assign(q, centroids, id_col)
-        if with_inertia:
-            inertia.append(a.agg(F.sum("d2")).collect()[0][0])
+        # keep_fv carries the vector through the argmin, so the per-cell
+        # sums need no shuffle join back to q — ONE job per iteration:
+        # narrow assign -> posexplode -> partial-agg sums -> k*d-row
+        # collect. Inertia rides the same aggregate (sum of d2 on the
+        # pos==0 slice, each vector's d2 counted exactly once).
+        a = _assign(q, centroids, id_col, keep_fv=True)
         stats = (
-            a.join(q, id_col)
-            .select("cell", F.posexplode("fv").alias("pos", "fx"))
+            a.select("cell", "d2", F.posexplode("fv").alias("pos", "fx"))
             .groupBy("cell", "pos")
-            .agg(F.sum("fx").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum("fx").alias("s"),
+                F.count("*").alias("n"),
+                F.sum("d2").alias("sd2"),
+            )
             .collect()
         )
+        if with_inertia:
+            inertia.append(sum(int(r["sd2"]) for r in stats if r["pos"] == 0))
         new = [list(c) for c in centroids]
         for r in stats:
             s, n = int(r["s"]), int(r["n"])
@@ -205,7 +232,7 @@ def kmeans_search(
         for i, c in enumerate(centroids)
     )
     probe_cells = [i for _, i in ranked[:nprobe]]
-    qlit = F.array(*[F.lit(x) for x in qf])
+    qlit = F.expr(_longs_sql(qf))
     d2q = F.expr(
         "aggregate(zip_with(fv, _qf, (x, y) -> (x - y) * (x - y)), "
         "0L, (acc, x) -> acc + x)"
@@ -265,15 +292,15 @@ def pq_fit(
     iteration: residuals explode to (id, sub, sv) rows and the argmin
     runs against the full codebook literal keyed by sub — so the job
     count is O(pq_iter), independent of m."""
-    d_probe = len(emb.select(vec_col).first()[0])
-    ds = d_probe // m
-    assert ds * m == d_probe, (d_probe, m)
     centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col,
                               with_inertia=False)
+    # dimensionality comes free from the fitted centroids (no extra
+    # first() probe job against the input)
+    d_probe = len(centroids[0])
+    ds = d_probe // m
+    assert ds * m == d_probe, (d_probe, m)
     q = quantize(emb, id_col, vec_col)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
-    )
+    cent_lit = F.expr(_longs2_sql(centroids))
     res = (
         _assign(q, centroids, id_col, keep_fv=True)
         .withColumn("_cents", cent_lit)
@@ -300,10 +327,12 @@ def pq_fit(
         rank = sum(1 for r2 in init if r2["sub"] == r["sub"] and r2[id_col] < r[id_col])
         books[r["sub"]][rank] = [int(x) for x in r["sv"]]
     for _ in range(pq_iter):
-        a = _pq_assign(rs, books, id_col)
+        # keep_sv carries the sub-residual through the argmin — the
+        # per-code sums need no shuffle join back to rs (the kmeans_fit
+        # single-job-per-iteration shape)
+        a = _pq_assign(rs, books, id_col, keep_sv=True)
         stats = (
-            a.join(rs, [id_col, "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("pos", "fx"))
+            a.select("sub", "code", F.posexplode("sv").alias("pos", "fx"))
             .groupBy("sub", "code", "pos")
             .agg(F.sum("fx").alias("s"), F.count("*").alias("n"))
             .collect()
@@ -319,17 +348,16 @@ def pq_fit(
 
 
 def _books_lit(books) -> F.Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in sub])
-            for sub in books
-        ]
-    )
+    return F.expr(_longs3_sql(books))
 
 
-def _pq_assign(rs: DataFrame, books, id_col: str) -> DataFrame:
-    """(id, sub, code) — per-subspace exact-integer argmin against the
-    codebook literal, ties to the lowest code id (packed key)."""
+def _pq_assign(
+    rs: DataFrame, books, id_col: str, keep_sv: bool = False
+) -> DataFrame:
+    """(id, sub, code[, sv]) — per-subspace exact-integer argmin against
+    the codebook literal, ties to the lowest code id (packed key).
+    ``keep_sv`` carries the sub-residual through so the training update
+    needs no join back to the residual frame."""
     ks = len(books[0])
     d2 = (
         "aggregate(zip_with(sv, element_at(element_at(_books, sub + 1), cid + 1), "
@@ -338,12 +366,14 @@ def _pq_assign(rs: DataFrame, books, id_col: str) -> DataFrame:
     packed = F.expr(
         f"array_min(transform(sequence(0, {ks - 1}), cid -> ({d2}) * {ks} + cid))"
     )
+    extra = ["sv"] if keep_sv else []
     return (
         rs.withColumn("_books", _books_lit(books))
-        .select(id_col, "sub", packed.alias("_pk"))
+        .select(id_col, "sub", *extra, packed.alias("_pk"))
         .select(
             id_col,
             "sub",
+            *extra,
             F.pmod("_pk", F.lit(ks)).cast("int").alias("code"),
         )
     )
@@ -418,12 +448,7 @@ def pq_search(
         ]
         for cell in range(k)
     ]
-    lut_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(x)) for x in bysub]) for bysub in bycell])
-            for bycell in lut
-        ]
-    )
+    lut_lit = F.expr(_longs3_sql(lut))
     enc = pq_encode_with(emb, centroids, books, m, id_col, vec_col)
     adc = " + ".join(
         f"element_at(element_at(element_at(_lut, cell + 1), {s + 1}), code_{s} + 1)"
@@ -452,9 +477,7 @@ def pq_encode_with(
     ds = d // m
     ks_ = len(books[0])
     q = quantize(emb, id_col, vec_col)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
-    )
+    cent_lit = F.expr(_longs2_sql(centroids))
     d2 = (
         "aggregate(zip_with(s.sv, element_at(element_at(_books, s.sub + 1), cid + 1), "
         "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
@@ -511,7 +534,7 @@ def pq_rerank_search(
     ).select(id_col, "cell")
     q = quantize(emb, id_col, vec_col)
     qf = [int(x) for x in q.where(F.col(id_col) == query_vec_id).first()["fv"]]
-    qlit = F.array(*[F.lit(x) for x in qf])
+    qlit = F.expr(_longs_sql(qf))
     d2q = F.expr(
         "aggregate(zip_with(fv, _qf, (x, y) -> (x - y) * (x - y)), "
         "0L, (acc, x) -> acc + x)"

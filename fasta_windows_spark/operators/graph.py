@@ -101,6 +101,11 @@ def pagerank(
       r'(u)      = (scale*(den-num)) div (den*N)
                    + (num * (insum(u) + dangling div N)) div den
     """
+    # pin the edge table for the loop's scope: every iteration (and the
+    # nodes/outdeg builds) re-joins it, and an uncached `edges` would
+    # re-run its whole lineage — scan, derivation, DISTINCT shuffle —
+    # once per round (the docstring's "computed once" contract)
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -139,6 +144,7 @@ def pagerank(
     # per invocation across the contract sweep / plan audit
     nodes.unpersist()
     outdeg.unpersist()
+    edges.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -195,6 +201,9 @@ def hits(
         )
         return out.localCheckpoint(eager=True)
 
+    # pin the edge table: six half-iteration joins plus the node build
+    # would otherwise each re-run the caller's edge lineage
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -238,6 +247,7 @@ def hits(
     free_local_checkpoint(h)  # out is materialized; the score frames are dead
     free_local_checkpoint(a)
     nodes.unpersist()
+    edges.unpersist()
     return out
 
 
@@ -268,6 +278,8 @@ def personalized_pagerank(
     iteration plus a broadcast 1-row dangling scalar; the seed flag rides
     the node frame as one boolean column; lineage truncated every round.
     """
+    # pin the edge table for the loop's scope (the `pagerank` rationale)
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -330,4 +342,40 @@ def personalized_pagerank(
             free_local_checkpoint(prev)  # superseded round's checkpoint RDD
     nodes.unpersist()
     outdeg.unpersist()
+    edges.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def anchor_terms(
+    anchors: DataFrame,
+    topk: int = 3,
+    host_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target-host anchor-text profile: the `topk` most frequent
+    lower-cased anchor terms pointing AT each host — "what the web calls
+    this host", the classic relevance/spam-detection aggregate over
+    `sources/warc.extract_anchor_pairs` output. Input rows are
+    (host, anchor phrase); output (host, term, n, rank) with a
+    deterministic total order (count desc, term asc — row_number, so the
+    result set is unique and oracle-exact).
+
+    Scale shape: one narrow explode (fan-out bounded by words-per-anchor,
+    ~5), one partial-aggregated groupBy(host, term), then a row_number
+    window partitioned by HOST — per-host term counts are bounded by the
+    anchor vocabulary, so no partition is corpus-sized; there is no
+    global sort anywhere."""
+    from pyspark.sql import Window
+
+    terms = anchors.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.lower(F.col(anchor_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = terms.groupBy("host", "term").agg(F.count("*").alias("n"))
+    wnd = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= topk)
+        .select("host", "term", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -4863,6 +4863,81 @@ def docs_host_hits(spark, sf_dir):
     return out.select(F.col("node").alias("host"), "hub_fp", "auth_fp")
 
 
+_SQL_ANCHOR_TERMS = f"""
+WITH a0 AS (
+  SELECT 'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                  % {_PR_N_HOSTS})::VARCHAR) AS host,
+         string_split(text, ' ') AS toks,
+         ((doc_id + 11 * j) % greatest(len(string_split(text, ' ')) - 2, 1))::BIGINT AS p
+  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j) js
+),
+terms AS (
+  SELECT host, lower(unnest(list_slice(toks, p + 1, p + 3))) AS term FROM a0
+),
+counts AS (
+  SELECT host, term, count(*)::BIGINT AS n FROM terms
+  WHERE term <> '' GROUP BY host, term
+),
+ranked AS (
+  SELECT host, term, n,
+         row_number() OVER (PARTITION BY host ORDER BY n DESC, term ASC)::INT AS rank
+  FROM counts
+)
+SELECT host, term, n, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@q("docs_anchor_terms", _SQL_ANCHOR_TERMS)
+def docs_anchor_terms(spark, sf_dir):
+    """Per-target-host anchor-text profile via `operators/graph.
+    anchor_terms`: the 3 most frequent anchor terms pointing at each host
+    — "what the web calls this host", the relevance/spam aggregate a
+    crawl pipeline builds from `sources/warc.extract_anchor_pairs` (that
+    JVM HTML extractor is pytest-gated on fixture HTML; this driver row
+    gates the aggregation over a deterministic documents-derived
+    stand-in: each doc md5-links to 3 hosts — the docs_host_pagerank
+    graph — with a 3-token slice of its own text as the anchor phrase).
+    Ties break (count desc, term asc) via row_number, so the result set
+    is unique and hash-exact. One bounded explode, one partial-agg
+    groupBy(host, term), one host-partitioned window — no global sort."""
+    from .operators.graph import anchor_terms
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = "split(text, ' ')"
+    a0 = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+        F.col("doc_id"),
+        F.expr(toks).alias("toks"),
+    ).select(
+        F.concat(
+            F.lit("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _PR_N_HOSTS
+            ).cast("string"),
+        ).alias("dst"),
+        F.expr(
+            "array_join(slice(toks, cast((doc_id + 11 * j) % "
+            "greatest(size(toks) - 2, 1) as int) + 1, 3), ' ')"
+        ).alias("anchor"),
+    )
+    return anchor_terms(a0, topk=3)
+
+
 _SQL_C4_LINES = """
 WITH lined AS (
   SELECT doc_id,
@@ -4928,6 +5003,64 @@ def docs_c4_line_filter(spark, sf_dir):
         "n_lines",
         "n_kept_lines",
         F.md5(F.col("clean_text")).alias("kept_md5"),
+    )
+
+
+_BP_W = 2  # 2-word units: the synthetic word-salad corpus only repeats
+_BP_MIN = 3  # short chunks (635 site-recurring units at sf0.01, min doc
+#              length 47), so the unit is sized down from the real-crawl
+#              '\n' lines exactly like docs_c4_line_filter's injection
+
+_SQL_BOILERPLATE = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+u AS (
+  SELECT doc_id, source, i AS idx,
+         md5(array_to_string(list_slice(toks, i*{_BP_W}+1, i*{_BP_W}+{_BP_W}), ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(toks)/{_BP_W}.0) AS BIGINT))) AS i) ii
+),
+bp AS (SELECT source, h FROM u GROUP BY source, h
+       HAVING count(DISTINCT doc_id) >= {_BP_MIN}),
+kept AS (
+  SELECT doc_id, list(idx ORDER BY idx) AS keep
+  FROM u ANTI JOIN bp USING (source, h)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(len(toks)/{_BP_W}.0) AS BIGINT) AS n_lines,
+       CAST(ceil(len(toks)/{_BP_W}.0) AS BIGINT)
+         - COALESCE(len(keep), 0) AS n_removed,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       -- — coalesce so an all-boilerplate doc hashes the empty string too
+       md5(COALESCE(array_to_string(
+         flatten(list_transform(COALESCE(keep, CAST([] AS BIGINT[])),
+                 i -> list_slice(toks, i*{_BP_W}+1, i*{_BP_W}+{_BP_W}))),
+         ' '), '')) AS clean_md5
+FROM t LEFT JOIN kept USING (doc_id)
+"""
+
+
+@q("docs_boilerplate_removed", _SQL_BOILERPLATE)
+def docs_boilerplate_removed(spark, sf_dir):
+    """Site-level boilerplate stripping via `functions/text.
+    remove_boilerplate_lines`: any line recurring verbatim on >= 3
+    distinct pages of the same site (nav menus, footers, cookie banners)
+    is removed from EVERY page of that site — the corpus-context
+    complement of docs_c4_line_filter (per-line quality, no context) and
+    docs_paragraph_dedup (keep-first, which would leave boilerplate on
+    the first page). Text never shuffles: hashes build the per-site
+    boilerplate set, an int index list per doc survives the joins, and
+    the clean text is rebuilt from the original row (md5-gated)."""
+    from .functions.text import remove_boilerplate_lines
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    out = remove_boilerplate_lines(
+        d, line_words=_BP_W, min_site_docs=_BP_MIN
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
     )
 
 

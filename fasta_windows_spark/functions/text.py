@@ -525,6 +525,76 @@ def filter_lines(
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    site_col: str = "source",
+    line_words: int = 10,
+    min_site_docs: int = 3,
+) -> DataFrame:
+    """SITE-level boilerplate removal: a line that recurs verbatim on >=
+    `min_site_docs` DISTINCT pages of the same site (nav menus, footers,
+    cookie banners — the trafilatura/RefinedWeb duplicate-element signal)
+    is dropped from EVERY page of that site; unique content survives.
+    Complements `filter_lines` (per-line quality, no corpus context) and
+    `dedup.paragraph_dedup` (keep-FIRST global dedup — boilerplate must
+    instead be removed from the first page too). The synthetic corpus has
+    no newlines, so the unit is consecutive `line_words`-word chunks (the
+    `paragraph_dedup` convention); on crawl text pass '\\n'-split lines.
+
+    Scale shape — text never shuffles (the CDC-dedup protocol):
+      1. explode to (site, doc, idx, md5(line)) — hashes and ids only;
+      2. boilerplate set = groupBy(site, h) HAVING count(DISTINCT doc) >=
+         min_site_docs (partial-agg shuffle on bounded keys; a nav line on
+         millions of pages is ONE row here, which is why this is a join
+         and not a collected broadcast);
+      3. per-doc KEPT-INDEX list via left_anti join on (site, h) then a
+         collect_list of ints (doc-sized rows, no text);
+      4. rebuild = one join of that int list back to `docs`, slicing the
+         original token array JVM-side.
+    Returns (id, n_lines, n_removed, clean_text) — clean_text hash-gates
+    the rebuilt content exactly."""
+    toks = f"split({text_col}, ' ')"
+    w = int(line_words)
+    units = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(site_col).alias("site"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size({toks})/{w}.0) as int) - 1), "
+                f"i -> md5(array_join(slice({toks}, i*{w} + 1, {w}), ' ')))"
+            )
+        ).alias("idx", "h"),
+    )
+    bp = (
+        units.groupBy("site", "h")
+        .agg(F.countDistinct("doc").alias("df_docs"))
+        .where(F.col("df_docs") >= min_site_docs)
+        .select("site", "h")
+    )
+    kept = (
+        units.join(bp, ["site", "h"], "left_anti")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep"))
+    )
+    n_lines = F.expr(f"cast(ceil(size({toks})/{w}.0) as bigint)")
+    return (
+        docs.join(kept, F.col(id_col) == F.col("doc"), "left")
+        .select(
+            F.col(id_col),
+            n_lines.alias("n_lines"),
+            (n_lines - F.coalesce(F.size("keep"), F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+            F.expr(
+                f"array_join(flatten(transform(coalesce(keep, array()), "
+                f"i -> slice({toks}, i*{w} + 1, {w}))), ' ')"
+            ).alias("clean_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cavnar-Trenkle rank-profile language identification (the real classifier
 # behind the lang_id heuristic above): per-language character n-gram rank

@@ -141,3 +141,41 @@ def test_collocation_pmi_partition_invariant(spark):
     one = sorted(map(tuple, collocation_pmi(df.coalesce(1), min_count=3).collect()))
     many = sorted(map(tuple, collocation_pmi(df.repartition(9), min_count=3).collect()))
     assert one == many and len(one) > 0
+
+
+def test_remove_boilerplate_lines_site_scoped(spark):
+    """A unit recurring on >= min_site_docs pages of ONE site vanishes
+    from every page of that site (including the first); a 2-page repeat
+    survives; the same unit on 3 pages of DIFFERENT sites survives (the
+    df count is per-site, distinct-doc)."""
+    from fasta_windows_spark.functions.text import remove_boilerplate_lines
+
+    # line_words=2 -> units are consecutive word PAIRS at even offsets
+    rows = [
+        # site A: "nav menu" leads 3 docs -> boilerplate there
+        (0, "A", "nav menu alpha beta"),
+        (1, "A", "nav menu gamma delta"),
+        (2, "A", "nav menu nav menu"),  # twice in one doc: counts ONCE for df
+        (3, "A", "unique pair here too"),
+        # site B: same unit on only ONE page -> survives (per-site scope)
+        (4, "B", "nav menu epsilon zeta"),
+        (5, "B", "other words entirely here"),
+        # site C: a 2-doc repeat stays below min_site_docs=3
+        (6, "C", "footer text one two"),
+        (7, "C", "footer text three four"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+        for r in remove_boilerplate_lines(
+            df, line_words=2, min_site_docs=3
+        ).collect()
+    }
+    assert got[0] == (2, 1, "alpha beta")
+    assert got[1] == (2, 1, "gamma delta")
+    assert got[2] == (2, 2, "")          # all units boilerplate -> empty
+    assert got[3] == (2, 0, "unique pair here too")
+    assert got[4] == (2, 0, "nav menu epsilon zeta")  # site B untouched
+    assert got[5] == (2, 0, "other words entirely here")
+    assert got[6] == (2, 0, "footer text one two")
+    assert got[7] == (2, 0, "footer text three four")

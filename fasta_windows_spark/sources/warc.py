@@ -202,6 +202,33 @@ def extract_links_column(html_col) -> F.Column:
     )
 
 
+def extract_anchor_pairs(html_col) -> F.Column:
+    """(url, anchor) pairs from raw HTML as a pure JVM expression: every
+    absolute-href <a> element paired with its visible anchor text (inner
+    tags stripped, whitespace collapsed). Anchor text is how the WEB
+    describes a target page — the classic relevance/spam signal a crawl
+    pipeline aggregates per target host (`operators/graph.anchor_terms`).
+    No Python per row; nested/relative links are skipped like
+    `extract_links_column`."""
+    s = F.decode(html_col, "UTF-8")
+    whole = r'(?is)<a\b[^>]*href\s*=\s*["\']?(https?://[^"\'\s>]+)[^>]*>(.*?)</a\s*>'
+    href = r'(?is)href\s*=\s*["\']?(https?://[^"\'\s>]+)'
+
+    def pair(m):
+        url = F.regexp_extract(m, href, 1)
+        body = F.regexp_extract(m, r"(?is)>(.*)</a\s*>$", 1)
+        anchor = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(body, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+        return F.struct(url.alias("url"), anchor.alias("anchor"))
+
+    return F.transform(
+        F.regexp_extract_all(s, F.lit(whole), F.lit(0)), pair
+    )
+
+
 def extract_host_edges(pages: DataFrame, url_col: str = "url",
                        html_col: str = "html") -> DataFrame:
     """(src_host, dst_host) edge list for the host link graph — the input

@@ -213,3 +213,53 @@ def test_host_edges_feed_pagerank(spark):
     )
     ranks = {r["node"]: r["rank_fp"] for r in pagerank(extract_host_edges(pages)).collect()}
     assert ranks["hub.example"] == max(ranks.values())
+
+
+def test_extract_anchor_pairs_jvm_only(spark):
+    """Anchor (url, text) pairs from raw HTML: inner markup stripped from
+    the anchor text, relative hrefs skipped, empty anchors preserved as
+    '' — and the plan stays pure JVM (no Python boundary)."""
+    from fasta_windows_spark.sources.warc import extract_anchor_pairs
+
+    html = (
+        b"<html><body>"
+        b'<a href="https://a.example/x">Great <b>Search</b>  Engine</a>'
+        b"<a class=z href='http://b.example/'>b site</a>"
+        b'<a href="/relative">skip me</a>'
+        b'<a href="https://c.example">   </a>'
+        b"</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    out = df.select(extract_anchor_pairs(F.col("html")).alias("p"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    (pairs,) = out.collect()[0]
+    assert [(r["url"], r["anchor"]) for r in pairs] == [
+        ("https://a.example/x", "Great Search Engine"),
+        ("http://b.example/", "b site"),
+        ("https://c.example", ""),
+    ]
+
+
+def test_anchor_terms_topk_deterministic(spark):
+    """Top-k anchor terms per host: count desc, term asc ties, rank
+    bounded by topk, counts exact."""
+    from fasta_windows_spark.operators.graph import anchor_terms
+
+    rows = [
+        ("h1", "best search engine"),
+        ("h1", "search here"),
+        ("h1", "best search"),
+        ("h2", "news"),
+        ("h2", ""),  # empty anchor contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["dst", "anchor"])
+    got = [
+        (r["host"], r["term"], r["n"], r["rank"])
+        for r in anchor_terms(df, topk=2).orderBy("host", "rank").collect()
+    ]
+    assert got == [
+        ("h1", "search", 3, 1),
+        ("h1", "best", 2, 2),
+        ("h2", "news", 1, 1),
+    ]

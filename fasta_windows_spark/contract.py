@@ -4703,6 +4703,36 @@ def docs_host_pagerank(spark, sf_dir):
     return out.select(F.col("node").alias("host"), "rank_fp")
 
 
+
+def _md5_host_col() -> F.Column:
+    """The deterministic md5 link-target host shared by every stand-in
+    link-graph query (docs_host_pagerank / docs_host_hits / docs_seed_ppr
+    oracles spell the same derivation in SQL): host j of a doc is
+    'h' || (first-8-hex-digits of md5("doc_id:j") mod _PR_N_HOSTS).
+    Expects `doc_id` and `j` columns in scope."""
+    return F.concat(
+        F.lit("h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _PR_N_HOSTS
+        ).cast("string"),
+    )
+
+
 def _host_edges(spark, sf_dir) -> DataFrame:
     """The deterministic corpus-derived host link graph shared by
     docs_host_pagerank and docs_host_hits (the SQL twin is the e0/edges
@@ -4714,30 +4744,7 @@ def _host_edges(spark, sf_dir) -> DataFrame:
             F.lit("h"), (F.col("doc_id") % _PR_N_HOSTS).cast("string")
         ).alias("src"),
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
-    ).select(
-        "src",
-        F.concat(
-            F.lit("h"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(":"),
-                                F.col("j").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _PR_N_HOSTS
-            ).cast("string"),
-        ).alias("dst"),
-    )
+    ).select("src", _md5_host_col().alias("dst"))
     return e0.where(F.col("src") != F.col("dst")).distinct()
 
 
@@ -4909,27 +4916,7 @@ def docs_anchor_terms(spark, sf_dir):
         F.col("doc_id"),
         F.expr(toks).alias("toks"),
     ).select(
-        F.concat(
-            F.lit("h"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(":"),
-                                F.col("j").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _PR_N_HOSTS
-            ).cast("string"),
-        ).alias("dst"),
+        _md5_host_col().alias("dst"),
         F.expr(
             "array_join(slice(toks, cast((doc_id + 11 * j) % "
             "greatest(size(toks) - 2, 1) as int) + 1, 3), ' ')"

@@ -132,7 +132,13 @@ def incremental_minhash_pairs(
     ib = _minhash_band_rows(index_sigs, id_col)
     key_eq = [F.col(f"l.bk{i}") == F.col(f"r.bk{i}") for i in range(4)]
 
-    cond_idx = (F.col("l.band") == F.col("r.band"))
+    # re-crawled docs appear in BOTH the increment and the index under the
+    # same id: without the != guard every one of them self-matches (and
+    # without an orientation rule a pair present on both sides would also
+    # emit mirrored duplicates)
+    cond_idx = (F.col("l.band") == F.col("r.band")) & (
+        F.col("l.doc") != F.col("r.doc")
+    )
     for e in key_eq:
         cond_idx = cond_idx & e
     vs_index = (
@@ -927,12 +933,19 @@ def components_incremental(
     the increment's edge endpoints (increment-driven, shuffle-one-side)
     and the final label-update join keyed by rep. Everything iterative
     touches only the contracted delta graph."""
-    base = old_labels.select(
+    old = old_labels.select(
         F.col(id_col).alias("id"), F.col("component_id").alias("rep")
-    ).unionByName(
-        new_nodes.select(
-            F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("rep")
-        )
+    )
+    # a re-crawled doc appears in BOTH old_labels and new_nodes: it must
+    # keep its old rep (one row per id — a naive union would hand it two
+    # conflicting reps and the final join would emit both), and its new
+    # edges then rewrite onto that old rep, which is exactly the
+    # from-scratch connectivity
+    fresh = new_nodes.select(F.col(id_col).alias("id")).join(
+        old, "id", "left_anti"
+    )
+    base = old.unionByName(
+        fresh.select("id", F.col("id").cast("long").alias("rep"))
     )
     rewritten = (
         new_pairs.select(F.col(a_col).alias("ea"), F.col(b_col).alias("eb"))

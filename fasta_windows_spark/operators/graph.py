@@ -190,6 +190,11 @@ def hits(
     scale * max_degree < 2^63 (scale=10^12 allows degree < ~9.2 * 10^6;
     pass a smaller scale for denser host graphs).
     """
+    if iterations < 1:
+        # `a` is only defined inside the loop; 0 iterations has no
+        # meaningful authority vector (pagerank's 0-iteration analog is
+        # the uniform init, but HITS scores require at least one pass)
+        raise ValueError("hits requires iterations >= 1")
 
     def _rescale(raw: DataFrame, val: str) -> DataFrame:
         tot = raw.agg(F.sum(val).alias("tot"))

@@ -53,11 +53,17 @@ def doc_zorder_key(
     """(doc_id, zx, zy, zkey): zx = document length clamped to `bits`
     bits, zy = a 16-bit md5 bucket of the source/host — the two columns a
     webtext corpus is most often filtered on (length cuts, per-host
-    slices). One narrow JVM projection, zero shuffle."""
+    slices). One narrow JVM projection, zero shuffle.
+
+    zx is least(n_chars, mask) — a saturating CLAMP, not a modulo mask: a
+    70k-char page must sort with the long docs (zx monotone in length, so
+    a length-cut filter rewrites to a zx range and per-file zx min/max
+    stats locate long docs), where `& mask` would wrap it in among the
+    short ones."""
     mask = (1 << bits) - 1
     return docs.select(
         id_col,
-        F.expr(f"cast(n_chars as bigint) & {mask}").alias("zx"),
+        F.expr(f"least(cast(n_chars as bigint), {mask})").alias("zx"),
         F.expr(
             f"cast(conv(substr(md5(source), 1, 4), 16, 10) as bigint) & {mask}"
         ).alias("zy"),
@@ -92,7 +98,7 @@ def zorder_oracle_sql(n_files: int = 16, bits: int = 16) -> str:
     return f"""
 WITH keyed AS (
   SELECT doc_id,
-         n_chars & {mask} AS zx,
+         least(n_chars, {mask}) AS zx,
          ('0x' || substr(md5(source), 1, 4))::BIGINT & {mask} AS zy
   FROM documents
 ),

@@ -51,10 +51,8 @@ def fetch_schedule(
 
 
 def fetch_schedule_oracle_sql() -> str:
-    delay = DELAY_SQL.format(h="source")
     # DuckDB: same md5 bucket via '0x' cast; conv() is Spark-only
     delay_duck = "1 + (('0x' || substr(md5(source), 1, 4))::BIGINT % 5)"
-    assert delay  # spark spelling used by fetch_schedule
     return f"""
 SELECT doc_id, source AS host,
        (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT AS slot,

@@ -398,3 +398,55 @@ def test_components_incremental_bridges_old_components(spark):
     assert got == want
     assert got[10] == got[1] == got[5] == 1  # bridged to the global min
     assert got[9] == 9 and got[20] == 20  # singletons untouched
+
+
+def test_components_incremental_recrawled_doc_keeps_one_label(spark):
+    """A doc present in BOTH old_labels and new_nodes (a re-crawl) must
+    get exactly ONE label — its old rep — and its new edges must still
+    fold in, matching a from-scratch run."""
+    from fasta_windows_spark.operators.dedup import (
+        components_incremental,
+        connected_components,
+    )
+
+    old_pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    old_nodes = spark.createDataFrame([(1,), (2,), (5,)], ["doc_id"])
+    old_labels = connected_components(old_pairs, old_nodes)
+
+    # doc 2 is re-crawled (appears in the increment) and now also pairs
+    # with old singleton 5; doc 9 is genuinely new
+    new_pairs = spark.createDataFrame([(2, 5)], ["doc_a", "doc_b"])
+    new_nodes = spark.createDataFrame([(9,), (2,)], ["doc_id"])
+    out = components_incremental(old_labels, new_pairs, new_nodes).collect()
+    got = {}
+    for r in out:
+        assert r["doc_id"] not in got, f"duplicate label row for {r['doc_id']}"
+        got[r["doc_id"]] = r["component_id"]
+
+    full = connected_components(
+        old_pairs.union(new_pairs), old_nodes.union(new_nodes)
+    )
+    want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+    assert got == want
+    assert got[5] == 1  # folded through the re-crawled doc's old rep
+
+
+def test_incremental_minhash_no_self_pairs_on_recrawl(spark):
+    """A doc whose signature sits in both the increment and the index
+    (a re-crawl) must not match ITSELF."""
+    from fasta_windows_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    texts = ["alpha beta gamma delta epsilon zeta " * 5] * 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(docs)
+    out = incremental_minhash_pairs(sigs, sigs).collect()
+    assert all(r["doc_new"] != r["doc_match"] for r in out)
+    # the genuine cross-doc duplicate is still found
+    assert any(
+        {r["doc_new"], r["doc_match"]} == {0, 1} for r in out
+    )

@@ -120,3 +120,17 @@ def test_zorder_written_files_prune_on_both_columns(spark, tmp_path):
     a = spark.read.parquet(zdir).where(F.col("zx") <= 63).count()
     b = spark.read.parquet(ndir).where(F.col("zx") <= 63).count()
     assert a == b and a > 0
+
+
+def test_zx_clamps_rather_than_wraps(spark):
+    """A 70k-char doc must keep zx = 65535 (saturating clamp) — a modulo
+    mask would wrap it in among the short docs and break the length axis
+    of the layout (zx monotone in n_chars)."""
+    from fasta_windows_spark.operators.layout import doc_zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 100, "s1"), (2, 70000, "s1"), (3, 65535, "s2")],
+        ["doc_id", "n_chars", "source"],
+    )
+    got = {r["doc_id"]: r["zx"] for r in doc_zorder_key(df).collect()}
+    assert got == {1: 100, 2: 65535, 3: 65535}

@@ -1487,6 +1487,49 @@ def docs_minhash_incremental(spark, sf_dir):
     return _dedup.incremental_minhash_pairs(new_sigs, index_sigs)
 
 
+@q(
+    "docs_increment_novelty",
+    """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(toks) - 2),
+                i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+new_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+idx_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM new_sh GROUP BY doc_id),
+nov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_novel
+  FROM new_sh ANTI JOIN idx_sh USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles,
+       COALESCE(n_novel, 0)::BIGINT AS n_novel,
+       round(COALESCE(n_novel, 0) / n_shingles::DOUBLE, 6) AS novelty_frac
+FROM tot LEFT JOIN nov USING (doc_id)
+""",
+)
+def docs_increment_novelty(spark, sf_dir):
+    """Corpus-growth signal for the daily crawl loop (`operators/dedup.
+    increment_novelty`): per increment doc (doc_id % 10 = 0, the
+    docs_minhash_incremental split), how many of its distinct word
+    3-grams the existing index has never seen. A crawl whose novelty
+    collapses is re-fetching what it already has; a ~0-novelty doc is a
+    near-dup the MinHash pass will confirm. The index shingle set is
+    corpus-sized so it CANNOT broadcast (the role-flip vs
+    docs_decontaminate): novelty is a left_anti probe of the persisted,
+    shingle-bucketed index table, shuffle-one-side for the increment.
+    hash_shingles pinned False here so the oracle comparison is exact
+    strings (the production default hashes shingles to longs)."""
+    d = _docs(spark, sf_dir)
+    new_docs = d.where(F.col("doc_id") % 10 == 0)
+    index_docs = d.where(F.col("doc_id") % 10 != 0)
+    return _dedup.increment_novelty(
+        new_docs, index_docs, shingle_words=3, hash_shingles=False
+    )
+
+
 _SQL_SIMHASH = f"""
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
@@ -5248,6 +5291,94 @@ def emb_ivf_recall_eval(spark, sf_dir):
     nc = cand.agg(F.count("*").alias("n_cand"))
     nh = truth.join(
         cand, truth["t_id"] == cand["c_id"], "left_semi"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            _r6(F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )
+
+
+_TRUNC_D = 32  # keep the first half of the 64 dims
+
+
+@q(
+    "emb_dim_truncation_recall",
+    f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> round(x * {1_000_000})::BIGINT) AS fv
+           FROM embeddings),
+qv AS (SELECT fv AS qf FROM e WHERE vec_id = 0),
+truth AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY
+             list_sum(list_transform(range(64),
+               i -> (fv[i+1] - qf[i+1]) * (fv[i+1] - qf[i+1])))::BIGINT,
+             e.vec_id) AS rn
+    FROM e, qv WHERE e.vec_id <> 0) WHERE rn <= 10
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY
+             list_sum(list_transform(range({_TRUNC_D}),
+               i -> (fv[i+1] - qf[i+1]) * (fv[i+1] - qf[i+1])))::BIGINT,
+             e.vec_id) AS rn
+    FROM e, qv WHERE e.vec_id <> 0) WHERE rn <= 10
+),
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+nh AS (SELECT count(*)::BIGINT AS n_hits
+       FROM truth JOIN cand USING (vec_id))
+SELECT n_truth, n_cand, n_hits,
+       round(n_hits::DOUBLE / n_truth, 6) AS recall
+FROM nt CROSS JOIN nc CROSS JOIN nh
+""",
+)
+def emb_dim_truncation_recall(spark, sf_dir):
+    """Dimension-truncation ANN evaluation (the Matryoshka-embedding
+    deployment question): recall@10 when ranking by exact squared L2 over
+    only the FIRST {_TRUNC_D} of 64 dims versus the full-dimension truth
+    — measures whether a 2x cheaper/smaller index (half the bytes per
+    vector, half the FLOPs per candidate) still finds the true neighbors
+    for the benchmark query. Both rankings are integer fixed-point
+    (cluster.quantize) with (d2, id) total order, so the two top-10 sets
+    are unique and the summary row is hash-exact. Plan: two narrow
+    passes over the same quantized frame, each ending in
+    TakeOrderedAndProject; no joins beyond the 10-row intersection."""
+    from .operators.cluster import _longs_sql, quantize
+
+    emb = _emb(spark, sf_dir)
+    qd = quantize(emb)
+    qf = [int(x) for x in qd.where(F.col("vec_id") == 0).first()["fv"]]
+
+    def _topk(dims: int):
+        qlit = _longs_sql(qf[:dims])
+        d2 = (
+            f"aggregate(zip_with(slice(fv, 1, {dims}), {qlit}, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+        )
+        return (
+            qd.where(F.col("vec_id") != 0)
+            .select("vec_id", F.expr(d2).alias("d2"))
+            .orderBy(F.asc("d2"), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+
+    truth = _topk(len(qf)).select(F.col("vec_id").alias("t_id"))
+    cand = _topk(_TRUNC_D).select(F.col("vec_id").alias("c_id"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    nh = truth.join(
+        cand, F.col("t_id") == F.col("c_id"), "left_semi"
     ).agg(F.count("*").alias("n_hits"))
     return (
         nt.crossJoin(nc)

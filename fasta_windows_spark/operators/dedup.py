@@ -962,3 +962,69 @@ def components_incremental(
     return base.join(
         delta.select(F.col(id_col).alias("rep"), "component_id"), "rep"
     ).select(F.col("id").alias(id_col), "component_id")
+
+
+def increment_novelty(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-increment-doc NOVELTY against the existing corpus: of a new
+    doc's distinct word `shingle_words`-grams, how many were never seen
+    in the index — the daily corpus-growth signal (a crawl whose novelty
+    collapses is re-fetching what it already has; a doc with ~0 novelty
+    is a near-dup the MinHash pass will confirm). The incremental
+    companion to `decontaminate_overlap`, with the roles flipped: here
+    the REFERENCE side is the 10^12-doc index, so its shingle set cannot
+    broadcast — novelty is a left_anti join on the shingle key, i.e. a
+    bucketed probe of the persisted index shingle table (at 100 TB that
+    table is bucketed by shingle hash and the daily increment probes it
+    shuffle-one-side, the incremental_minhash_pairs shape).
+
+    `hash_shingles` carries shingles as xxhash64 longs (8 bytes vs the
+    joined string) — the oracle-gated contract call pins it explicitly
+    per the round-3 advice on mutable defaults. Returns
+    (id, n_shingles, n_novel, novelty_frac round 6) for every increment
+    doc with at least one shingle."""
+    shingle_expr = f"array_join(slice(toks, i+1, {shingle_words}), ' ')"
+    if hash_shingles:
+        shingle_expr = f"xxhash64({shingle_expr})"
+
+    def _sh(df):
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.expr(f"split(lower({text_col}), ' ')").alias("toks"),
+        ).where(F.expr("size(toks)") >= shingle_words).select(
+            "doc",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks)-{shingle_words}), "
+                    f"i -> {shingle_expr}))"
+                )
+            ).alias("shingle"),
+        )
+
+    new_sh = _sh(new_docs)
+    index_sh = _sh(index_docs).select("shingle").distinct()
+    totals = new_sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    novel = (
+        new_sh.join(index_sh, "shingle", "left_anti")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

@@ -461,6 +461,97 @@ def window_token_sketch(
     )
 
 
+def window_novelty_stream(
+    pages: DataFrame,
+    index_shingles: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Live corpus-novelty monitor: per event-time window, how many of
+    the arriving pages' distinct word n-gram shingles the EXISTING index
+    has never seen — the streaming face of `operators/dedup.
+    increment_novelty` (same xxhash64 shingling), watched as a rate: a
+    window whose novelty collapses means the crawl is re-fetching what
+    the corpus already has. Emits (w_start, n_pages, n_shingles,
+    n_novel, novelty_frac).
+
+    Plan shape: one narrow shingle explode on the stream, a
+    stream-static LEFT OUTER join against the persisted index shingle
+    table (per micro-batch; at 10^12 docs that table is bucketed on
+    shingle so the probe is shuffle-one-side — do NOT broadcast it),
+    then a watermarked windowed aggregate whose state is one counter row
+    per window. The same call composes in batch for the stream==batch
+    differential (withWatermark is a no-op on static frames)."""
+    sh = (
+        pages.withWatermark("warc_ts", watermark)
+        # Spark sequence(0, stop) DESCENDS when stop < 0 (the cdc_chunks
+        # lesson): filter short pages out instead of generating a
+        # backwards index range — they contribute no shingles either way
+        .where(
+            F.expr(f"size(split(lower(text), ' '))") >= shingle_words
+        )
+        .select(
+            "warc_ts",
+            # pos marks each page's FIRST shingle row: count_if(pos = 0)
+            # is an exact page count without a distinct aggregate (which
+            # streaming aggregation rejects)
+            F.posexplode(
+                F.expr(
+                    "array_distinct(transform("
+                    f"sequence(0, size(split(lower(text), ' ')) - {shingle_words}), "
+                    f"i -> xxhash64(array_join(slice(split(lower(text), ' '), i + 1, {shingle_words}), ' '))))"
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    idx = index_shingles.select(
+        F.col("shingle"), F.lit(True).alias("_seen")
+    )
+    joined = sh.join(idx, "shingle", "left_outer")
+    return (
+        joined.groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count_if(F.col("pos") == 0).cast("long").alias("n_pages"),
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("_seen").isNull()).alias("n_novel"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "n_pages",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles").cast("double"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+def index_shingle_table(
+    docs: DataFrame, text_col: str = "text", shingle_words: int = 3
+) -> DataFrame:
+    """The persisted index side `window_novelty_stream` probes: distinct
+    xxhash64 word-shingle hashes of the existing corpus (at 10^12 docs
+    this is written once, bucketed by shingle, and appended per
+    increment)."""
+    return (
+        docs.where(
+            F.expr(f"size(split(lower({text_col}), ' '))") >= shingle_words
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    f"sequence(0, size(split(lower({text_col}), ' ')) - {shingle_words}), "
+                    f"i -> xxhash64(array_join(slice(split(lower({text_col}), ' '), i + 1, {shingle_words}), ' '))))"
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+
+
 def clean_pages_stream(
     pages: DataFrame,
     blocklist: DataFrame | None = None,

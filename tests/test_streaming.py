@@ -1777,3 +1777,62 @@ def test_fetch_scheduler_checkpoint_resume_no_double_booking(spark, tmp_path):
     assert (per["min"] == 0).all()
     assert (per["max"] == per["count"] - 1).all()  # contiguous: resumed counter
     assert len(got) == 200
+
+
+def test_window_novelty_stream_matches_batch(spark, tmp_path):
+    """Streaming novelty monitor == the identical batch computation on the
+    same input: per-window shingle totals, novel counts, and the rate,
+    probed against a static index built from half the corpus. (The shared
+    pages fixture is DNA text with no spaces, so this test writes its own
+    word-text pages.)"""
+    pdf = P.gen_pages(n_pages=600, n_hosts=10, seed=42)
+    # deterministic word salad per url: overlapping vocab so novelty is
+    # genuinely partial against the half-corpus index
+    pdf["text"] = [
+        " ".join(f"w{(i * 7 + j * 3) % 40}" for j in range(30))
+        + (f" uniq{i} mark{i} tail{i}" if i % 2 else "")
+        for i in range(len(pdf))
+    ]
+    d = str(tmp_path / "word_pages")
+    P.write_pages_parquet(pdf, d, n_files=6)
+
+    # index = shingles of the even-numbered pages; the stream then watches
+    # the WHOLE corpus, so even pages read as ~0-novel and odd pages mix
+    batch = P.spark_pages(spark, pdf)
+    index = S.index_shingle_table(
+        batch.where(F.expr("pmod(xxhash64(url), 2) = 0"))
+    ).cache()
+    assert index.count() > 0
+
+    stream = S.read_pages_stream(spark, d, max_files_per_trigger=2)
+    nov = S.window_novelty_stream(
+        stream, index, window="10 minutes", watermark="10 minutes"
+    )
+    out = str(tmp_path / "nov_out")
+    ckpt = str(tmp_path / "nov_ck")
+    q = S.write_exactly_once(nov, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .set_index("w_start")
+        .sort_index()
+    )
+
+    expected = (
+        S.window_novelty_stream(
+            batch, index, window="10 minutes", watermark="10 minutes"
+        )
+        .toPandas()
+        .set_index("w_start")
+        .sort_index()
+    )
+    assert len(got) > 0
+    joined = got.join(expected, how="left", rsuffix="_b")
+    for c in ("n_pages", "n_shingles", "n_novel", "novelty_frac"):
+        a = joined[c].astype(float)
+        b = joined[f"{c}_b"].astype(float)
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    # the planted half-index makes novelty genuinely partial
+    assert 0 < got["n_novel"].sum() < got["n_shingles"].sum()
+    index.unpersist()

@@ -292,13 +292,13 @@ def pq_fit(
     iteration: residuals explode to (id, sub, sv) rows and the argmin
     runs against the full codebook literal keyed by sub — so the job
     count is O(pq_iter), independent of m."""
-    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col,
-                              with_inertia=False)
-    # dimensionality comes free from the fitted centroids (no extra
-    # first() probe job against the input)
-    d_probe = len(centroids[0])
+    # fail fast on an invalid m BEFORE the coarse fit (one LIMIT-1 probe
+    # job vs discovering a bad subspace split after n_iter corpus passes)
+    d_probe = int(emb.select(F.size(vec_col)).first()[0])
     ds = d_probe // m
     assert ds * m == d_probe, (d_probe, m)
+    centroids, _ = kmeans_fit(emb, k, n_iter, id_col, vec_col,
+                              with_inertia=False)
     q = quantize(emb, id_col, vec_col)
     cent_lit = F.expr(_longs2_sql(centroids))
     res = (

@@ -141,6 +141,7 @@ def incremental_minhash_pairs(
     )
     for e in key_eq:
         cond_idx = cond_idx & e
+    new_ids = new_sigs.select(F.col(id_col).alias("doc_match")).distinct()
     vs_index = (
         nb.alias("l")
         .join(ib.alias("r"), cond_idx)
@@ -149,6 +150,11 @@ def incremental_minhash_pairs(
             F.col("r.doc").alias("doc_match"),
             F.lit("index").alias("match_src"),
         )
+        # orientation rule: a pair whose BOTH members are in today's
+        # increment is the vs_new join's to report (once, doc_new <
+        # doc_match) — without this, two re-crawled near-dups would emit
+        # mirrored (A,B,'index')/(B,A,'index') rows plus the 'new' row
+        .join(new_ids, "doc_match", "left_anti")
     )
     cond_new = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
     for e in key_eq:
@@ -964,6 +970,27 @@ def components_incremental(
     ).select(F.col("id").alias(id_col), "component_id")
 
 
+def word_shingle_array_sql(
+    toks_col: str, shingle_words: int, hash_shingles: bool = True
+) -> str:
+    """SQL for the DISTINCT word-shingle array over a pre-projected token
+    array column — the one spelling shared by batch increment_novelty and
+    the streaming novelty monitor (pipeline.window_novelty_stream /
+    index_shingle_table), so the 'same shingling' batch==stream contract
+    cannot drift. Callers must project split(lower(text), ' ') ONCE per
+    row into `toks_col` first: higher-order-function lambdas are
+    interpreted and do not hoist loop-invariant subexpressions, so
+    inlining the split would re-tokenize the document per shingle index
+    (O(tokens^2) on the hot path)."""
+    sh = f"array_join(slice({toks_col}, i + 1, {shingle_words}), ' ')"
+    if hash_shingles:
+        sh = f"xxhash64({sh})"
+    return (
+        f"array_distinct(transform(sequence(0, size({toks_col}) - {shingle_words}), "
+        f"i -> {sh}))"
+    )
+
+
 def increment_novelty(
     new_docs: DataFrame,
     index_docs: DataFrame,
@@ -989,10 +1016,6 @@ def increment_novelty(
     per the round-3 advice on mutable defaults. Returns
     (id, n_shingles, n_novel, novelty_frac round 6) for every increment
     doc with at least one shingle."""
-    shingle_expr = f"array_join(slice(toks, i+1, {shingle_words}), ' ')"
-    if hash_shingles:
-        shingle_expr = f"xxhash64({shingle_expr})"
-
     def _sh(df):
         return df.select(
             F.col(id_col).alias("doc"),
@@ -1000,10 +1023,7 @@ def increment_novelty(
         ).where(F.expr("size(toks)") >= shingle_words).select(
             "doc",
             F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(0, size(toks)-{shingle_words}), "
-                    f"i -> {shingle_expr}))"
-                )
+                F.expr(word_shingle_array_sql("toks", shingle_words, hash_shingles))
             ).alias("shingle"),
         )
 

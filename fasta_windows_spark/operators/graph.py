@@ -104,8 +104,15 @@ def pagerank(
     # pin the edge table for the loop's scope: every iteration (and the
     # nodes/outdeg builds) re-joins it, and an uncached `edges` would
     # re-run its whole lineage — scan, derivation, DISTINCT shuffle —
-    # once per round (the docstring's "computed once" contract)
-    edges = edges.cache()
+    # once per round (the docstring's "computed once" contract). Only
+    # take ownership when the CALLER hasn't persisted it: unpersisting a
+    # caller-cached frame would evict their cache out from under a later
+    # hits(edges)/pagerank(edges) call on the same frame.
+    _own_edges = not (
+        edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    )
+    if _own_edges:
+        edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -144,7 +151,8 @@ def pagerank(
     # per invocation across the contract sweep / plan audit
     nodes.unpersist()
     outdeg.unpersist()
-    edges.unpersist()
+    if _own_edges:
+        edges.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -207,8 +215,13 @@ def hits(
         return out.localCheckpoint(eager=True)
 
     # pin the edge table: six half-iteration joins plus the node build
-    # would otherwise each re-run the caller's edge lineage
-    edges = edges.cache()
+    # would otherwise each re-run the caller's edge lineage (ownership
+    # rule as in `pagerank`: don't evict a caller-persisted frame)
+    _own_edges = not (
+        edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    )
+    if _own_edges:
+        edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -252,7 +265,8 @@ def hits(
     free_local_checkpoint(h)  # out is materialized; the score frames are dead
     free_local_checkpoint(a)
     nodes.unpersist()
-    edges.unpersist()
+    if _own_edges:
+        edges.unpersist()
     return out
 
 
@@ -283,8 +297,13 @@ def personalized_pagerank(
     iteration plus a broadcast 1-row dangling scalar; the seed flag rides
     the node frame as one boolean column; lineage truncated every round.
     """
-    # pin the edge table for the loop's scope (the `pagerank` rationale)
-    edges = edges.cache()
+    # pin the edge table for the loop's scope (the `pagerank` rationale,
+    # including its caller-ownership rule)
+    _own_edges = not (
+        edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    )
+    if _own_edges:
+        edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -347,7 +366,8 @@ def personalized_pagerank(
             free_local_checkpoint(prev)  # superseded round's checkpoint RDD
     nodes.unpersist()
     outdeg.unpersist()
-    edges.unpersist()
+    if _own_edges:
+        edges.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 

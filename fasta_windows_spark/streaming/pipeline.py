@@ -483,29 +483,30 @@ def window_novelty_stream(
     then a watermarked windowed aggregate whose state is one counter row
     per window. The same call composes in batch for the stream==batch
     differential (withWatermark is a no-op on static frames)."""
+    from ..operators.dedup import word_shingle_array_sql
+
     sh = (
         pages.withWatermark("warc_ts", watermark)
-        # Spark sequence(0, stop) DESCENDS when stop < 0 (the cdc_chunks
-        # lesson): filter short pages out instead of generating a
-        # backwards index range — they contribute no shingles either way
-        .where(
-            F.expr(f"size(split(lower(text), ' '))") >= shingle_words
-        )
+        # project the token array ONCE per row (HOF lambdas don't hoist
+        # the split), and filter short pages out instead of generating a
+        # backwards index range — Spark sequence(0, stop) DESCENDS when
+        # stop < 0 (the cdc_chunks lesson)
+        .select("warc_ts", F.expr("split(lower(text), ' ')").alias("toks"))
+        .where(F.expr("size(toks)") >= shingle_words)
         .select(
             "warc_ts",
             # pos marks each page's FIRST shingle row: count_if(pos = 0)
             # is an exact page count without a distinct aggregate (which
             # streaming aggregation rejects)
             F.posexplode(
-                F.expr(
-                    "array_distinct(transform("
-                    f"sequence(0, size(split(lower(text), ' ')) - {shingle_words}), "
-                    f"i -> xxhash64(array_join(slice(split(lower(text), ' '), i + 1, {shingle_words}), ' '))))"
-                )
+                F.expr(word_shingle_array_sql("toks", shingle_words))
             ).alias("pos", "shingle"),
         )
     )
-    idx = index_shingles.select(
+    # dedupe the probe side: the production index is appended per
+    # increment, so a shingle seen by two increments has two rows — a
+    # left_outer match against k rows would multiply every counter by k
+    idx = index_shingles.select("shingle").distinct().select(
         F.col("shingle"), F.lit(True).alias("_seen")
     )
     joined = sh.join(idx, "shingle", "left_outer")
@@ -535,17 +536,14 @@ def index_shingle_table(
     xxhash64 word-shingle hashes of the existing corpus (at 10^12 docs
     this is written once, bucketed by shingle, and appended per
     increment)."""
+    from ..operators.dedup import word_shingle_array_sql
+
     return (
-        docs.where(
-            F.expr(f"size(split(lower({text_col}), ' '))") >= shingle_words
-        )
+        docs.select(F.expr(f"split(lower({text_col}), ' ')").alias("toks"))
+        .where(F.expr("size(toks)") >= shingle_words)
         .select(
             F.explode(
-                F.expr(
-                    "array_distinct(transform("
-                    f"sequence(0, size(split(lower({text_col}), ' ')) - {shingle_words}), "
-                    f"i -> xxhash64(array_join(slice(split(lower({text_col}), ' '), i + 1, {shingle_words}), ' '))))"
-                )
+                F.expr(word_shingle_array_sql("toks", shingle_words))
             ).alias("shingle")
         )
         .distinct()

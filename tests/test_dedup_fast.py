@@ -446,7 +446,9 @@ def test_incremental_minhash_no_self_pairs_on_recrawl(spark):
     sigs = minhash_signatures(docs)
     out = incremental_minhash_pairs(sigs, sigs).collect()
     assert all(r["doc_new"] != r["doc_match"] for r in out)
-    # the genuine cross-doc duplicate is still found
-    assert any(
-        {r["doc_new"], r["doc_match"]} == {0, 1} for r in out
-    )
+    # orientation rule: a pair whose BOTH members are in the increment is
+    # reported exactly ONCE, as the 'new' row (doc_new < doc_match) — no
+    # mirrored 'index' duplicates
+    assert [(r["doc_new"], r["doc_match"], r["match_src"]) for r in out] == [
+        (0, 1, "new")
+    ]

@@ -255,3 +255,19 @@ def test_ppr_partition_invariant(spark):
     many = {r["node"]: r["rank_fp"]
             for r in personalized_pagerank(df.repartition(13), seeds).collect()}
     assert one == many
+
+
+def test_pagerank_respects_caller_cached_edges(spark):
+    """A caller-persisted edge frame must survive a pagerank() call (the
+    operator only owns — and only releases — caches it created itself),
+    so a following hits() on the same frame still reads the cache."""
+    from fasta_windows_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    ).cache()
+    edges.count()
+    assert edges.storageLevel.useMemory
+    pagerank(edges, iterations=1).collect()
+    assert edges.storageLevel.useMemory, "caller's cache was evicted"
+    edges.unpersist()

@@ -5669,7 +5669,7 @@ c0 AS (
     for r in range(n_iter + 1):
         parts.append(
             f"""a{r} AS (
-  SELECT vec_id, (pk % {k})::INT AS cell, pk // {k} AS d2 FROM (
+  SELECT vec_id, (pk % {k})::INT AS cell, (pk // {k})::BIGINT AS d2 FROM (
     SELECT q.vec_id,
            min(list_sum(list_transform({dims},
                  i -> (q.fv[i] - c.cv[i]) * (q.fv[i] - c.cv[i])))
@@ -5722,7 +5722,7 @@ probes AS (
 )
 SELECT a.vec_id, a.cell,
        list_sum(list_transform({dims},
-         i -> (q.fv[i] - qv.fv[i]) * (q.fv[i] - qv.fv[i]))) AS d2
+         i -> (q.fv[i] - qv.fv[i]) * (q.fv[i] - qv.fv[i])))::BIGINT AS d2
 FROM a{n_iter} a
 JOIN probes USING (cell)
 JOIN q ON q.vec_id = a.vec_id
@@ -6228,10 +6228,24 @@ def docs_dedup_spans_rewrite(spark, sf_dir):
 # tests/test_rotation.py pins this invariant against the ledger files.
 
 
+def _row_failed(row) -> bool:
+    """A driver row counts as FAILED when any recorded match flag is False or
+    it errored — but `no_oracle` is a declared rows-only check, not a failure
+    (its match flags are null). VERDICT r4 "wrong" #2: a query whose latest
+    row failed must not sort as freshest."""
+    if not isinstance(row, dict):
+        return False
+    if any(row.get(k) is False for k in ("rows_match", "schema_match", "hash_match")):
+        return True
+    err = row.get("err")
+    return err is not None and err != "no_oracle"
+
+
 def _driver_row_rounds() -> dict:
     """Latest driver round with a correctness row per query, parsed from the
     CORRECTNESS_r*.json ledgers the driver writes at the repo root. Queries
-    never checked by the driver are absent from the result."""
+    never checked by the driver are absent from the result. Values are
+    (round, failed) — `failed` reflects the row from that LATEST round."""
     import json as _json
     import pathlib as _pl
     import re as _re
@@ -6249,19 +6263,35 @@ def _driver_row_rounds() -> dict:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            latest[name] = max(latest.get(name, 0), rno)
+        for name, row in rows.items():
+            prev = latest.get(name)
+            if prev is None or rno >= prev[0]:
+                latest[name] = (rno, _row_failed(row))
     return latest
 
 
-def _rotation_order(names) -> list:
-    """Stalest-driver-row-first ordering: never-checked queries (age -1 →
-    smallest key) lead, then ascending latest-row round, registration order
-    as the tiebreak."""
+def _rotation_order(names, latest=None) -> list:
+    """Stalest-driver-row-first ordering with failure fronting:
+    1. never-checked queries lead (no ledger row in any round),
+    2. then queries whose LATEST driver row FAILED (red rows re-check next
+       round instead of sorting as freshest — VERDICT r4 "wrong" #2),
+    3. then ascending latest-row round (stalest first),
+    registration order as the tiebreak throughout. `latest` (name ->
+    (round, failed)) is injectable for tests; defaults to the real ledgers."""
     names = list(names)
-    latest = _driver_row_rounds()
+    if latest is None:
+        latest = _driver_row_rounds()
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (latest.get(n, -1), idx[n]))
+
+    def key(n):
+        row = latest.get(n)
+        if row is None:
+            return (0, 0, idx[n])  # never checked
+        rno, failed = row
+        if failed:
+            return (1, rno, idx[n])  # latest row red: front of the checked set
+        return (2, rno, idx[n])
+    return sorted(names, key=key)
 
 
 _ROTATION_FIRST = _rotation_order(QUERIES)

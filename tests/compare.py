@@ -35,7 +35,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
 
 
+def _dtype_kind(dtype) -> str:
+    s = str(dtype)
+    if s == "bool" or s == "boolean":
+        return "bool"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    return "str"
+
+
+def assert_dtype_kind_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = ""):
+    """Driver-hash guard: the driver stringifies values before hashing, so a
+    column that is int64 on the Spark side but float64 from DuckDB (the
+    HUGEINT-promotion trap — e.g. `//` or list_sum over BIGINT) renders as
+    '42' vs '42.0' and hash-fails even when values are equal. canon()'s
+    int->float unification deliberately masks width, so this check runs on
+    the RAW frames. Caught live by emb_kmeans_cells/search in r4
+    (CORRECTNESS_r04.json); fix is ::BIGINT casts in the oracle."""
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        ka, kb = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(duck_pdf[c].dtype)
+        assert ka == kb, (
+            f"{name}.{c}: dtype kind mismatch spark={spark_pdf[c].dtype} ({ka}) "
+            f"vs oracle={duck_pdf[c].dtype} ({kb}) — driver hash will diverge; "
+            f"if the oracle side is float for an integer column, suspect DuckDB "
+            f"HUGEINT promotion and add a ::BIGINT cast in the oracle SQL"
+        )
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = ""):
+    assert_dtype_kind_parity(spark_pdf, duck_pdf, name)
     a, b = canon(spark_pdf), canon(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns differ: {list(a.columns)} vs {list(b.columns)}"

@@ -23,12 +23,20 @@ CAP = 50  # observed driver per-round row cap (CORRECTNESS_r01..r03)
 
 
 def _ledger_rounds():
+    """Independent re-derivation of contract._driver_row_rounds:
+    name -> (latest round, latest row failed)."""
     latest = {}
     for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
+        rno = int(m.group(1))
         rows = json.loads(p.read_text())
-        for name in rows:
-            latest[name] = max(latest.get(name, 0), int(m.group(1)))
+        for name, row in rows.items():
+            failed = any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ) or (row.get("err") not in (None, "no_oracle"))
+            if name not in latest or rno >= latest[name][0]:
+                latest[name] = (rno, failed)
     return latest
 
 
@@ -41,16 +49,63 @@ def test_rotation_is_permutation_of_registry():
 
 
 def test_rotation_head_is_the_stalest_cap_queries():
-    """_ROTATION_FIRST[:CAP] must be exactly the CAP stalest queries:
-    never-checked first (age ∞), then ascending latest-driver-row round."""
+    """_ROTATION_FIRST[:CAP] must be exactly the CAP highest-priority
+    queries: never-checked first (age ∞), then latest-row-FAILED
+    (VERDICT r4 "wrong" #2), then ascending latest-driver-row round."""
     latest = _ledger_rounds()
     names = list(contract.QUERIES)
     idx = {n: i for i, n in enumerate(names)}
-    expected = sorted(names, key=lambda n: (latest.get(n, -1), idx[n]))
+
+    def key(n):
+        if n not in latest:
+            return (0, 0, idx[n])
+        rno, failed = latest[n]
+        return (1 if failed else 2, rno, idx[n])
+
+    expected = sorted(names, key=key)
     assert contract._ROTATION_FIRST == expected
     # the driver-visible window is the stalest CAP — set equality is the
     # invariant that matters (order within the window is all checked anyway)
     assert set(contract._ROTATION_FIRST[:CAP]) == set(expected[:CAP])
+
+
+def test_failed_rows_front_of_checked_set():
+    """Any query whose LATEST ledger row failed must be inside the driver's
+    next CAP-row window (it sorts right after never-checked)."""
+    latest = _ledger_rounds()
+    never = [n for n in contract.QUERIES if n not in latest]
+    failed = [n for n in contract.QUERIES if n in latest and latest[n][1]]
+    assert len(never) + len(failed) <= CAP, "red backlog exceeds driver cap"
+    window = set(contract._ROTATION_FIRST[:CAP])
+    for n in failed:
+        assert n in window, f"failed query {n} not re-checked next round"
+
+
+def test_rotation_order_synthetic_failure_fronting():
+    """Policy unit test on an injected ledger: failed rows beat fresh-green
+    rows regardless of recency; no_oracle rows are not failures."""
+    names = ["a", "b", "c", "d", "e"]
+    latest = {
+        "b": (4, False),   # freshest green
+        "c": (4, True),    # freshest but FAILED -> fronts after never-checked
+        "d": (1, False),   # stalest green
+        "e": (2, False),
+    }
+    order = contract._rotation_order(names, latest=latest)
+    assert order == ["a", "c", "d", "e", "b"]
+    # no_oracle is a declared rows-only check, not a failure
+    assert not contract._row_failed(
+        {"rows_match": None, "schema_match": None, "hash_match": None,
+         "err": "no_oracle"}
+    )
+    assert contract._row_failed(
+        {"rows_match": True, "schema_match": True, "hash_match": False,
+         "err": None}
+    )
+    assert contract._row_failed(
+        {"rows_match": None, "schema_match": None, "hash_match": None,
+         "err": "boom"}
+    )
 
 
 def test_never_checked_queries_lead():

@@ -141,21 +141,6 @@ def incremental_minhash_pairs(
     )
     for e in key_eq:
         cond_idx = cond_idx & e
-    new_ids = new_sigs.select(F.col(id_col).alias("doc_match")).distinct()
-    vs_index = (
-        nb.alias("l")
-        .join(ib.alias("r"), cond_idx)
-        .select(
-            F.col("l.doc").alias("doc_new"),
-            F.col("r.doc").alias("doc_match"),
-            F.lit("index").alias("match_src"),
-        )
-        # orientation rule: a pair whose BOTH members are in today's
-        # increment is the vs_new join's to report (once, doc_new <
-        # doc_match) — without this, two re-crawled near-dups would emit
-        # mirrored (A,B,'index')/(B,A,'index') rows plus the 'new' row
-        .join(new_ids, "doc_match", "left_anti")
-    )
     cond_new = (F.col("l.band") == F.col("r.band")) & (F.col("l.doc") < F.col("r.doc"))
     for e in key_eq:
         cond_new = cond_new & e
@@ -166,6 +151,41 @@ def incremental_minhash_pairs(
             F.col("l.doc").alias("doc_new"),
             F.col("r.doc").alias("doc_match"),
             F.lit("new").alias("match_src"),
+        )
+    )
+    # A pair whose BOTH members are in today's increment is the vs_new
+    # join's to report (once, doc_new < doc_match). But a re-crawled doc's
+    # content may have CHANGED between crawls, so its NEW signature can
+    # fail to band-match while its INDEXED signature still does — dropping
+    # every index match into the increment by membership alone would lose
+    # that real pair (ADVICE r4). Instead: (a) canonicalize the
+    # both-in-increment orientation to least<greatest so mirrored
+    # (A,B)/(B,A) index rows collapse under distinct(), then (b) suppress
+    # only the pairs the vs_new join ACTUALLY reproduces (anti-join on the
+    # pair keys, which share that orientation).
+    new_ids = new_sigs.select(F.col(id_col).alias("doc_match")).distinct()
+    both_new = F.col("_in_new").isNotNull()
+    vs_index = (
+        nb.alias("l")
+        .join(ib.alias("r"), cond_idx)
+        .select(
+            F.col("l.doc").alias("doc_new"),
+            F.col("r.doc").alias("doc_match"),
+        )
+        .join(new_ids.withColumn("_in_new", F.lit(True)), "doc_match", "left")
+        .select(
+            F.when(both_new, F.least("doc_new", "doc_match"))
+            .otherwise(F.col("doc_new"))
+            .alias("doc_new"),
+            F.when(both_new, F.greatest("doc_new", "doc_match"))
+            .otherwise(F.col("doc_match"))
+            .alias("doc_match"),
+            F.lit("index").alias("match_src"),
+        )
+        .join(
+            vs_new.select("doc_new", "doc_match"),
+            ["doc_new", "doc_match"],
+            "left_anti",
         )
     )
     return vs_index.unionByName(vs_new).distinct()

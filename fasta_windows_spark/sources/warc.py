@@ -195,10 +195,12 @@ def extract_links_column(html_col) -> F.Column:
     array<string> of every absolute http(s) URL in href attributes
     (single-, double-, or un-quoted). Relative links are skipped — host
     attribution for them needs the base URL, which `extract_host_edges`
-    supplies separately. No Python per row."""
+    supplies separately. The `(?<![\\w-])` left boundary keeps attributes
+    that merely END in href (data-href=, xhref=) from counting as links
+    (ADVICE r4). No Python per row."""
     s = F.decode(html_col, "UTF-8")
     return F.regexp_extract_all(
-        s, F.lit(r'(?i)href\s*=\s*["\']?(https?://[^"\'\s>]+)'), F.lit(1)
+        s, F.lit(r'(?i)(?<![\w-])href\s*=\s*["\']?(https?://[^"\'\s>]+)'), F.lit(1)
     )
 
 
@@ -211,8 +213,9 @@ def extract_anchor_pairs(html_col) -> F.Column:
     No Python per row; nested/relative links are skipped like
     `extract_links_column`."""
     s = F.decode(html_col, "UTF-8")
-    whole = r'(?is)<a\b[^>]*href\s*=\s*["\']?(https?://[^"\'\s>]+)[^>]*>(.*?)</a\s*>'
-    href = r'(?is)href\s*=\s*["\']?(https?://[^"\'\s>]+)'
+    # (?<![\w-]) boundary: data-href= / xhref= are not anchor hrefs (ADVICE r4)
+    whole = r'(?is)<a\b[^>]*(?<![\w-])href\s*=\s*["\']?(https?://[^"\'\s>]+)[^>]*>(.*?)</a\s*>'
+    href = r'(?is)(?<![\w-])href\s*=\s*["\']?(https?://[^"\'\s>]+)'
 
     def pair(m):
         url = F.regexp_extract(m, href, 1)

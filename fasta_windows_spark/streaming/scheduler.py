@@ -84,12 +84,19 @@ def _assign_slots(
     key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (host,) = key
+    # With timeoutConf=NoTimeout every invocation carries data, but a state
+    # timeout (timed-out keys get an EMPTY chunk iterator) would make
+    # pd.concat([]) raise — guard so the invariant is local, not implicit
+    # (ADVICE r4). State is only advanced when rows actually arrive.
+    chunks = list(pdfs)
+    if not chunks:
+        return
     next_slot = state.get[0] if state.exists else 0
     delay = _delay_of(host)
     # concatenate BEFORE sorting: a large group arrives as several Arrow
     # chunks, and sorting each chunk independently would interleave the
     # per-batch url order
-    pdf = pd.concat(list(pdfs)).sort_values("url").reset_index(drop=True)
+    pdf = pd.concat(chunks).sort_values("url").reset_index(drop=True)
     n = len(pdf)
     slots = list(range(next_slot, next_slot + n))
     next_slot += n

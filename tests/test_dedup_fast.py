@@ -452,3 +452,34 @@ def test_incremental_minhash_no_self_pairs_on_recrawl(spark):
     assert [(r["doc_new"], r["doc_match"], r["match_src"]) for r in out] == [
         (0, 1, "new")
     ]
+
+
+def test_incremental_minhash_changed_recrawl_keeps_index_pair(spark):
+    """ADVICE r4 (dedup.py): if a re-crawled doc's content CHANGED between
+    crawls, its new signature may band-match nothing while its indexed
+    signature still matches another increment doc. Suppressing index
+    matches by increment MEMBERSHIP would silently lose that real pair;
+    the fix suppresses only pairs the new-vs-new join actually reproduces."""
+    from fasta_windows_spark.operators.dedup import incremental_minhash_pairs
+
+    cols = ["doc_id"] + [f"sig_{i}" for i in range(8)]
+    # increment: doc 0 unchanged, doc 2 re-crawled with CHANGED content
+    new_sigs = spark.createDataFrame(
+        [
+            (0, 1, 1, 1, 1, 9, 9, 9, 9),
+            (2, 7, 7, 7, 7, 8, 8, 8, 8),  # new sig matches nothing
+        ],
+        cols,
+    )
+    # index: doc 2's OLD signature still band-matches doc 0 on band 0
+    index_sigs = spark.createDataFrame(
+        [
+            (2, 1, 1, 1, 1, 3, 3, 3, 3),
+            (5, 4, 4, 4, 4, 6, 6, 6, 6),  # unrelated index doc
+        ],
+        cols,
+    )
+    out = incremental_minhash_pairs(new_sigs, index_sigs).collect()
+    got = {(r["doc_new"], r["doc_match"], r["match_src"]) for r in out}
+    # the real near-dup pair (0, 2) survives, exactly once, least<greatest
+    assert got == {(0, 2, "index")}

@@ -241,6 +241,33 @@ def test_extract_anchor_pairs_jvm_only(spark):
     ]
 
 
+def test_href_left_boundary_rejects_data_href(spark):
+    """ADVICE r4: attributes that merely END in href (data-href=, xhref=)
+    are not links — both the links column and the anchor pairs use a
+    (?<![\\w-]) left boundary. A real href beside a data-href in the same
+    element still extracts."""
+    from fasta_windows_spark.sources.warc import (
+        extract_anchor_pairs,
+        extract_links_column,
+    )
+
+    html = (
+        b'<a data-href="https://tracker.example/t">decoy</a>'
+        b'<a xhref="https://typo.example/">decoy2</a>'
+        b'<div data-href="https://widget.example/w"></div>'
+        b'<a data-href="https://tracker.example/t2" href="https://real.example/p">ok</a>'
+        b'<a HREF="https://caps.example/">caps</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    (links,) = df.select(extract_links_column(F.col("html")).alias("l")).collect()[0]
+    assert links == ["https://real.example/p", "https://caps.example/"]
+    (pairs,) = df.select(extract_anchor_pairs(F.col("html")).alias("p")).collect()[0]
+    assert [(r["url"], r["anchor"]) for r in pairs] == [
+        ("https://real.example/p", "ok"),
+        ("https://caps.example/", "caps"),
+    ]
+
+
 def test_anchor_terms_topk_deterministic(spark):
     """Top-k anchor terms per host: count desc, term asc ties, rank
     bounded by topk, counts exact."""

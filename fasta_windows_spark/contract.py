@@ -5998,12 +5998,14 @@ def docs_bpe_vocab(spark, sf_dir):
     )
 
 
-@q(
-    "emb_pq_reranked",
-    f"""WITH shortlist AS (
+def _pq_rerank_oracle_sql(nprobe=3, shortlist=160, topk=10) -> str:
+    """Two-stage re-rank oracle: PQ-ADC shortlist (the unrolled oracle
+    chain) -> exact integer re-rank against the original vectors. Shared
+    by emb_pq_reranked and its recall eval so the two stay in lockstep."""
+    return f"""WITH shortlist AS (
   SELECT vec_id, cell FROM (
 {_pq_search_oracle_sql(k=8, d=64, n_iter=1, m=8, ks=16, pq_iter=1,
-                       qid=0, nprobe=2, topk=40)}
+                       qid=0, nprobe=nprobe, topk=shortlist)}
 )),
 e AS (SELECT vec_id,
              list_transform(embedding::DOUBLE[],
@@ -6015,21 +6017,28 @@ SELECT s.vec_id, s.cell,
          i -> (e.fv[i] - qv.fv[i]) * (e.fv[i] - qv.fv[i])))::BIGINT AS d2
 FROM shortlist s JOIN e USING (vec_id) CROSS JOIN qv
 ORDER BY d2 ASC, s.vec_id ASC
-LIMIT 10""",
-)
+LIMIT {topk}"""
+
+
+@q("emb_pq_reranked", _pq_rerank_oracle_sql(nprobe=3, shortlist=160, topk=10))
 def emb_pq_reranked(spark, sf_dir):
-    """The full production ANN pipeline: PQ-ADC shortlist (40 candidates
+    """The full production ANN pipeline: PQ-ADC shortlist (160 candidates
     from the ~28x-compressed index, m integer table adds each) -> EXACT
-    integer re-rank of just those 40 against the original vectors ->
-    top-10. The standard two-stage recipe for recovering exact-search
+    integer re-rank of just those candidates against the original vectors
+    -> top-10. The standard two-stage recipe for recovering exact-search
     quality from a lossy index at 100 TB: full-dimension arithmetic
     touches `shortlist` rows per query, never the corpus. The shortlist
-    join is a 40-row broadcast; the re-rank is a narrow fold +
-    TakeOrderedAndProject; oracle-exact end to end."""
+    join is a 160-row broadcast; the re-rank is a narrow fold +
+    TakeOrderedAndProject; oracle-exact end to end. nprobe=3/shortlist=160
+    tuned by grid (VERDICT r4 #4): measured re-ranked recall@10 = 1.0 at
+    sf0.001 and 0.9 at sf0.01 vs 0.7 at the old nprobe=2/shortlist=40
+    (the 0.1 gap at sf0.01 is one truth neighbor in an unprobed 4th cell;
+    the all-probe ceiling is 1.0 — vectors are unit-norm so L2 == cosine
+    ranking)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _cluster.pq_rerank_search(
         emb, query_vec_id=0, k=8, n_iter=1, m=8, ks=16, pq_iter=1,
-        nprobe=2, shortlist=40, topk=10,
+        nprobe=3, shortlist=160, topk=10,
     ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
 
 
@@ -6121,6 +6130,32 @@ def emb_pq_recall_eval(spark, sf_dir):
     cand = _cluster.pq_search(
         emb, query_vec_id=0, k=8, n_iter=1, m=8, ks=16, pq_iter=1,
         nprobe=2, topk=10,
+    ).select(F.col("vec_id").alias("c_id"))
+    return _recall_eval_frame(spark, emb, cand)
+
+
+@q(
+    "emb_pq_reranked_recall_eval",
+    f"""WITH {_SQL_KNN_TRUTH},
+cand AS (SELECT vec_id FROM (
+{_pq_rerank_oracle_sql(nprobe=3, shortlist=160, topk=10)}
+)),
+{_SQL_RECALL_TAIL}""",
+)
+def emb_pq_reranked_recall_eval(spark, sf_dir):
+    """Recall@10 of the two-stage re-ranked PQ pipeline (ADC shortlist ->
+    exact integer re-rank) against the brute-force top-10 — the number
+    that decides whether the compressed index can SERVE (VERDICT r4 #4:
+    raw ADC measured 0.4@10, motivating the re-rank stage). Measured at
+    nprobe=3/shortlist=160: 1.0 at sf0.001, 0.9 at sf0.01 (the one miss
+    sits in an unprobed 4th cell; the all-probe ceiling is 1.0). Both
+    sides oracle-composed from already-gated operators, so the
+    meta-operator is fully hash-gated; tests/test_pq.py pins the >= 0.8
+    floor."""
+    emb = _emb(spark, sf_dir)
+    cand = _cluster.pq_rerank_search(
+        emb, query_vec_id=0, k=8, n_iter=1, m=8, ks=16, pq_iter=1,
+        nprobe=3, shortlist=160, topk=10,
     ).select(F.col("vec_id").alias("c_id"))
     return _recall_eval_frame(spark, emb, cand)
 
@@ -6270,23 +6305,37 @@ def _driver_row_rounds() -> dict:
     return latest
 
 
-def _rotation_order(names, latest=None) -> list:
+# Queries whose semantics changed since their last green ledger row (params
+# retuned, result set now different): a stale green row no longer evidences
+# the CURRENT behavior, so rotation treats them as never-checked. Clear an
+# entry once the driver writes a fresh row for the new semantics.
+_SEMANTICS_CHANGED = frozenset({
+    "emb_pq_reranked",  # r5: nprobe 2->3, shortlist 40->160 (VERDICT r4 #4)
+})
+
+
+def _rotation_order(names, latest=None, changed=None) -> list:
     """Stalest-driver-row-first ordering with failure fronting:
-    1. never-checked queries lead (no ledger row in any round),
+    1. never-checked queries lead (no ledger row in any round), joined by
+       queries whose semantics changed since their last row (stale rows
+       don't evidence new behavior),
     2. then queries whose LATEST driver row FAILED (red rows re-check next
        round instead of sorting as freshest — VERDICT r4 "wrong" #2),
     3. then ascending latest-row round (stalest first),
     registration order as the tiebreak throughout. `latest` (name ->
-    (round, failed)) is injectable for tests; defaults to the real ledgers."""
+    (round, failed)) and `changed` are injectable for tests; they default
+    to the real ledgers and _SEMANTICS_CHANGED."""
     names = list(names)
     if latest is None:
         latest = _driver_row_rounds()
+    if changed is None:
+        changed = _SEMANTICS_CHANGED
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n):
         row = latest.get(n)
-        if row is None:
-            return (0, 0, idx[n])  # never checked
+        if row is None or n in changed:
+            return (0, 0, idx[n])  # never checked (or row predates semantics)
         rno, failed = row
         if failed:
             return (1, rno, idx[n])  # latest row red: front of the checked set

@@ -190,6 +190,30 @@ def test_kmer_vector_case_folds():  # kmeru8.rs:46
     assert np.array_equal(K.kmer_vector(b"acgt", 3), K.kmer_vector(b"ACGT", 3))
 
 
+def test_kmer_vector_dirty_input_fence():  # kmeru8.rs:50-51 divergence
+    """SURVEY known-hard #1: the reference only skips grams containing 'N'
+    (kmeru8.rs:47-49); any OTHER exotic byte (IUPAC W/S, gaps, punctuation)
+    is inserted as a dynamic map key (kmeru8.rs:50-51), growing the map past
+    4^k and misaligning the lexicographic 4^k header row (kmer_maps.rs key
+    sort) and the CpG dinucleotide index (fw.rs:120 assumes index 6 == CG).
+    This engine DECLARES the divergence (kernels.py module docstring +
+    kmer_vector docstring): the domain is the dense 4^k array, and every
+    gram containing any non-ACGT byte — 'N' or otherwise — is dropped, so
+    the header alignment and the CpG index stay correct on dirty input."""
+    # grams of "AWSGT": AW, WS, SG, GT -> only GT survives the fence
+    v = K.kmer_vector(b"AWSGT", 2)
+    assert v.shape == (16,)  # dense domain never grows (unlike the ref map)
+    assert v.sum() == 1
+    assert v[11] == 1  # GT == index 2*4+3; lexicographic header intact
+    # CpG stays at index 6 even when W/S bytes surround the CG gram
+    v2 = K.kmer_vector(b"WCGSCGW", 2)
+    assert v2[6] == 2 and v2.sum() == 2
+    # lowercase exotic bytes fold like everything else: still fenced
+    assert np.array_equal(K.kmer_vector(b"awsgt", 2), v)
+    # all-dirty window: zero counts, not a crash and not spurious keys
+    assert K.kmer_vector(b"WWSSWW", 3).sum() == 0
+
+
 def test_kmer_names_lexicographic():
     names = K.kmer_names(2)
     assert names == sorted(names)

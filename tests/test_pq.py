@@ -140,6 +140,32 @@ def test_pq_encode_plan_is_joinless_and_jvm_only(spark, emb):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    """VERDICT r4 #4: the two-stage pipeline (ADC shortlist -> exact
+    re-rank) must recover >= 0.8 recall@10 vs brute force — raw ADC alone
+    measured 0.4. Pinned at the production params (nprobe=3,
+    shortlist=160) the contract's emb_pq_reranked ships with; measured
+    1.0 at sf0.001 and 0.9 at sf0.01 when this floor was set."""
+    from fasta_windows_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = {
+        r.neighbor_id
+        for r in S.knn_topk_exact(emb, query_ids=[0], k=10).collect()
+    }
+    got = {
+        r.vec_id
+        for r in C.pq_rerank_search(
+            emb, query_vec_id=0, k=K, n_iter=N_ITER, m=M, ks=KS,
+            pq_iter=PQ_ITER, nprobe=3, shortlist=160, topk=10,
+        ).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.8
+
+
 def test_pq_compression_accounting():
     """The index row is 1 cell byte + M code bytes (ks <= 256) vs D*4
     float32 bytes — the ~28x figure quoted in the contract docstring."""

@@ -50,14 +50,15 @@ def test_rotation_is_permutation_of_registry():
 
 def test_rotation_head_is_the_stalest_cap_queries():
     """_ROTATION_FIRST[:CAP] must be exactly the CAP highest-priority
-    queries: never-checked first (age ∞), then latest-row-FAILED
-    (VERDICT r4 "wrong" #2), then ascending latest-driver-row round."""
+    queries: never-checked OR semantics-changed first (age ∞), then
+    latest-row-FAILED (VERDICT r4 "wrong" #2), then ascending
+    latest-driver-row round."""
     latest = _ledger_rounds()
     names = list(contract.QUERIES)
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n):
-        if n not in latest:
+        if n not in latest or n in contract._SEMANTICS_CHANGED:
             return (0, 0, idx[n])
         rno, failed = latest[n]
         return (1 if failed else 2, rno, idx[n])
@@ -110,7 +111,10 @@ def test_rotation_order_synthetic_failure_fronting():
 
 def test_never_checked_queries_lead():
     latest = _ledger_rounds()
-    never = [n for n in contract.QUERIES if n not in latest]
+    never = [
+        n for n in contract.QUERIES
+        if n not in latest or n in contract._SEMANTICS_CHANGED
+    ]
     head = contract._ROTATION_FIRST[: len(never)]
     assert set(head) == set(never)
     # and they all fit inside the driver's row cap
@@ -118,3 +122,18 @@ def test_never_checked_queries_lead():
         f"{len(never)} never-checked queries exceed the {CAP}-row driver cap; "
         "some will not get a row this round"
     )
+
+
+def test_semantics_changed_queries_front():
+    """A query whose params were retuned after its last green row must be
+    re-checked next round — a stale green row does not evidence the new
+    behavior (r5: emb_pq_reranked nprobe/shortlist retune)."""
+    order = contract._rotation_order(
+        ["a", "b", "c"],
+        latest={"a": (4, False), "b": (1, False), "c": (2, False)},
+        changed={"a"},
+    )
+    assert order == ["a", "b", "c"]
+    for n in contract._SEMANTICS_CHANGED:
+        assert n in contract.QUERIES
+        assert n in contract._ROTATION_FIRST[:CAP]

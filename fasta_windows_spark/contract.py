@@ -5770,6 +5770,54 @@ def emb_kmeans_search(spark, sf_dir):
     ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
 
 
+def _semdedup_oracle_sql(
+    k: int = 8, d: int = 64, n_iter: int = 2, num2: int = 4, den2: int = 25
+) -> str:
+    """SemDeDup oracle on top of the unrolled-fit chain: join the final
+    assignment back to the quantized vectors, then reproduce the integer
+    cosine threshold (den2*dot^2 >= num2*|a|^2*|b|^2, dot > 0) in HUGEINT —
+    exact where Spark uses DECIMAL(38,0). Output columns are all small
+    integers, so no HUGEINT ever reaches pandas (the r4 rendering trap)."""
+    fit = _kmeans_oracle_sql(k, d, n_iter)
+    body = fit[len("WITH "): fit.rindex("\nSELECT")]
+    dims = f"range(1, {d + 1})"
+    dot = f"list_sum(list_transform({dims}, i -> x.fv[i] * y.fv[i]))::HUGEINT"
+    return f"""WITH {body},
+na AS (
+  SELECT a.vec_id, a.cell, q.fv,
+         list_sum(list_transform({dims}, i -> q.fv[i] * q.fv[i]))::HUGEINT
+           AS n2
+  FROM a{n_iter} a JOIN q USING (vec_id)
+),
+rem AS (
+  SELECT DISTINCT x.vec_id
+  FROM na x JOIN na y ON x.cell = y.cell AND y.vec_id < x.vec_id
+  WHERE {dot} > 0
+    AND {den2}::HUGEINT * {dot} * {dot} >= {num2}::HUGEINT * x.n2 * y.n2
+)
+SELECT na.vec_id, na.cell,
+       (CASE WHEN rem.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+FROM na LEFT JOIN rem USING (vec_id)"""
+
+
+@q("emb_semdedup", _semdedup_oracle_sql(k=8, d=64, n_iter=2, num2=4, den2=25))
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup semantic near-dup pruning (Abbas et al. 2023): trained
+    fixed-point k-means cells, then within each cell every vector with an
+    earlier-id cell-mate at cosine >= 2/5 is marked removed (kept=0) —
+    keep-first, the deterministic stand-in for the paper's random
+    representative. tau=0.4 sits in this corpus's semantic-duplicate band
+    (measured pair counts: 66/59/920 cell-unrestricted pairs at
+    sf0.001/0.01/0.1). The cosine test runs entirely in integers
+    (DECIMAL(38,0) vs HUGEINT products of quantized vectors), so the
+    kept/removed partition is bit-identical to the oracle — a float cosine
+    cutoff could flip rows at the last ulp. Scale story in
+    `operators/dedup.semdedup`: k grows with the corpus so the O(cell^2)
+    scan is bounded and `cell` is a fine-grained, size-balanced join key."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _dedup.semdedup(emb, k=8, n_iter=2, tau_num=2, tau_den=5)
+
+
 def _pq_oracle_cte(
     k: int = 8,
     d: int = 64,

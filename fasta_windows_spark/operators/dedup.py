@@ -1068,3 +1068,92 @@ def increment_novelty(
             ).alias("novelty_frac"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with the trained fixed-point k-means
+    (`cluster.kmeans_fit`), then inside each cell mark every vector that has
+    an EARLIER-id cell-mate with cosine similarity >= tau as a semantic
+    duplicate — the repo's keep-first convention (`dedup_spans_keep_first`),
+    deterministic where the paper's random-representative choice is not.
+    Returns (id, cell, kept int 0/1).
+
+    Oracle-exact cosine thresholding without a single float: with quantized
+    vectors (cluster.SCALE), cos(a,b) >= tau_num/tau_den iff
+        dot(fa,fb) > 0  AND  tau_den^2 * dot^2 >= tau_num^2 * |fa|^2 * |fb|^2,
+    all integer products. dot, |f|^2 <= d * SCALE^2 * |v|_max^2 ~ 6.4e13 for
+    unit-norm d=64, so the cubic-ish products reach ~1e29 — past int64 but
+    exact in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), which is what both
+    sides compare in. No rounding anywhere -> the kept/removed partition is
+    bit-identical across engines and any partitioning.
+
+    100 TB shape: the whole point of SemDeDup's clustering is that the
+    O(cell^2) pair scan is bounded — k grows with the corpus (the paper uses
+    n/k ~ 10^4 at web scale) so `cell` is a fine-grained join key and the
+    per-cell candidate sets stay small. Plan: one narrow assignment pass
+    (centroids are plan literals), one equi-join shuffle on `cell` (toy k=8
+    broadcasts; at real k it hash-partitions evenly by construction —
+    k-means cells are size-balanced compared to, e.g., host keys), then a
+    distinct + left join back, both partial-aggregated. Full-corpus text
+    never moves; only (id, cell, fv, |f|^2) rows enter the join."""
+    from . import cluster as C
+
+    centroids, _ = C.kmeans_fit(
+        emb, k, n_iter, id_col, vec_col, with_inertia=False
+    )
+    base = (
+        C._assign(C.quantize(emb, id_col, vec_col), centroids, id_col,
+                  keep_fv=True)
+        .select(
+            F.col(id_col).alias("vid"),
+            "cell",
+            "fv",
+            F.expr(
+                "aggregate(fv, 0L, (acc, x) -> acc + x * x)"
+            ).alias("n2"),
+        )
+    )
+    num2, den2 = tau_num * tau_num, tau_den * tau_den
+    x, y = base.alias("x"), base.alias("y")
+    dot = (
+        "aggregate(zip_with(x.fv, y.fv, (p, q) -> p * q), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    removed = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("y.vid") < F.col("x.vid")),
+        )
+        .withColumn("_dot", F.expr(dot))
+        .where(
+            (F.col("_dot") > 0)
+            & F.expr(
+                f"CAST({den2} AS DECIMAL(38,0)) * _dot * _dot >= "
+                f"CAST({num2} AS DECIMAL(38,0)) * x.n2 * y.n2"
+            )
+        )
+        .select(F.col("x.vid").alias("vid"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        base.select("vid", "cell")
+        .join(removed, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.when(F.col("_rm").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )

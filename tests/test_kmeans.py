@@ -126,3 +126,41 @@ def test_kmeans_search_plan_and_recall(spark):
     exact_ids = {vid for _, vid in exact}
     recall = len(got & exact_ids) / 10
     assert recall >= 0.5, (recall, sorted(got), sorted(exact_ids))
+
+
+def test_semdedup_matches_python_reference(spark):
+    """SemDeDup keep-first partition matches a plain-python reference on
+    the same quantized vectors under the same fitted centroids: removed
+    iff an earlier-id cell-mate sits at cosine >= 2/5, the threshold
+    evaluated in exact integer arithmetic (no float cosine anywhere)."""
+    from fasta_windows_spark.operators import dedup as D
+
+    emb, vecs = _quantized(spark)
+    k, n_iter = 8, 2
+    centroids, _ = C.kmeans_fit(emb, k, n_iter, with_inertia=False)
+    cells = {}
+    for vid, fv in vecs.items():
+        best = min(
+            (sum((x - y) * (x - y) for x, y in zip(fv, c)) * k + ci)
+            for ci, c in enumerate(centroids)
+        )
+        cells.setdefault(best % k, []).append(vid)
+    n2 = {v: sum(x * x for x in fv) for v, fv in vecs.items()}
+    expected = {}
+    for cell, members in cells.items():
+        for vid in members:
+            removed = any(
+                (d := sum(p * q for p, q in zip(vecs[vid], vecs[o]))) > 0
+                and 25 * d * d >= 4 * n2[vid] * n2[o]
+                for o in members
+                if o < vid
+            )
+            expected[vid] = (cell, 0 if removed else 1)
+    got = {
+        int(r["vec_id"]): (int(r["cell"]), int(r["kept"]))
+        for r in D.semdedup(emb, k=k, n_iter=n_iter).collect()
+    }
+    assert got == expected
+    assert sum(1 for _, kept in got.values() if kept == 0) > 0, (
+        "threshold must actually remove something at this scale"
+    )

@@ -52,6 +52,8 @@ HEADLINE = [
     "docs_bm25_search",         # exact cross-engine BM25 retrieval
     "docs_minhash_incremental", # daily-increment band join vs index
     "docs_zorder_layout",       # Morton key + file assignment
+    # round-5 family (bench grows in lockstep with the contract):
+    "emb_semdedup",             # SemDeDup: k-means cells + in-cell cosine
 ]
 
 

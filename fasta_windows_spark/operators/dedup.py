@@ -1078,6 +1078,7 @@ def semdedup(
     tau_den: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster the embeddings with the trained fixed-point k-means
@@ -1107,9 +1108,12 @@ def semdedup(
     never moves; only (id, cell, fv, |f|^2) rows enter the join."""
     from . import cluster as C
 
-    centroids, _ = C.kmeans_fit(
-        emb, k, n_iter, id_col, vec_col, with_inertia=False
-    )
+    if centroids is None:
+        # pass pretrained centroids to skip the fit (the streaming twin and
+        # any assign-only rerun share one quantizer, as at real scale)
+        centroids, _ = C.kmeans_fit(
+            emb, k, n_iter, id_col, vec_col, with_inertia=False
+        )
     base = (
         C._assign(C.quantize(emb, id_col, vec_col), centroids, id_col,
                   keep_fv=True)

@@ -1836,3 +1836,93 @@ def test_window_novelty_stream_matches_batch(spark, tmp_path):
     # the planted half-index makes novelty genuinely partial
     assert 0 < got["n_novel"].sum() < got["n_shingles"].sum()
     index.unpersist()
+
+
+from fasta_windows_spark.streaming import semdedup as SD  # noqa: E402
+from fasta_windows_spark.operators import cluster as CL  # noqa: E402
+from fasta_windows_spark.operators import dedup as DD  # noqa: E402
+
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def _semdedup_stream_run(spark, src, centroids, name, max_files=None):
+    stream = spark.readStream.schema(EMB_SCHEMA)
+    if max_files is not None:
+        stream = stream.option("maxFilesPerTrigger", max_files)
+    ev = SD.semdedup_stream(stream.parquet(src), centroids)
+    q = (
+        ev.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        int(r["vec_id"]): (int(r["cell"]), int(r["kept"]))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_semdedup_stream_matches_batch(spark, tmp_path):
+    """A stream fed in vec_id order reproduces batch SemDeDup EXACTLY
+    (same pretrained centroids, same integer cosine test): the keyed
+    full-cell state makes the online keep-first rule identical to the
+    batch in-cell earlier-id join."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, _ = CL.kmeans_fit(emb, k=8, n_iter=2, with_inertia=False)
+    expected = {
+        int(r["vec_id"]): (int(r["cell"]), int(r["kept"]))
+        for r in DD.semdedup(emb, centroids=centroids).collect()
+    }
+    src = str(tmp_path / "sd_src")
+    os.makedirs(src, exist_ok=True)
+    emb.orderBy("vec_id").coalesce(1).write.mode("overwrite").parquet(src)
+    got = _semdedup_stream_run(spark, src, centroids, "sd_ev1")
+    assert got == expected
+    assert sum(1 for _, k in got.values() if k == 0) > 0
+
+
+def test_semdedup_stream_cross_batch_state(spark, tmp_path):
+    """Verdicts in a LATER micro-batch must consult state written by an
+    earlier one: splitting the corpus into two files (one per trigger)
+    still reproduces the batch result, and at least one second-half
+    removal is caused by a first-half vector."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, _ = CL.kmeans_fit(emb, k=8, n_iter=2, with_inertia=False)
+    batch = {
+        int(r["vec_id"]): (int(r["cell"]), int(r["kept"]))
+        for r in DD.semdedup(emb, centroids=centroids).collect()
+    }
+    pdf = emb.orderBy("vec_id").toPandas()
+    src = str(tmp_path / "sd_src2")
+    os.makedirs(src, exist_ok=True)
+    half = len(pdf) // 2
+    kw = dict(index=False)
+    pdf.iloc[:half].to_parquet(os.path.join(src, "part-000.parquet"), **kw)
+    pdf.iloc[half:].to_parquet(os.path.join(src, "part-001.parquet"), **kw)
+    got = _semdedup_stream_run(spark, src, centroids, "sd_ev2", max_files=1)
+    assert got == batch
+    # cross-batch evidence: some removed second-half vector whose ONLY
+    # earlier matches are in the first half (re-derive via python ints)
+    fvs = {
+        int(r.vec_id): [int(round(float(x) * CL.SCALE)) for x in r.embedding]
+        for r in pdf.itertuples()
+    }
+    n2 = {v: sum(x * x for x in fv) for v, fv in fvs.items()}
+    cross = 0
+    for vid, (cell, kept) in got.items():
+        if kept or vid < half:
+            continue
+        earlier = [
+            o for o, (c2, _) in got.items() if c2 == cell and o < vid
+        ]
+        match = [
+            o for o in earlier
+            if (d := sum(p * q for p, q in zip(fvs[vid], fvs[o]))) > 0
+            and 25 * d * d >= 4 * n2[vid] * n2[o]
+        ]
+        assert match, vid
+        if all(o < half for o in match):
+            cross += 1
+    assert cross > 0, "no removal crossed the batch boundary"

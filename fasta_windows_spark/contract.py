@@ -5818,6 +5818,66 @@ def emb_semdedup(spark, sf_dir):
     return _dedup.semdedup(emb, k=8, n_iter=2, tau_num=2, tau_den=5)
 
 
+def _clean_corpus_semantic_oracle_sql() -> str:
+    sem = _semdedup_oracle_sql(k=8, d=64, n_iter=2, num2=4, den2=25)
+    sem_body = sem[len("WITH "): sem.rindex("\nSELECT")]
+    return f"""WITH {sem_body},
+semkeep AS (
+  SELECT na.vec_id AS doc_id FROM na
+  LEFT JOIN rem USING (vec_id) WHERE rem.vec_id IS NULL
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+t AS (
+  SELECT doc_id, lower(text) AS lt, length(text)::BIGINT AS n_chars,
+         string_split(lower(text),' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, t -> list_contains({_SQL_STOP['en']}, t)))::DOUBLE
+           AS stop
+  FROM t
+)
+SELECT s.doc_id, s.n_chars, s.n_tokens
+FROM s JOIN keep USING (doc_id) JOIN semkeep USING (doc_id)
+WHERE s.n_tokens >= 10 AND s.stop/s.n_tokens > 0.02"""
+
+
+def docs_clean_corpus_semantic_impl(spark, sf_dir):
+    """The r5 end-product composition: quality filter AND exact-dedup
+    keep-list AND SemDeDup semantic keep-list in ONE plan — what a
+    training-corpus build actually ships after adding embedding-level
+    pruning on top of lexical dedup. Both keep-lists join LEFT SEMI on
+    doc_id (embeddings.vec_id is the documents.doc_id by fixture design,
+    TESTDATA.md), so no payload duplicates and at 100 TB each keeper
+    table is the small side of a doc_id-keyed semi join; the semantic
+    branch reuses the oracle-gated emb_semdedup plan unchanged."""
+    docs = _docs(spark, sf_dir)
+    qd = _text.with_quality(docs).where(F.col("quality_ok"))
+    keep = _dedup.exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = (
+        _dedup.semdedup(emb, k=8, n_iter=2, tau_num=2, tau_den=5)
+        .where(F.col("kept") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        qd.join(keep, "doc_id", "left_semi")
+        .join(sem, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+QUERIES["docs_clean_corpus_semantic"] = docs_clean_corpus_semantic_impl
+ORACLES["docs_clean_corpus_semantic"] = _clean_corpus_semantic_oracle_sql()
+
+
 def _pq_oracle_cte(
     k: int = 8,
     d: int = 64,

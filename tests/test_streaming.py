@@ -1926,3 +1926,56 @@ def test_semdedup_stream_cross_batch_state(spark, tmp_path):
         if all(o < half for o in match):
             cross += 1
     assert cross > 0, "no removal crossed the batch boundary"
+
+
+def test_semdedup_stream_checkpoint_resume_consistent(spark, tmp_path):
+    """Kill after the first micro-batch, resume from the checkpoint: the
+    final (vec_id -> cell, kept) map equals the uninterrupted run's —
+    the full-cell state replays and no verdict is duplicated or flipped."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, _ = CL.kmeans_fit(emb, k=8, n_iter=2, with_inertia=False)
+    pdf = emb.orderBy("vec_id").toPandas()
+    src = str(tmp_path / "sd_src3")
+    os.makedirs(src, exist_ok=True)
+    quarter = len(pdf) // 4
+    for i in range(4):
+        pdf.iloc[i * quarter : (i + 1) * quarter].to_parquet(
+            os.path.join(src, f"part-{i:03d}.parquet"), index=False
+        )
+
+    def run(out, ck, interrupt):
+        stream = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ev = SD.semdedup_stream(stream, centroids)
+        if interrupt:
+            q1 = (
+                ev.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            while not q1.recentProgress:
+                pass
+            q1.stop()
+            q1.awaitTermination(60)
+        q = (
+            ev.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        got = {int(r["vec_id"]): (int(r["cell"]), int(r["kept"])) for r in rows}
+        assert len(rows) == len(got), "duplicated verdicts after resume"
+        return got
+
+    a = run(str(tmp_path / "sd_o1"), str(tmp_path / "sd_c1"), interrupt=False)
+    b = run(str(tmp_path / "sd_o2"), str(tmp_path / "sd_c2"), interrupt=True)
+    assert a == b and len(a) == len(pdf)

@@ -52,8 +52,9 @@ HEADLINE = [
     "docs_bm25_search",         # exact cross-engine BM25 retrieval
     "docs_minhash_incremental", # daily-increment band join vs index
     "docs_zorder_layout",       # Morton key + file assignment
-    # round-5 family (bench grows in lockstep with the contract):
+    # round-5 families (bench grows in lockstep with the contract):
     "emb_semdedup",             # SemDeDup: k-means cells + in-cell cosine
+    "tpch_q20_promotion_stock", # derived-partsupp family: widest join tree
 ]
 
 

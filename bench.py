@@ -137,6 +137,51 @@ def streaming_windows_per_sec(spark, scratch: str, n_pages: int = 24000) -> dict
     }
 
 
+def capstone_pages_per_sec(spark, scratch: str, n_pages: int = 24000) -> dict:
+    """Throughput of the north-star CAPSTONE plan (the full BASELINE.json
+    sentence in one query): per-page JVM count reduction -> stateful
+    stream-stream join with the late lang-detection side stream ->
+    event-time windowed stats keyed by (host, detected_lang) ->
+    exactly-once sink. Reports pages/sec through the chained-stateful
+    pipeline plus emitted result rows."""
+    from fasta_windows_spark.sources import pages as P
+    from fasta_windows_spark.streaming import pipeline as S
+
+    src = os.path.join(scratch, "cap_pages")
+    lsrc = os.path.join(scratch, "cap_lang")
+    out = os.path.join(scratch, "cap_out")
+    ck = os.path.join(scratch, "cap_ck")
+    for d in (src, lsrc, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    pdf = P.gen_pages(
+        n_pages=n_pages, n_hosts=200, n_hot_hosts=4, seed=42,
+        min_len=4000, max_len=12000,
+    )
+    P.write_pages_parquet(pdf, src, n_files=32)
+    lang_pdf = P.gen_lang_detect(pdf)
+    os.makedirs(lsrc, exist_ok=True)
+    lang_pdf.to_parquet(
+        os.path.join(lsrc, "part-0000.parquet"), index=False, coerce_timestamps="us"
+    )
+
+    t0 = time.perf_counter()
+    pages = S.read_pages_stream(spark, src)
+    lang = spark.readStream.schema(S.LANG_SCHEMA).parquet(lsrc)
+    agg = S.north_star_stats_with_lang(pages, lang, window="10 minutes")
+    q = S.write_exactly_once(agg, out, ck)
+    finished = q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    if not finished:
+        q.stop()
+        return {"capstone_wall_sec": round(wall, 2), "capstone_timeout": True}
+    rows = spark.read.parquet(out).count()
+    return {
+        "capstone_wall_sec": round(wall, 2),
+        "capstone_rows": int(rows),
+        "capstone_pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -174,6 +219,14 @@ def main():
             "windows_per_sec", 0
         ):
             stream_stats = st
+    cap_stats = None
+    for _ in range(2):
+        cs = capstone_pages_per_sec(spark, scratch)
+        log(f"[bench] capstone: {cs}")
+        if cap_stats is None or cs.get("capstone_pages_per_sec", 0) > cap_stats.get(
+            "capstone_pages_per_sec", 0
+        ):
+            cap_stats = cs
     shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
@@ -202,6 +255,7 @@ def main():
         "queries": times,
         "sf": float(sf),
         **stream_stats,
+        **cap_stats,
         **scaling,
         "cpus": cpus,
     }

@@ -379,6 +379,89 @@ def join_lang_stream(
     )
 
 
+def north_star_stats_with_lang(
+    pages: DataFrame,
+    lang: DataFrame,
+    window: str = "10 minutes",
+    bound: str = "30 minutes",
+    pages_watermark: str = "10 minutes",
+    lang_watermark: str = "30 minutes",
+) -> DataFrame:
+    """The BASELINE.json north-star sentence as ONE chained-stateful plan:
+    per-page window-stats counts, correlated with the late-arriving
+    lang-detection side stream (stateful stream-stream join), aggregated
+    into event-time tumbling windows keyed by (host, detected_lang), ready
+    for the exactly-once sink. Two scale decisions:
+
+    1. Counts REDUCE BEFORE the join: each page collapses to six longs
+       (length + case-folded ACGTN counts, whole-stage-codegen JVM
+       expressions) before touching join state, so the RocksDB join buffer
+       holds ~50 bytes/page instead of the page text — at 10^12 pages the
+       difference between a working join and an OOM.
+    2. The join is INNER within ±`bound` of warc_ts with watermarks on
+       both sides (state eviction), then the windowed aggregation chains
+       as a SECOND stateful operator (supported since Spark 3.5's multiple
+       stateful operators; watermark propagates through the join). Each
+       (page, detection) correlation contributes once — the same relational
+       semantics the batch twin computes, so stream == batch is exact.
+
+    Batch twin: this SAME function over static frames (withWatermark is a
+    no-op in batch plans — EliminateEventTimeWatermark), pinned by
+    `test_north_star_pipeline_stream_matches_batch`."""
+    p = with_host(pages).withWatermark("warc_ts", pages_watermark)
+    counts = page_count_columns(p).alias("p")
+    l = lang.withWatermark("detect_ts", lang_watermark).alias("l")
+    cond = (
+        (F.col("p.host") == F.col("l.host"))
+        & (F.col("l.detect_ts") >= F.col("p.warc_ts") - F.expr(f"INTERVAL {bound}"))
+        & (F.col("l.detect_ts") <= F.col("p.warc_ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    joined = counts.join(l, cond, "inner").select(
+        F.col("p.host").alias("host"),
+        F.col("p.warc_ts").alias("warc_ts"),
+        F.col("l.lang").alias("detected_lang"),
+        "n_chars",
+        "cnt_a",
+        "cnt_c",
+        "cnt_g",
+        "cnt_t",
+        "cnt_n",
+    )
+    agg = joined.groupBy(
+        F.window("warc_ts", window).alias("w"), "host", "detected_lang"
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("cnt_a").alias("cnt_a"),
+        F.sum("cnt_c").alias("cnt_c"),
+        F.sum("cnt_g").alias("cnt_g"),
+        F.sum("cnt_t").alias("cnt_t"),
+        F.sum("cnt_n").alias("cnt_n"),
+    )
+    gc_den = (
+        F.col("cnt_g") + F.col("cnt_c") + F.col("cnt_a") + F.col("cnt_t")
+    ).cast("double")
+    return agg.select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "host",
+        "detected_lang",
+        "n_pages",
+        "total_chars",
+        "cnt_a",
+        "cnt_c",
+        "cnt_g",
+        "cnt_t",
+        "cnt_n",
+        F.round(_entropy6_finisher(), 6).alias("entropy6_merged"),
+        F.round(
+            (F.col("cnt_g") + F.col("cnt_c")).cast("double")
+            / F.nullif(gc_den, F.lit(0)),
+            6,
+        ).alias("gc_prop"),
+    )
+
+
 def filter_blocklist_stream(
     pages: DataFrame, hosts: DataFrame, anti: bool = True
 ) -> DataFrame:

@@ -1979,3 +1979,93 @@ def test_semdedup_stream_checkpoint_resume_consistent(spark, tmp_path):
     a = run(str(tmp_path / "sd_o1"), str(tmp_path / "sd_c1"), interrupt=False)
     b = run(str(tmp_path / "sd_o2"), str(tmp_path / "sd_c2"), interrupt=True)
     assert a == b and len(a) == len(pdf)
+
+
+def _lang_dir_for(pages_pdf, tmp_path, name="lang_src"):
+    lang_pdf = P.gen_lang_detect(pages_pdf)
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    lang_pdf.to_parquet(
+        os.path.join(d, "part-0000.parquet"), index=False, coerce_timestamps="us"
+    )
+    return d
+
+
+def test_north_star_pipeline_stream_matches_batch(spark, pages_dir, pages_pdf, tmp_path):
+    """Capstone: the full north-star sentence in ONE streaming plan —
+    per-page counts -> stateful stream-stream join with the late lang side
+    stream -> event-time windowed stats keyed by (host, detected_lang) ->
+    exactly-once sink — and every emitted row equals the SAME function run
+    as a batch plan (withWatermark is a no-op in batch)."""
+    lang_dir = _lang_dir_for(pages_pdf, tmp_path)
+    pages = S.read_pages_stream(spark, pages_dir)
+    lang = spark.readStream.schema(S.LANG_SCHEMA).parquet(lang_dir)
+    agg = S.north_star_stats_with_lang(pages, lang, window="10 minutes")
+    out = str(tmp_path / "ns_out")
+    q = S.write_exactly_once(agg, out, str(tmp_path / "ns_ck"))
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    batch_pages = P.spark_pages(spark, pages_pdf)
+    lang_batch = spark.read.schema(S.LANG_SCHEMA).parquet(lang_dir)
+    expected = S.north_star_stats_with_lang(batch_pages, lang_batch, window="10 minutes")
+    keys = ["w_start", "host", "detected_lang"]
+    g = got.toPandas().set_index(keys).sort_index()
+    e = expected.toPandas().set_index(keys).sort_index()
+    assert len(g) > 0
+    joined = g.join(e, how="left", rsuffix="_b")
+    for c in (
+        "n_pages", "total_chars", "cnt_a", "cnt_c", "cnt_g", "cnt_t", "cnt_n",
+        "entropy6_merged", "gc_prop",
+    ):
+        a = joined[c].astype(float)
+        b = joined[f"{c}_b"].astype(float)
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_north_star_pipeline_checkpoint_resume(spark, pages_dir, pages_pdf, tmp_path):
+    """Kill the capstone pipeline after the first micro-batch and resume
+    from the same checkpoint: no duplicate (window, host, lang) keys, and
+    every emitted row still equals the batch twin (exactly-once across the
+    restart, both stateful operators recovering from RocksDB state)."""
+    lang_dir = _lang_dir_for(pages_pdf, tmp_path)
+    out = str(tmp_path / "nsr_out")
+    ck = str(tmp_path / "nsr_ck")
+
+    def stream(max_files=None):
+        pages = S.read_pages_stream(spark, pages_dir, max_files_per_trigger=max_files)
+        lang = spark.readStream.schema(S.LANG_SCHEMA).parquet(lang_dir)
+        return S.north_star_stats_with_lang(pages, lang, window="10 minutes")
+
+    q1 = (
+        stream(max_files=1)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    while not q1.recentProgress:
+        pass
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = S.write_exactly_once(stream(), out, ck)
+    q2.awaitTermination(180)
+    resumed = spark.read.parquet(out)
+    keys = ["w_start", "host", "detected_lang"]
+    assert resumed.count() > 0
+    assert (
+        resumed.groupBy(*keys).count().where(F.col("count") > 1).count() == 0
+    ), "duplicate keys after resume"
+
+    batch_pages = P.spark_pages(spark, pages_pdf)
+    lang_batch = spark.read.schema(S.LANG_SCHEMA).parquet(lang_dir)
+    expected = S.north_star_stats_with_lang(batch_pages, lang_batch, window="10 minutes")
+    g = resumed.toPandas().set_index(keys).sort_index()
+    e = expected.toPandas().set_index(keys).sort_index()
+    joined = g.join(e, how="left", rsuffix="_b")
+    for c in ("n_pages", "total_chars", "entropy6_merged"):
+        a = joined[c].astype(float)
+        b = joined[f"{c}_b"].astype(float)
+        assert ((a == b) | (a.isna() & b.isna())).all(), c

@@ -127,6 +127,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_inertia: bool = True,
+    _quantized: DataFrame | None = None,
 ) -> tuple[list[list[int]], list[int]]:
     """Lloyd's iterations to (at most) `n_iter`, early-stop on a fixed
     point. Init = the k lowest-id vectors (the `ivf_centroids` convention,
@@ -140,8 +141,15 @@ def kmeans_fit(
     empty). Centroids are identical either way."""
     # quantize once and pin it: every iteration re-scans this frame, and
     # localCheckpoint keeps the per-iteration plans shallow (the
-    # connected-components / pagerank lineage protocol)
-    q = quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
+    # connected-components / pagerank lineage protocol). Callers that
+    # already hold the pinned (id, fv) frame (semdedup assigns under the
+    # same quantizer right after fitting) pass it via `_quantized` so the
+    # corpus is quantized and materialized exactly once.
+    q = (
+        _quantized
+        if _quantized is not None
+        else quantize(emb, id_col, vec_col).localCheckpoint(eager=True)
+    )
     init = (
         q.orderBy(id_col).limit(k).select("fv").collect()
     )

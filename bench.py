@@ -55,6 +55,7 @@ HEADLINE = [
     # round-5 families (bench grows in lockstep with the contract):
     "emb_semdedup",             # SemDeDup: k-means cells + in-cell cosine
     "tpch_q20_promotion_stock", # derived-partsupp family: widest join tree
+    "docs_dup_components_star", # large-star/small-star CC (edge rewriting)
 ]
 
 

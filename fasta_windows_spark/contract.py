@@ -4450,6 +4450,29 @@ def docs_dup_components_incremental(spark, sf_dir):
 
 
 @q(
+    "docs_dup_components_star",
+    f"""
+WITH RECURSIVE {_SQL_DUP_COMP_CTES}
+SELECT doc_id, component_id FROM comp
+""",
+)
+def docs_dup_components_star(spark, sf_dir):
+    """The SAME clustering as docs_dup_components, computed by the
+    alternating large-star/small-star algorithm (Kiveris et al. SoCC'14,
+    `operators/dedup.connected_components_star`) instead of min-label
+    propagation — the trillion-edge MapReduce form this repo's SCALE.md
+    had only cited until now. No per-node label table crosses the wire:
+    each round rewrites only the (non-increasing) edge set via two
+    groupBy-min + join passes, converging in O(log^2 n) rounds on any
+    graph shape. The oracle is the identical recursive-CTE fixpoint as
+    docs_dup_components, so the two engines AND the two algorithms must
+    agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    pairs = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs))
+    return _dedup.connected_components_star(pairs, docs.select("doc_id"))
+
+
+@q(
     "docs_media_bmp",
     """
 SELECT doc_id,

@@ -541,8 +541,9 @@ def connected_components(
     graph converges as fast as the clique-ish clusters LSH banding
     actually produces). Raises if the fixpoint is not reached within
     max_iter (silently returning unconverged labels would be a wrong
-    answer). At 10^12-doc scale the same primitives rearranged as
-    alternating large-star/small-star give the classic MapReduce form.
+    answer). At 10^12-doc scale use the sibling
+    `connected_components_star` (alternating large-star/small-star — the
+    classic MapReduce form), which produces bit-identical labels.
     `localCheckpoint` truncates plan lineage per round so the driver
     never re-plans an iteration-deep DAG; on a cluster use reliable
     `checkpoint` instead."""
@@ -598,6 +599,118 @@ def connected_components(
         )
     free_local_checkpoint(edges)  # labels is its own checkpoint; edges is dead
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    MapReduce and Beyond", SoCC 2014): the 10^12-edge form that
+    `connected_components`' docstring promises, implemented rather than
+    cited. Same contract and bit-identical output: every node labeled with
+    the smallest id reachable through the undirected pair edges; docs with
+    no pair stay their own singleton component.
+
+    Why a second algorithm: label propagation shuffles a LABEL TABLE of
+    |V| rows every round alongside the edges; the star alternation
+    rewrites only the EDGE multiset, whose size is non-increasing per
+    round, and provably converges in O(log^2 n) rounds on ANY graph shape
+    (paper Thm 2) — no per-node state, no pointer table, which is why this
+    is the classic trillion-edge MapReduce form.
+
+    Edges are kept as a distinct set canonically oriented (u > v):
+    - large-star: for every node u, hook every LARGER neighbor onto
+      m = min(N(u) ∪ {u}). One symmetric explode, one partial-aggregated
+      groupBy(u) min, one u-key equi-join back — the emitted (v, m) pairs
+      are already (larger, smaller) by construction.
+    - small-star: on the (larger → smaller) orientation directly, re-point
+      u and its smaller neighbors at m = min(N<(u) ∪ {u}). Same
+      one-groupBy + one-join shape.
+    A full round is therefore ~4 hash-partitioned shuffles on node keys,
+    all map-side combined, with lineage truncated per round
+    (`localCheckpoint`; use reliable `checkpoint` on a cluster) and the
+    superseded round's RDD freed eagerly. Convergence = the edge set is
+    stable across a full round (both sets are distinct, so count equality
+    + empty exceptAll is exact set equality; at real scale the same check
+    rides the count + a sum-of-xxhash64 signature instead of exceptAll).
+    At the fixpoint every component is a star centered at its minimum
+    node (paper Lemma 1), so labels fall out of the final edge set as the
+    (child → root) map, left-joined onto `nodes` for singletons. Raises
+    if max_iter rounds don't converge — unconverged labels are wrong
+    answers, same policy as `connected_components`."""
+    from ..staging import free_local_checkpoint
+
+    e = pairs.select(
+        F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("u"),
+        F.least(F.col(a_col), F.col(b_col)).cast("long").alias("v"),
+    )
+    edges = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+
+    def _large_star(E: DataFrame) -> DataFrame:
+        sym = E.select("u", "v").unionAll(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m = min(N(u) ∪ {u}) = least(u, min over neighbors)
+        mins = sym.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))  # hook larger neighbors only
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(E: DataFrame) -> DataFrame:
+        # E is oriented (u > v): N<(u) is exactly u's out-neighborhood
+        mins = E.groupBy("u").agg(F.min("v").alias("m"))
+        repointed = (
+            E.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return (
+            mins.select("u", F.col("m").alias("v"))
+            .unionAll(repointed)
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        stable = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).isEmpty()
+        )
+        free_local_checkpoint(edges)
+        edges = new_edges
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint = stars centered at component minima: edges ARE (child, root);
+    # groupBy-min is belt-and-braces (a star child has exactly one root)
+    # the final checkpoint stays persisted: the returned plan reads it
+    # (unpersisting a truncated-lineage RDD with a live reader would fail);
+    # it is released when the frame is garbage-collected, as in
+    # connected_components' returned `labels`
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return (
+        nodes.select(F.col(id_col).cast("long").alias("u"))
+        .join(roots, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("root", "u").alias("component_id"),
+        )
+    )
 
 
 def cdc_chunks(

@@ -163,6 +163,63 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, nodes, max_iter=1)
 
 
+def test_star_components_match_label_propagation(spark):
+    """connected_components_star (alternating large-star/small-star,
+    Kiveris et al. SoCC'14) must produce BIT-IDENTICAL labels to the
+    min-label-propagation path on adversarial shapes: a 256-node chain
+    (deep diameter), a triangle, a star already at its fixpoint, a
+    randomized multi-component graph, and singletons."""
+    import random
+
+    from fasta_windows_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(255)]
+    tri = [(300, 301), (301, 302), (300, 302)]
+    star = [(400, v) for v in range(401, 410)]
+    rng = random.Random(11)
+    rand = [
+        (500 + rng.randrange(40), 500 + rng.randrange(40)) for _ in range(70)
+    ]
+    rand = [(a, b) for a, b in rand if a != b]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain + tri + star + rand, columns=["doc_a", "doc_b"])
+    )
+    all_ids = sorted(
+        {x for e in chain + tri + star + rand for x in e} | {999}
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": all_ids}))
+    # the 256-chain needs ~log^2 rounds; 15 is far under propagation's 255
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components_star(pairs, nodes, max_iter=15).collect()
+    }
+    want = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == want
+    assert all(got[i] == 0 for i in range(256))
+    assert got[999] == 999
+
+
+def test_star_components_raise_without_convergence(spark):
+    """Same refusal policy as connected_components: max_iter=1 on a deep
+    chain must raise, never return a half-contracted edge set as labels."""
+    import pytest as _pytest
+
+    from fasta_windows_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(40)], columns=["doc_a", "doc_b"])
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(41))}))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(pairs, nodes, max_iter=1)
+
+
 def test_jaccard_hashed_shingles_equal_string_shingles(spark):
     """The xxhash64 shingle path must produce the IDENTICAL pair set and
     counts as the exact string path (collisions are ~2^-65-scale; any

@@ -56,6 +56,8 @@ HEADLINE = [
     "emb_semdedup",             # SemDeDup: k-means cells + in-cell cosine
     "tpch_q20_promotion_stock", # derived-partsupp family: widest join tree
     "docs_dup_components_star", # large-star/small-star CC (edge rewriting)
+    "docs_dsir_sample",         # DSIR importance weights + Gumbel top-k
+    "emb_sq8_search",           # SQ8 scalar-quantized ANN (fit + search)
 ]
 
 

@@ -2102,6 +2102,75 @@ def docs_priority_sample(spark, sf_dir):
     return _sampling.priority_sample(d, k=_PS_K, weight_col="w")
 
 
+# Shared DSIR CTEs (Xie et al., NeurIPS 2023): hashed-unigram target/raw
+# LMs (B=256 md5 buckets, add-1 smoothing) and per-doc log importance
+# weights. Shared by docs_dsir_logweights and docs_dsir_sample so the
+# sample's resampling keys are computed over the SAME rounded weights the
+# weight query emits.
+_DSIR_B = 256
+_DSIR_K = 25
+_SQL_DSIR_CTE = f"""
+dtok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                unnest(string_split(lower(text), ' ')) AS tok
+         FROM documents),
+dtb AS (SELECT doc_id, is_t,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS b
+        FROM dtok),
+dbkt AS (SELECT b, count(*) AS cnt_r, sum(is_t) AS cnt_t FROM dtb GROUP BY 1),
+dtot AS (SELECT sum(cnt_r) AS t_r, sum(cnt_t) AS t_t FROM dbkt),
+dlr AS (SELECT b,
+               log2((cnt_t + 1) / (t_t + {_DSIR_B}.0))
+               - log2((cnt_r + 1) / (t_r + {_DSIR_B}.0)) AS lr
+        FROM dbkt CROSS JOIN dtot),
+dtf AS (SELECT doc_id, b, count(*) AS tf FROM dtb GROUP BY 1, 2),
+dw AS (SELECT dtf.doc_id, sum(dtf.tf)::BIGINT AS n_tokens,
+              round(sum(dtf.tf * dlr.lr), 6) AS logw
+       FROM dtf JOIN dlr USING (b)
+       GROUP BY 1)"""
+
+
+@q(
+    "docs_dsir_logweights",
+    f"WITH {_SQL_DSIR_CTE}\nSELECT doc_id, n_tokens, logw FROM dw",
+)
+def docs_dsir_logweights(spark, sf_dir):
+    """DSIR importance weights (operators/sampling.py:dsir_logweights):
+    per-doc log2-likelihood ratio between a hashed-unigram LM fit on the
+    lang='en' target slice and one fit on the whole corpus — the Xie et
+    al. 2023 data-selection score. Both LMs fit in ONE corpus pass
+    (count(*) + sum(is_target) in the same partial-agg groupBy); the
+    256-row bucket model broadcasts; text never shuffles."""
+    d = _docs(spark, sf_dir)
+    return _sampling.dsir_logweights(
+        d, target=F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+
+
+@q(
+    "docs_dsir_sample",
+    f"""WITH {_SQL_DSIR_CTE}
+SELECT doc_id, logw,
+       round(logw - ln(-ln(
+         (('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))::BIGINT + 0.5)
+         / 4294967296.0)), 6) AS gumbel_key
+FROM dw
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT {_DSIR_K}""",
+)
+def docs_dsir_sample(spark, sf_dir):
+    """DSIR's resampling step (operators/sampling.py:dsir_gumbel_topk):
+    k={_DSIR_K} docs sampled without replacement with probability
+    proportional to exp(logw) via Gumbel top-k, the noise derived from
+    md5(doc_id:dsir) so membership is rerun/resume/repartition-stable and
+    oracle-reproducible. Compiles to TakeOrderedAndProject — no global
+    sort."""
+    d = _docs(spark, sf_dir)
+    w = _sampling.dsir_logweights(
+        d, target=F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+    return _sampling.dsir_gumbel_topk(w, k=_DSIR_K)
+
+
 # Shared unigram-LM CTEs (sur = per-doc rounded bits/token). Used by BOTH
 # docs_unigram_surprisal and docs_surprisal_buckets so the two oracles
 # cannot drift — the bucket thresholds must be computed over the SAME
@@ -5672,6 +5741,78 @@ def emb_dim_truncation_recall(spark, sf_dir):
             _r6(F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+# Shared SQ8 CTEs: fixed-point corpus -> per-dim (lo, hi) -> 0..255 codes.
+# (x - lo) >= 0 by construction, so DuckDB's floor `//` and Spark's
+# truncating `div` agree; every value is exact BIGINT.
+_SQL_SQ8_CTE = f"""
+sfv AS (SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> round(x * {1_000_000})::BIGINT) AS fv
+        FROM embeddings),
+sst AS (SELECT dim, min(x) AS lo, max(x) AS hi
+        FROM (SELECT unnest(fv) AS x, generate_subscripts(fv, 1) AS dim
+              FROM sfv)
+        GROUP BY 1),
+sla AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+        FROM sst),
+scodes AS (SELECT f.vec_id,
+                  list_transform(range(1, 65),
+                    i -> CASE WHEN sla.hi[i] = sla.lo[i] THEN 0
+                         ELSE ((f.fv[i] - sla.lo[i]) * 255)
+                              // (sla.hi[i] - sla.lo[i]) END) AS codes
+           FROM sfv f CROSS JOIN sla)"""
+
+
+@q(
+    "emb_sq8_codes",
+    f"""WITH {_SQL_SQ8_CTE}
+SELECT vec_id,
+       {", ".join(f"codes[{i + 1}]::BIGINT AS c{i}" for i in range(8))},
+       list_sum(codes)::BIGINT AS code_sum
+FROM scodes""",
+)
+def emb_sq8_codes(spark, sf_dir):
+    """SQ8 scalar quantization (operators/similarity.py:sq8_encode, the
+    FAISS QT_8bit family): per-dimension affine map of the fixed-point
+    corpus onto 0..255 integer codes — 1 byte/dim, codebook-free (no
+    k-means fit), exact BIGINT end to end. The d-row (lo, hi) stats table
+    collapses to one broadcast array row; encode is a narrow zip_with with
+    no shuffle of the corpus. Emits the first 8 codes + the code sum so
+    the driver hash pins every dimension's quantizer."""
+    codes = _sim.sq8_encode(_emb(spark, sf_dir))
+    return codes.select(
+        "vec_id",
+        *[F.expr(f"codes[{i}]").alias(f"c{i}") for i in range(8)],
+        F.expr(
+            "aggregate(codes, 0L, (acc, x) -> acc + x)"
+        ).alias("code_sum"),
+    )
+
+
+@q(
+    "emb_sq8_search",
+    f"""WITH {_SQL_SQ8_CTE},
+sqc AS (SELECT codes AS qc FROM scodes WHERE vec_id = 0)
+SELECT c.vec_id,
+       list_sum(list_transform(range(1, 65),
+         i -> (c.codes[i] - sqc.qc[i]) * (c.codes[i] - sqc.qc[i])))::BIGINT
+         AS d2
+FROM scodes c CROSS JOIN sqc
+WHERE c.vec_id <> 0
+ORDER BY d2 ASC, c.vec_id ASC
+LIMIT 10""",
+)
+def emb_sq8_search(spark, sf_dir):
+    """Top-10 nearest neighbours in SQ8 code space (operators/
+    similarity.py:sq8_search): symmetric squared L2 over the 0..255 codes,
+    query encoded by the SAME trained quantizer. Integer d2 with (d2, id)
+    tie-break makes the top-k set unique and cross-engine exact; the plan
+    is a 1-row broadcast + narrow fold + TakeOrderedAndProject. The
+    codebook-free baseline the PQ-ADC path trades against (8x smaller
+    than float32 vs PQ's ~28x, but no fit and no LUT)."""
+    return _sim.sq8_search(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
 @q(

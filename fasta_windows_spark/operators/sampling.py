@@ -205,3 +205,138 @@ def priority_sample(
             F.greatest(F.col("wq"), F.col("tau_fp")).cast("long").alias("est_fp"),
         )
     )
+
+
+def _hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable n-gram feature hash: first 8 md5 hex chars as a 32-bit
+    integer, mod n_buckets. Reproducible in ANSI SQL (DuckDB renders it as
+    ('0x'||substr(md5(x),1,8))::BIGINT % B), unlike xxhash64/murmur."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like it is under two hashed bag-of-words models.
+
+    Features are lowercased whitespace tokens hashed into ``n_buckets``
+    buckets (the paper's hashed n-gram generative model); the target LM is
+    fit on rows where ``target`` is true, the raw LM on ALL rows, both with
+    add-1 smoothing over the bucket space. The per-document log importance
+    weight is
+
+        logw(d) = sum_b tf(d, b) * [log2 p_target(b) - log2 p_raw(b)]
+
+    — positive means "looks like the target distribution", the quantity
+    DSIR resamples on (see :func:`dsir_gumbel_topk`).
+
+    Determinism/oracle: the bucket hash is md5-derived (portable to SQL),
+    both LMs are integer-count rationals, and the single float step — the
+    log2 of those rationals, summed per doc and rounded to 6 dp — follows
+    the same cross-engine argument as unigram_surprisal (hash-green since
+    r2). One corpus pass fits BOTH models: cnt_raw = count(*),
+    cnt_target = sum(is_target) in the same map-side-combined aggregation.
+
+    Scale shape: the corpus is tokenized ONCE — tokens reduce to
+    (doc, bucket) term frequencies via partial-agg groupBy (<= n_buckets
+    rows per doc, NOT total tokens), and BOTH bucket LMs roll up from that
+    staged tf frame (cnt_raw = sum(tf), cnt_target = sum(tf * is_target)
+    in one aggregation), so nothing downstream re-reads the text. The
+    bucket model table is n_buckets rows and broadcasts; the 1-row totals
+    ride a broadcast cross join. At 100 TB the staged tf frame is the
+    bucketed intermediate table (see staging.py). No Python, no global
+    sort, text never shuffles.
+    """
+    from ..staging import stage_scoped
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        target.cast("long").alias("is_t"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    tb = toks.select("doc", "is_t", _hash_bucket(F.col("tok"), n_buckets).alias("b"))
+    tf = stage_scoped(
+        tb.groupBy("doc", "b").agg(
+            F.count(F.lit(1)).alias("tf"), F.max("is_t").alias("is_t")
+        ),
+        scope="dsir_tf",
+    )
+    bkt = tf.groupBy("b").agg(
+        F.sum("tf").alias("cnt_r"),
+        F.sum(F.col("tf") * F.col("is_t")).alias("cnt_t"),
+    )
+    tot = bkt.agg(
+        F.sum("cnt_r").alias("t_r"), F.sum("cnt_t").alias("t_t")
+    )
+    lr = (
+        bkt.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log2((F.col("cnt_t") + 1) / (F.col("t_t") + n_buckets))
+                - F.log2((F.col("cnt_r") + 1) / (F.col("t_r") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(lr), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("logw"),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "logw")
+    )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    logw_col: str = "logw",
+    key_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's resampling step: sample k documents WITHOUT replacement with
+    probability proportional to exp(logw) via the Gumbel top-k trick —
+    equivalent to keeping the k largest (logw + g_i) with g_i standard
+    Gumbel noise (Kool et al., ICML 2019; the sampler Xie et al. use).
+
+    Determinism/oracle: g_i = -ln(-ln(u_i)) with u_i = (h_i + 0.5) / 2^32
+    and h_i the 32-bit md5 of key:salt — the same rerun/resume/
+    repartition-stable recipe as priority_sample, never rand(). The
+    selection key is rounded to 6 dp BEFORE the top-k (ties broken by key
+    ascending) so the boundary comparison is on driver-hashable values in
+    both engines, not on last-ulp float noise.
+
+    Scale shape: compiles to TakeOrderedAndProject — per-partition top-k
+    heaps merged on the driver, no global sort, no shuffle of the corpus.
+    Output: (key, logw, gumbel_key) for the k selected rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    g = -F.log(-F.log(u))
+    keyed = weights.select(
+        F.col(key_col),
+        F.col(logw_col),
+        F.round(F.col(logw_col) + g, 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col(key_col).asc()
+    ).limit(k)

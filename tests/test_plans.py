@@ -560,3 +560,78 @@ def test_split_leakage_holdout_broadcasts(spark):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     checks.assert_partial_aggregation(df)
+
+
+def test_sq8_codes_in_range_and_extremes_hit_rails(spark):
+    """Every SQ8 code is in 0..255; each dimension's corpus min encodes to
+    0 and its max to 255 (hi > lo holds for every dim of the test
+    embeddings); the quantizer is deterministic under repartitioning."""
+    from fasta_windows_spark.operators.similarity import sq8_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    codes = sq8_encode(emb)
+    agg = codes.select(F.explode("codes").alias("c")).agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).first()
+    assert agg["lo"] == 0 and agg["hi"] == 255
+    per_dim = (
+        codes.select(F.posexplode("codes").alias("dim", "c"))
+        .groupBy("dim")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    )
+    for r in per_dim:
+        assert r["lo"] == 0 and r["hi"] == 255, r
+    a = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    b = {r["vec_id"]: r["codes"] for r in sq8_encode(emb.repartition(13)).collect()}
+    assert a == b
+
+
+def test_sq8_constant_dimension_encodes_to_zero(spark):
+    """hi == lo (zero-range dimension) must encode to 0, not divide by 0."""
+    from fasta_windows_spark.operators.similarity import sq8_encode
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, -3.0]), (2, [1.0, 2.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {r["vec_id"]: r["codes"] for r in sq8_encode(emb).collect()}
+    assert all(v[0] == 0 for v in got.values())
+    assert got[1][1] == 0 and got[0][1] == 255
+
+
+def test_sq8_search_plan_and_recall(spark):
+    """SQ8 search: 1-row broadcast + TakeOrderedAndProject (no global
+    sort), and the lossy top-10 still recovers most of the exact top-10
+    on the unit-norm test embeddings."""
+    from fasta_windows_spark.operators.similarity import sq8_search
+
+    import re
+
+    df = contract.queries()["emb_sq8_search"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only shuffle allowed is the dimension-sized (64-group) quantizer
+    # fit; the corpus scan + distance fold + top-k must stay narrow
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert keys.split("#")[0].strip() == "dim", plan
+    from fasta_windows_spark.operators.cluster import quantize
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fv = quantize(emb)
+    q = fv.where(F.col("vec_id") == 0).select(F.col("fv").alias("qf"))
+    d2 = (
+        "aggregate(zip_with(fv, qf, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    truth = {
+        r["vec_id"]
+        for r in fv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(d2).alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    got = {r["vec_id"] for r in df.collect()}
+    assert len(got & truth) >= 6, (got, truth)

@@ -239,3 +239,77 @@ def test_priority_sample_estimator_is_one_sided(spark):
     for r in sampling.priority_sample(df, k=15).collect():
         assert r["est_fp"] >= r["w"] << 32
         assert r["q_fp"] >= r["tau_fp"]
+
+
+def test_dsir_logweights_python_reference(spark):
+    """Lockstep with an independent pure-Python DSIR implementation on a
+    tiny synthetic corpus (target = lang 'en')."""
+    import math
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat et le chien", "fr"),
+        (3, "the dog and the cat", "en"),
+        (4, "der hund und die katze", "de"),
+        (5, "cat dog mat dog cat", "fr"),
+    ]
+    B = 16
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    cnt_r, cnt_t = {}, {}
+    for _, text, lang in rows:
+        for tok in text.lower().split(" "):
+            b = bucket(tok)
+            cnt_r[b] = cnt_r.get(b, 0) + 1
+            if lang == "en":
+                cnt_t[b] = cnt_t.get(b, 0) + 1
+    t_r, t_t = sum(cnt_r.values()), sum(cnt_t.values())
+    lr = {
+        b: math.log2((cnt_t.get(b, 0) + 1) / (t_t + B))
+        - math.log2((cnt_r[b] + 1) / (t_r + B))
+        for b in cnt_r
+    }
+    want = {}
+    for doc_id, text, _ in rows:
+        toks = text.lower().split(" ")
+        want[doc_id] = (len(toks), round(sum(lr[bucket(t)] for t in toks), 6))
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logw"])
+        for r in sampling.dsir_logweights(
+            docs, target=F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert got == want
+    # the English docs must score higher than every non-English doc
+    en = {1, 3}
+    assert min(got[i][1] for i in en) > max(got[i][1] for i in got if i not in en)
+
+
+def test_dsir_gumbel_topk_deterministic_and_weight_sensitive(spark):
+    """Rerun-stable membership; a doc whose logw dominates every possible
+    Gumbel draw is always selected; k >= 1 enforced."""
+    import pyspark.sql.functions as F
+
+    n = 200
+    w = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(1e6)).otherwise(
+            (F.col("id") % 10).cast("double")
+        ).alias("logw"),
+    )
+    k = 20
+    s1 = {r["doc_id"] for r in sampling.dsir_gumbel_topk(w, k=k).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.dsir_gumbel_topk(w.repartition(7), k=k).collect()
+    }
+    assert s1 == s2 and len(s1) == k
+    assert 7 in s1
+    with pytest.raises(ValueError):
+        sampling.dsir_gumbel_topk(w, k=0)

@@ -6030,6 +6030,72 @@ def docs_bpe_pack_sequences(spark, sf_dir):
     return _pack.place_token_counts(counts, seq_len=2048, group_size=4096)
 
 
+_BPE_TRAIN_K = 8
+
+
+def _bpe_train_oracle_sql(k: int) -> str:
+    """Unrolled BPE-training oracle: k CTE stages, each computing the
+    adjacent-pair frequency argmax over the current token vocabulary and
+    rewriting it with a list_reduce fold that merges every non-overlapping
+    (lft, rgt) occurrence left to right — the exact loop train_bpe runs.
+    Token lists travel between stages as chr(31)-joined strings (tokens
+    are [a-z]+ so the separator cannot collide); the leading chr(31) makes
+    ends_with(acc, chr(31) || lft) a whole-token boundary check, and a
+    merged token can never false-trigger it (it contains no separator and
+    differs from lft). Same unrolled-CTE pattern as the k-means oracles."""
+    ctes = [
+        """
+btv AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) GROUP BY 1),
+bt0 AS (SELECT cnt, chr(31) || array_to_string(string_split(w, ''), chr(31))
+               AS ts
+        FROM btv)"""
+    ]
+    for i in range(k):
+        ctes.append(f"""
+bp{i} AS (SELECT p[1] AS lft, p[2] AS rgt, sum(cnt)::BIGINT AS freq
+          FROM (SELECT cnt,
+                       unnest(list_zip(tl[1:len(tl)-1], tl[2:len(tl)])) AS p
+                FROM (SELECT cnt, string_split(ts, chr(31))[2:] AS tl
+                      FROM bt{i}))
+          GROUP BY 1, 2),
+btop{i} AS (SELECT lft, rgt, freq FROM bp{i}
+            ORDER BY freq DESC, lft ASC, rgt ASC LIMIT 1),
+bt{i + 1} AS (SELECT cnt,
+                 list_reduce(list_prepend('', string_split(ts, chr(31))[2:]),
+                   (acc, x) -> CASE WHEN ends_with(acc, chr(31) || t.lft)
+                                     AND x = t.rgt
+                               THEN acc || x ELSE acc || chr(31) || x END)
+                   AS ts
+              FROM bt{i} CROSS JOIN btop{i} t)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS m_rank, lft, rgt, freq FROM btop{i}" for i in range(k)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT * FROM (\n{sel}\n) ORDER BY m_rank"
+    )
+
+
+@q("docs_bpe_train", _bpe_train_oracle_sql(_BPE_TRAIN_K))
+def docs_bpe_train(spark, sf_dir):
+    """Learn the BPE tokenizer FROM the corpus as Spark jobs
+    (functions/bpe.train_bpe_distributed, Sennrich et al. 2016): the
+    ordered first-8 merges table (m_rank, lft, rgt, freq) with the
+    (freq DESC, lft ASC, rgt ASC) deterministic tie-break — the training
+    counterpart of docs_bpe_token_counts' committed-merges replay, and
+    bit-identical to the driver-side trainer that produced that file.
+    100 TB shape: ONE corpus pass reduces to the distinct word-frequency
+    vocabulary; every iteration is vocabulary-sized (pair explode +
+    map-side-combined sum + 1-ROW argmax collect + JVM fold rewrite);
+    corpus text never shuffles and never enters Python."""
+    return _bpe.train_bpe_distributed(
+        _docs(spark, sf_dir), n_merges=_BPE_TRAIN_K
+    )
+
+
 @q(
     "events_abandoned_clicks",
     """

@@ -199,3 +199,97 @@ def bpe_token_counts(
             F.sum("n_bpe").alias("n_bpe_tokens"),
         )
     )
+
+
+def train_bpe_distributed(
+    docs: DataFrame,
+    n_merges: int = 8,
+    pattern: str = "[a-z]+",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn BPE merges FROM the corpus as Spark jobs — the distributed
+    twin of :func:`train_bpe` (which is driver-side and exists to produce
+    the committed merges file). Returns the ordered merges table
+    (m_rank, lft, rgt, freq), bit-identical to the driver-side trainer on
+    the same corpus: per iteration, the (count DESC, left ASC, right ASC)
+    argmax pair is merged across every non-overlapping occurrence,
+    scanning left to right (Sennrich et al. 2016's word-frequency
+    formulation; the reference engine has no tokenizer — this is
+    LLM-pipeline surface, like the rest of functions/bpe.py).
+
+    The training vocabulary is the ``pattern`` pre-tokens of the
+    lowercased corpus (default ``[a-z]+`` — alphabetic words only, so
+    tokens can never collide with the oracle's chr(31) list separator).
+
+    100 TB shape: the corpus is read ONCE — a JVM regexp explode reduced
+    by a partial-aggregated groupBy to the DISTINCT word-frequency table
+    (~10^7 rows at web scale vs ~10^12 docs), cached; every one of the
+    n_merges iterations then runs on that vocabulary-sized frame only:
+    adjacent-pair explode -> map-side-combined sum -> a 1-ROW argmax
+    collect (metadata-sized, like the k-means centroid pulls), and the
+    merge rewrite is a JVM `aggregate` fold over the token arrays (merged
+    generations are cached and the previous one released, so lineage and
+    memory stay O(1) per iteration). No Python crossing anywhere; corpus
+    text never shuffles. The k-row result broadcasts to any encoder.
+    """
+    voc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(pattern), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", F.split("w", "").alias("toks"))
+        .cache()
+    )
+    spark = docs.sparkSession
+    merges = []
+    cur = voc
+    for i in range(n_merges):
+        top = (
+            cur.select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(toks, 1, size(toks)-1)").alias("lft"),
+                        F.expr("slice(toks, 2, size(toks)-1)").alias("rgt"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lft, rgt, freq = top[0].lft, top[0].rgt, top[0].freq
+        merges.append((i, lft, rgt, int(freq)))
+        # Greedy left-to-right non-overlapping merge of (lft, rgt) — the
+        # same rewrite train_bpe's while-loop performs, as a JVM fold.
+        # Safe to inline as literals: pattern-restricted tokens contain
+        # no quotes. A merged token can never false-trigger the
+        # element_at(acc, -1) check mid-iteration because it differs
+        # from lft (rgt is non-empty).
+        fold = (
+            "aggregate(toks, cast(array() as array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lft}' "
+            f"AND x = '{rgt}' "
+            f"THEN concat(slice(acc, 1, size(acc)-1), array('{lft}{rgt}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        nxt = cur.select("cnt", F.expr(fold).alias("toks")).cache()
+        nxt.count()
+        if cur is not voc:
+            cur.unpersist()
+        cur = nxt
+    if cur is not voc:
+        cur.unpersist()
+    voc.unpersist()
+    return spark.createDataFrame(
+        merges, "m_rank bigint, lft string, rgt string, freq bigint"
+    )

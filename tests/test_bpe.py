@@ -123,3 +123,53 @@ def test_python_boundary_is_vocabulary_only(spark):
     assert "HashAggregate" in arrow_subtree
     # and the join back is a broadcast, not a shuffle of the corpus on word
     assert "BroadcastHashJoin" in plan
+
+
+def test_distributed_trainer_matches_python(spark):
+    """train_bpe_distributed == the driver-side train_bpe on the same
+    corpus, restricted to the [a-z]+ vocabulary the distributed trainer
+    uses (pre-stripping non-alpha makes the full-pattern Python trainer
+    see exactly that vocabulary). Covers multi-char-token merges: at
+    sf0.001 rank 7 is ('p', 'ar'), consuming rank 6's output."""
+    import re
+
+    import duckdb
+
+    texts = (
+        duckdb.sql(
+            "select text from '/root/testdata/sf0.001/documents.parquet'"
+        )
+        .df()["text"]
+        .tolist()
+    )
+    alpha = [re.sub(r"[^a-z]+", " ", (t or "").lower()) for t in texts]
+    expected = bpe.train_bpe(alpha, n_merges=8)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = bpe.train_bpe_distributed(docs, n_merges=8).collect()
+    assert [(r.lft, r.rgt) for r in got] == expected
+    assert [r.m_rank for r in got] == list(range(8))
+    # a later merge consumes an earlier merge's multi-char output
+    assert any(len(r.lft) > 1 or len(r.rgt) > 1 for r in got)
+    # frequencies are the pre-merge pair counts: positive, and rank 0
+    # carries the global argmax
+    assert got[0].freq == max(r.freq for r in got)
+    assert all(r.freq > 0 for r in got)
+
+
+def test_distributed_trainer_early_stop(spark):
+    """A vocabulary with no adjacent pairs left stops early instead of
+    emitting padded rows (single-char words only)."""
+    docs = spark.createDataFrame(
+        [("a b c a b",)], "text string"
+    )
+    got = bpe.train_bpe_distributed(docs, n_merges=8).collect()
+    assert got == []
+
+
+def test_distributed_trainer_tie_break(spark):
+    """Equal-frequency pairs resolve to the lexicographically smallest
+    (lft, rgt) — the same rule as the committed driver-side trainer."""
+    docs = spark.createDataFrame([("zy zy ba ba",)], "text string")
+    got = bpe.train_bpe_distributed(docs, n_merges=1).collect()
+    assert [(got[0].lft, got[0].rgt, got[0].freq)] == [("b", "a", 2)]

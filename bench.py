@@ -58,6 +58,7 @@ HEADLINE = [
     "docs_dup_components_star", # large-star/small-star CC (edge rewriting)
     "docs_dsir_sample",         # DSIR importance weights + Gumbel top-k
     "emb_sq8_search",           # SQ8 scalar-quantized ANN (fit + search)
+    "docs_perceptron_scores",   # perceptron classifier: train + inference
 ]
 
 

@@ -1377,6 +1377,7 @@ def tpch_q1_pricing_summary(spark, sf_dir):
 
 from .operators import dedup as _dedup  # noqa: E402
 from .operators import delta as _delta  # noqa: E402
+from .operators import classify as _classify  # noqa: E402
 from .operators import sampling as _sampling  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .functions import text as _text  # noqa: E402
@@ -2169,6 +2170,83 @@ def docs_dsir_sample(spark, sf_dir):
         d, target=F.col("lang") == "en", n_buckets=_DSIR_B
     )
     return _sampling.dsir_gumbel_topk(w, k=_DSIR_K)
+
+
+# Full-batch integer perceptron (operators/classify.py): B=64 md5 buckets,
+# 3 epochs, labels y = +-1 on lang='en'. The unrolled epoch CTEs mirror
+# perceptron_fit exactly: epoch 1 under w=0 updates on EVERY doc (y*0 <= 0),
+# later epochs score-join against the previous weights and update on the
+# misclassified set. All arithmetic BIGINT — training is hash-exact.
+_PCT_B = 64
+_PCT_E = 3
+
+
+def _perceptron_cte(epochs: int) -> str:
+    ctes = [
+        f"""
+ptok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                unnest(string_split(lower(text), ' ')) AS tok
+         FROM documents),
+ptf AS (SELECT doc_id, y,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_PCT_B} AS b,
+               count(*)::BIGINT AS tf
+        FROM ptok GROUP BY 1, 2, 3),
+pw1 AS (SELECT b, sum(tf * y)::BIGINT AS w FROM ptf GROUP BY 1)"""
+    ]
+    for i in range(2, epochs + 1):
+        ctes.append(f"""
+ps{i} AS (SELECT t.doc_id, t.y, sum(t.tf * w.w)::BIGINT AS score
+          FROM ptf t JOIN pw{i - 1} w USING (b) GROUP BY 1, 2),
+pu{i} AS (SELECT t.b, sum(t.tf * t.y)::BIGINT AS dw
+          FROM ptf t JOIN ps{i} s ON t.doc_id = s.doc_id
+          WHERE s.y * s.score <= 0 GROUP BY 1),
+pw{i} AS (SELECT w.b, (w.w + coalesce(u.dw, 0))::BIGINT AS w
+          FROM pw{i - 1} w LEFT JOIN pu{i} u USING (b))""")
+    return "WITH " + ",".join(ctes)
+
+
+@q(
+    "docs_perceptron_weights",
+    f"{_perceptron_cte(_PCT_E)}\nSELECT b, w FROM pw{_PCT_E}",
+)
+def docs_perceptron_weights(spark, sf_dir):
+    """Distributed classifier TRAINING, hash-gated end to end
+    (operators/classify.perceptron_fit): 3 full-batch integer-perceptron
+    epochs over 64 hashed bag-of-words buckets, labels +-1 on lang='en'.
+    One corpus pass stages the (doc, bucket, tf) frame; each epoch is two
+    map-side-combined aggregations over it — scoring against the weights
+    as a plan-literal array (metadata-sized collect per epoch, the
+    k-means-centroid pattern) and the misclassified-set update. BIGINT
+    throughout, so the learned weights are bit-identical to the unrolled
+    oracle epochs."""
+    d = _docs(spark, sf_dir)
+    return _classify.perceptron_fit(
+        d, target=F.col("lang") == "en", n_buckets=_PCT_B, epochs=_PCT_E
+    )
+
+
+@q(
+    "docs_perceptron_scores",
+    f"""{_perceptron_cte(_PCT_E)},
+pfin AS (SELECT t.doc_id, t.y, sum(t.tf * w.w)::BIGINT AS score
+         FROM ptf t JOIN pw{_PCT_E} w USING (b) GROUP BY 1, 2)
+SELECT doc_id, y::BIGINT AS y, score,
+       (CASE WHEN score > 0 THEN 1 ELSE -1 END)::BIGINT AS pred
+FROM pfin""",
+)
+def docs_perceptron_scores(spark, sf_dir):
+    """Inference under the trained perceptron
+    (operators/classify.perceptron_scores composed with perceptron_fit):
+    per-doc margin and +-1 prediction. The bucket-sized weights table
+    broadcasts; scoring is one partial-agg per-doc sum over the staged tf
+    frame — corpus text never shuffles. Hash-pins the whole train+score
+    chain per document, not just the weights."""
+    d = _docs(spark, sf_dir)
+    tgt = F.col("lang") == "en"
+    w = _classify.perceptron_fit(
+        d, target=tgt, n_buckets=_PCT_B, epochs=_PCT_E
+    )
+    return _classify.perceptron_scores(d, w, target=tgt, n_buckets=_PCT_B)
 
 
 # Shared unigram-LM CTEs (sur = per-doc rounded bits/token). Used by BOTH

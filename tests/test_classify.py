@@ -1,0 +1,114 @@
+"""Perceptron trainer tests: numpy lockstep differential, epoch
+semantics, partition invariance, early stop, and prediction rule."""
+
+import hashlib
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from fasta_windows_spark.operators import classify
+
+B, E = 64, 3
+SF = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _hb(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+
+def _fit_numpy(rows, epochs):
+    """Reference full-batch perceptron, independent of Spark and SQL."""
+    tf, y = {}, {}
+    for did, txt, yy in rows:
+        y[did] = yy
+        d = {}
+        for t in (txt or "").lower().split(" "):
+            b = _hb(t)
+            d[b] = d.get(b, 0) + 1
+        tf[did] = d
+    w = np.zeros(B, dtype=np.int64)
+    mis_per_epoch = []
+    for _ in range(epochs):
+        dw = np.zeros(B, dtype=np.int64)
+        n_mis = 0
+        for did, d in tf.items():
+            s = sum(c * w[b] for b, c in d.items())
+            if y[did] * s <= 0:
+                n_mis += 1
+                for b, c in d.items():
+                    dw[b] += y[did] * c
+        w = w + dw
+        mis_per_epoch.append(n_mis)
+    return w, mis_per_epoch
+
+
+def test_fit_matches_numpy(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, CASE WHEN lang='en' THEN 1 ELSE -1 END "
+        f"FROM '{SF}'"
+    ).fetchall()
+    w_ref, mis = _fit_numpy(rows, E)
+    # the corpus must exercise non-trivial epochs (not all-correct after
+    # epoch 1), or this test proves nothing about the update loop
+    assert mis[0] == len(rows) and mis[1] > 0
+
+    docs = spark.read.parquet(SF)
+    got = classify.perceptron_fit(
+        docs, target=F.col("lang") == "en", n_buckets=B, epochs=E
+    ).collect()
+    assert {r.b: r.w for r in got} == {
+        b: int(w_ref[b]) for b in range(B) if any(
+            _hb(t) == b for _, txt, _ in rows
+            for t in (txt or "").lower().split(" ")
+        )
+    }
+
+
+def test_fit_partition_invariant(spark):
+    docs = spark.read.parquet(SF)
+    tgt = F.col("lang") == "en"
+    a = classify.perceptron_fit(docs, tgt, n_buckets=B, epochs=2).collect()
+    b = classify.perceptron_fit(
+        docs.repartition(17), tgt, n_buckets=B, epochs=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fit_early_stop_when_separable(spark):
+    """A corpus the first epoch separates perfectly trains to the same
+    weights at any higher epoch count (the empty-update break)."""
+    docs = spark.createDataFrame(
+        [("a", "aaa aaa", "en"), ("b", "bbb bbb", "de")],
+        "doc_id string, text string, lang string",
+    )
+    tgt = F.col("lang") == "en"
+    w1 = classify.perceptron_fit(docs, tgt, n_buckets=B, epochs=1).collect()
+    w9 = classify.perceptron_fit(docs, tgt, n_buckets=B, epochs=9).collect()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w9))
+
+
+def test_scores_prediction_rule(spark):
+    docs = spark.read.parquet(SF)
+    tgt = F.col("lang") == "en"
+    w = classify.perceptron_fit(docs, tgt, n_buckets=B, epochs=E)
+    sc = classify.perceptron_scores(docs, w, target=tgt, n_buckets=B)
+    rows = sc.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.pred == (1 if r.score > 0 else -1)
+        assert r.y in (1, -1)
+    # the trained gate must beat chance on its own training labels
+    acc = sum(1 for r in rows if r.pred == r.y) / len(rows)
+    assert acc > 0.5, acc
+
+
+def test_fit_rejects_zero_epochs(spark):
+    import pytest
+
+    docs = spark.read.parquet(SF)
+    with pytest.raises(ValueError):
+        classify.perceptron_fit(
+            docs, F.col("lang") == "en", n_buckets=B, epochs=0
+        )

@@ -2202,12 +2202,12 @@ pu{i} AS (SELECT t.b, sum(t.tf * t.y)::BIGINT AS dw
           WHERE s.y * s.score <= 0 GROUP BY 1),
 pw{i} AS (SELECT w.b, (w.w + coalesce(u.dw, 0))::BIGINT AS w
           FROM pw{i - 1} w LEFT JOIN pu{i} u USING (b))""")
-    return "WITH " + ",".join(ctes)
+    return ",".join(ctes)
 
 
 @q(
     "docs_perceptron_weights",
-    f"{_perceptron_cte(_PCT_E)}\nSELECT b, w FROM pw{_PCT_E}",
+    f"WITH {_perceptron_cte(_PCT_E)}\nSELECT b, w FROM pw{_PCT_E}",
 )
 def docs_perceptron_weights(spark, sf_dir):
     """Distributed classifier TRAINING, hash-gated end to end
@@ -2227,7 +2227,7 @@ def docs_perceptron_weights(spark, sf_dir):
 
 @q(
     "docs_perceptron_scores",
-    f"""{_perceptron_cte(_PCT_E)},
+    f"""WITH {_perceptron_cte(_PCT_E)},
 pfin AS (SELECT t.doc_id, t.y, sum(t.tf * w.w)::BIGINT AS score
          FROM ptf t JOIN pw{_PCT_E} w USING (b) GROUP BY 1, 2)
 SELECT doc_id, y::BIGINT AS y, score,
@@ -2247,6 +2247,54 @@ def docs_perceptron_scores(spark, sf_dir):
         d, target=tgt, n_buckets=_PCT_B, epochs=_PCT_E
     )
     return _classify.perceptron_scores(d, w, target=tgt, n_buckets=_PCT_B)
+
+
+@q(
+    "docs_model_gate",
+    f"""WITH {_SQL_DSIR_CTE}, {_perceptron_cte(_PCT_E)},
+gtok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         FROM documents),
+gb AS (SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_PCT_B} AS pb,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS db
+       FROM gtok),
+gsc AS (SELECT gb.doc_id,
+               sum(coalesce(pw.w, 0))::BIGINT AS pct_score,
+               sum(round(dlr.lr * 1000000)::BIGINT)::BIGINT AS dsir_fp
+        FROM gb
+        LEFT JOIN pw{_PCT_E} pw ON gb.pb = pw.b
+        JOIN dlr ON gb.db = dlr.b
+        GROUP BY 1)
+SELECT doc_id, pct_score,
+       (CASE WHEN pct_score > 0 THEN 1 ELSE -1 END)::BIGINT AS pred,
+       dsir_fp,
+       (CASE WHEN pct_score > 0 AND dsir_fp >= 0 THEN 1 ELSE 0 END)::BIGINT
+         AS keep
+FROM gsc""",
+)
+def docs_model_gate(spark, sf_dir):
+    """Online corpus curation under TRAINED models
+    (operators/classify.model_gate): train the perceptron gate AND the
+    DSIR importance model in-query, collect both (metadata-sized), and
+    score every document against the two as plan-literal arrays — one
+    stateless JVM token-fold per row, no explode, no aggregation state,
+    which is exactly what lets the SAME call run on readStream
+    micro-batches (stream==batch pinned in tests/test_classify.py). The
+    DSIR side is quantized to 1e-6 fixed point IN Spark before embedding,
+    so both scores are exact BIGINTs and the whole
+    train->quantize->deploy->score chain is hash-gated. keep = classifier
+    accepts AND importance weight >= 0."""
+    d = _docs(spark, sf_dir)
+    tgt = F.col("lang") == "en"
+    wdf = _classify.perceptron_fit(
+        d, target=tgt, n_buckets=_PCT_B, epochs=_PCT_E
+    )
+    pw = _classify.collect_weights_array(wdf, _PCT_B)
+    lrdf = _sampling.dsir_bucket_model(d, target=tgt, n_buckets=_DSIR_B)
+    lrfp = _classify.collect_lr_fp_array(lrdf, _DSIR_B)
+    return _classify.model_gate(d, pw, lrfp, id_col="doc_id").select(
+        "doc_id", "pct_score", "pred", "dsir_fp", "keep"
+    )
 
 
 # Shared unigram-LM CTEs (sur = per-doc rounded bits/token). Used by BOTH

@@ -154,3 +154,126 @@ def perceptron_scores(
             .alias("pred"),
         )
     )
+
+
+def collect_weights_array(
+    weights: DataFrame,
+    n_buckets: int,
+    b_col: str = "b",
+    w_col: str = "w",
+    default: int = 0,
+) -> list:
+    """Collect a trained (bucket, weight) table into the dense bucket-
+    indexed list model_gate embeds as a plan literal. Metadata-sized
+    (n_buckets rows), like the k-means centroid pulls; buckets absent
+    from the table get ``default``."""
+    arr = [default] * n_buckets
+    for r in weights.select(b_col, w_col).collect():
+        arr[int(r[b_col])] = int(r[w_col])
+    return arr
+
+
+def collect_lr_fp_array(
+    model: DataFrame,
+    n_buckets: int,
+    lr_col: str = "lr",
+    b_col: str = "b",
+    scale: int = 10**6,
+) -> list:
+    """Quantize a trained DSIR bucket model (operators/sampling.
+    dsir_bucket_model) to 1e-6 fixed-point BIGINTs — rounded IN Spark
+    (F.round, same HALF_UP-away-from-zero rule the SQL oracle's round()
+    applies), never in Python (banker's rounding would diverge). Once
+    quantized, every downstream score is an exact integer sum:
+    order-independent and bit-identical cross-engine, unlike summing the
+    float lr values."""
+    rows = model.select(
+        F.col(b_col),
+        F.round(F.col(lr_col) * scale).cast("long").alias("fp"),
+    ).collect()
+    arr = [0] * n_buckets
+    for r in rows:
+        arr[int(r[b_col])] = int(r["fp"])
+    return arr
+
+
+def _bucket_score_expr(
+    text_col: str, arr_col: str, n_buckets: int
+) -> str:
+    """Per-row token fold: sum the plan-literal array entry of each
+    token's md5 bucket. Pure JVM expressions (md5 + conv + aggregate),
+    one pass over the row's tokens, no explode, no shuffle, no state —
+    which is what makes the gate legal and cheap on an unbounded stream.
+    Summing the per-BUCKET integer once per token equals the batch
+    (tf * w) formulation exactly."""
+    b = (
+        f"pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
+        f"{n_buckets})"
+    )
+    return (
+        f"aggregate(transform(split(lower({text_col}), ' '), "
+        f"t -> element_at({arr_col}, cast({b} + 1 as int))), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+def model_gate(
+    pages: DataFrame,
+    pct_w: list,
+    dsir_lr_fp: list,
+    min_dsir_fp: int = 0,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Online corpus curation under TRAINED models — the streaming
+    deployment of the perceptron gate (perceptron_fit) and the DSIR
+    importance model (operators/sampling.dsir_bucket_model): score every
+    incoming page against both, keep pages the classifier accepts
+    (pct_score > 0) whose fixed-point DSIR weight clears ``min_dsir_fp``.
+
+    Emits every input row with (pct_score, pred, dsir_fp, keep) so the
+    caller can gate (`.where("keep = 1")`), route, or audit; all four are
+    exact BIGINTs.
+
+    Batch/stream duality: the plan is a single stateless JVM projection —
+    both models ride along as plan-literal arrays (metadata-sized, the
+    broadcast-scalar pattern), tokens are hashed and folded per row with
+    no explode and no aggregation state — so the SAME call runs on a
+    bounded DataFrame (where the oracle hash-checks it, see
+    contract.docs_model_gate) and on readStream micro-batches (where it
+    needs no watermark and adds no state store), and the two are
+    row-identical by construction. At 10^12 pages/day this is the shape
+    you want: model updates re-broadcast a few KB; the stream never
+    repartitions."""
+    if min(len(pct_w), len(dsir_lr_fp)) < 1:
+        raise ValueError("empty model arrays")
+    out = pages.withColumn(
+        "_pw", F.array(*[F.lit(int(v)) for v in pct_w])
+    ).withColumn("_dl", F.array(*[F.lit(int(v)) for v in dsir_lr_fp]))
+    out = out.withColumn(
+        "pct_score",
+        F.expr(_bucket_score_expr(text_col, "_pw", len(pct_w))).cast("long"),
+    ).withColumn(
+        "dsir_fp",
+        F.expr(_bucket_score_expr(text_col, "_dl", len(dsir_lr_fp))).cast(
+            "long"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        "pct_score",
+        F.when(F.col("pct_score") > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pred"),
+        "dsir_fp",
+        F.when(
+            (F.col("pct_score") > 0)
+            & (F.col("dsir_fp") >= F.lit(int(min_dsir_fp))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+        *[c for c in pages.columns if c not in (id_col, text_col)],
+    )

@@ -217,6 +217,56 @@ def _hash_bucket(col: Column, n_buckets: int) -> Column:
     )
 
 
+def _dsir_lr_col(n_buckets: int) -> Column:
+    """The DSIR bucket log-likelihood ratio under add-1 smoothing — the
+    ONE definition both the in-plan scorer (dsir_logweights) and the
+    trained-model exporter (dsir_bucket_model) compile, so the two can
+    never drift."""
+    return (
+        F.log2((F.col("cnt_t") + 1) / (F.col("t_t") + n_buckets))
+        - F.log2((F.col("cnt_r") + 1) / (F.col("t_r") + n_buckets))
+    ).alias("lr")
+
+
+def dsir_bucket_model(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRAINED DSIR model as a table: (b, lr) for EVERY bucket
+    0..n_buckets-1 — buckets no training token hashed into carry the
+    smoothed default (cnt 0 under add-1), so the exported model can score
+    previously-unseen tokens on a live stream. Same one-pass fit as
+    dsir_logweights (count + sum(is_target) in a single partial-agg
+    groupBy, totals on a broadcast 1-row cross join, bucket spine from a
+    0-cost range); the result is n_buckets rows — metadata-sized, made to
+    be collected into plan literals (see operators/classify.model_gate).
+    """
+    toks = docs.select(
+        target.cast("long").alias("is_t"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    bkt = (
+        toks.select("is_t", _hash_bucket(F.col("tok"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_r"),
+            F.sum("is_t").alias("cnt_t"),
+        )
+    )
+    tot = bkt.agg(F.sum("cnt_r").alias("t_r"), F.sum("cnt_t").alias("t_t"))
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("b")
+    )
+    return (
+        spine.join(F.broadcast(bkt), "b", "left")
+        .na.fill({"cnt_r": 0, "cnt_t": 0})
+        .crossJoin(F.broadcast(tot))
+        .select("b", _dsir_lr_col(n_buckets))
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target: Column,
@@ -277,16 +327,7 @@ def dsir_logweights(
     tot = bkt.agg(
         F.sum("cnt_r").alias("t_r"), F.sum("cnt_t").alias("t_t")
     )
-    lr = (
-        bkt.crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log2((F.col("cnt_t") + 1) / (F.col("t_t") + n_buckets))
-                - F.log2((F.col("cnt_r") + 1) / (F.col("t_r") + n_buckets))
-            ).alias("lr"),
-        )
-    )
+    lr = bkt.crossJoin(F.broadcast(tot)).select("b", _dsir_lr_col(n_buckets))
     return (
         tf.join(F.broadcast(lr), "b")
         .groupBy("doc")

@@ -112,3 +112,73 @@ def test_fit_rejects_zero_epochs(spark):
         classify.perceptron_fit(
             docs, F.col("lang") == "en", n_buckets=B, epochs=0
         )
+
+
+def test_model_gate_stream_matches_batch(spark, tmp_path):
+    """model_gate is a stateless projection, so the streaming run over
+    the same pages must be row-identical to the batch run — including the
+    integer DSIR fixed-point scores (no float drift: the models are
+    plan-literal BIGINT arrays in both plans)."""
+    from fasta_windows_spark.operators import sampling
+    from fasta_windows_spark.sources import pages as P
+
+    d = str(tmp_path / "pages")
+    pdf = P.gen_pages(n_pages=300, n_hosts=8, seed=7)
+    P.write_pages_parquet(pdf, d, n_files=3)
+    batch = spark.read.parquet(d)
+
+    tgt = F.col("lang") == "en"
+    w = classify.collect_weights_array(
+        classify.perceptron_fit(
+            batch, tgt, n_buckets=B, epochs=2, id_col="url"
+        ),
+        B,
+    )
+    lr = classify.collect_lr_fp_array(
+        sampling.dsir_bucket_model(batch, tgt, n_buckets=256), 256
+    )
+
+    expected = sorted(
+        map(tuple, classify.model_gate(batch, w, lr)
+            .select("url", "pct_score", "pred", "dsir_fp", "keep")
+            .collect())
+    )
+
+    from fasta_windows_spark.streaming import pipeline as S
+
+    stream = S.read_pages_stream(spark, d, max_files_per_trigger=1)
+    gated = classify.model_gate(stream, w, lr).select(
+        "url", "pct_score", "pred", "dsir_fp", "keep"
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointPath", ck)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == expected
+    assert len(got) == 300
+    # the gate must actually separate: both kept and dropped pages exist
+    kept = sum(1 for r in got if r[4] == 1)
+    assert 0 < kept < 300
+
+
+def test_model_gate_passthrough_and_guard(spark):
+    docs = spark.read.parquet(SF)
+    import pytest
+
+    with pytest.raises(ValueError):
+        classify.model_gate(docs, [], [1], id_col="doc_id")
+    out = classify.model_gate(docs, [0] * B, [0] * 256, id_col="doc_id")
+    # zero models: score 0 everywhere -> pred -1, dsir 0 -> keep 0
+    row = out.limit(1).collect()[0]
+    assert (row.pct_score, row.pred, row.dsir_fp, row.keep) == (0, -1, 0, 0)
+    # non-text columns ride through for downstream pipeline stages
+    assert "lang" in out.columns and "source" in out.columns
+    assert "text" not in out.columns

@@ -59,6 +59,7 @@ HEADLINE = [
     "docs_dsir_sample",         # DSIR importance weights + Gumbel top-k
     "emb_sq8_search",           # SQ8 scalar-quantized ANN (fit + search)
     "docs_perceptron_scores",   # perceptron classifier: train + inference
+    "docs_epoch_order",         # epoch shuffle: distributed exact ranking
 ]
 
 

@@ -2103,6 +2103,46 @@ def docs_priority_sample(spark, sf_dir):
     return _sampling.priority_sample(d, k=_PS_K, weight_col="w")
 
 
+_EPOCH_SALT = "epoch0"
+_EPOCH_SHARDS = 8
+
+_SQL_EPOCH_ORDER = f"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':{_EPOCH_SALT}'), 1, 15))::BIGINT
+           AS shuffle_key
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shuffle_key,
+         (row_number() OVER (ORDER BY shuffle_key, doc_id) - 1)::BIGINT AS global_pos
+  FROM k
+)
+SELECT doc_id, shuffle_key, global_pos,
+       (global_pos % {_EPOCH_SHARDS})::INT AS shard,
+       (global_pos // {_EPOCH_SHARDS})::BIGINT AS step
+FROM p
+"""
+
+
+@q("docs_epoch_order", _SQL_EPOCH_ORDER)
+def docs_epoch_order(spark, sf_dir):
+    """Deterministic epoch shuffle with exact global positions: every doc
+    ranked under (md5(doc_id:salt), doc_id) — a new salt is a new epoch's
+    permutation — plus round-robin data-loader resume coordinates
+    (shard, step). The oracle says row_number() OVER (ORDER BY ...); the
+    engine computes the identical ranks with the segmented-scan
+    decomposition (operators/sampling.py:epoch_order — md5-uniform group
+    bucketing, within-group window on the same clustering, broadcast
+    per-group offsets), because a literal global window is Exchange
+    SinglePartition: one core ranks the whole corpus."""
+    return _sampling.epoch_order(
+        _docs(spark, sf_dir).select("doc_id"),
+        salt=_EPOCH_SALT,
+        n_shards=_EPOCH_SHARDS,
+    )
+
+
 # Shared DSIR CTEs (Xie et al., NeurIPS 2023): hashed-unigram target/raw
 # LMs (B=256 md5 buckets, add-1 smoothing) and per-doc log importance
 # weights. Shared by docs_dsir_logweights and docs_dsir_sample so the
@@ -5390,6 +5430,128 @@ def docs_host_hits(spark, sf_dir):
     return out.select(F.col("node").alias("host"), "hub_fp", "auth_fp")
 
 
+_BFS_SEEDS = ["h0", "h1", "h2"]
+
+
+# One unrolled BFS round (operators/graph.py:bfs_hops): expand ONLY the
+# frontier (rows settled exactly last round — hop values are monotone
+# under min), fold with min(). Small-int arithmetic: cast to BIGINT once
+# per round so the final dtype matches Spark's long.
+def _bfs_iter_sql(i: int) -> str:
+    return f"""
+d{i} AS (SELECT node, min(hops)::BIGINT AS hops FROM (
+           SELECT node, hops FROM d{i - 1}
+           UNION ALL
+           SELECT e.dst AS node, d.hops + 1 AS hops
+           FROM edges e JOIN d{i - 1} d ON e.src = d.node
+           WHERE d.hops = {i - 1}
+         ) GROUP BY node)"""
+
+
+_SQL_BFS = f"""
+WITH e0 AS (
+  SELECT 'h' || (doc_id % {_PR_N_HOSTS})::VARCHAR AS src,
+         'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                  % {_PR_N_HOSTS})::VARCHAR) AS dst
+  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j) js
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+d0 AS (SELECT unnest({_BFS_SEEDS!r}) AS node, 0::BIGINT AS hops),
+{_bfs_iter_sql(1)},
+{_bfs_iter_sql(2)},
+{_bfs_iter_sql(3)}
+SELECT node AS host, hops FROM d3
+"""
+
+
+@q("docs_host_crawl_depth", _SQL_BFS)
+def docs_host_crawl_depth(spark, sf_dir):
+    """Crawl depth from a trusted seed list: multi-source BFS (min hop
+    count, 3 rounds) over the shared deterministic host link graph —
+    the discrete trust/quality prior web curation uses alongside the
+    continuous PageRank/PPR/HITS scores (distance-from-allowlist spam
+    demotion, OPIC-style frontier prioritization). Exact small-integer
+    min() folds, so the oracle's unrolled frontier recurrence matches
+    bit-for-bit. Per round: one frontier-only join against the edge
+    table + one partial-agg min() shuffle; lineage truncated every
+    round (operators/graph.py:bfs_hops)."""
+    from .operators.graph import bfs_hops
+
+    seeds = spark.createDataFrame([(s,) for s in _BFS_SEEDS], ["node"])
+    out = bfs_hops(_host_edges(spark, sf_dir), seeds, max_hops=3)
+    return out.select(F.col("node").alias("host"), "hops")
+
+
+_LPA_N_HOSTS = 97  # sparser than _PR_N_HOSTS so communities are non-trivial
+
+
+# One unrolled synchronous-LPA round (operators/graph.py:label_propagation):
+# count neighbor labels over the undirected edge set, keep the most frequent,
+# ties to the MINIMUM label (the determinism condition).
+def _lpa_iter_sql(i: int) -> str:
+    return f"""
+c{i} AS (SELECT u.a AS node, l.label, count(*) AS c
+         FROM und u JOIN l{i - 1} l ON u.b = l.node GROUP BY 1, 2),
+l{i} AS (SELECT node, label FROM c{i}
+         QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1)"""
+
+
+_SQL_LPA = f"""
+WITH e0 AS (
+  SELECT 'g' || (doc_id % {_LPA_N_HOSTS})::VARCHAR AS src,
+         'g' || ((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+                  % {_LPA_N_HOSTS})::VARCHAR) AS dst
+  FROM documents
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst AS a, src AS b FROM edges),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+{_lpa_iter_sql(1)},
+{_lpa_iter_sql(2)},
+{_lpa_iter_sql(3)}
+SELECT node AS host, label AS community FROM l3
+"""
+
+
+@q("docs_host_communities", _SQL_LPA)
+def docs_host_communities(spark, sf_dir):
+    """Host communities: 3-round synchronous label propagation (Raghavan
+    et al. 2007, min-label tie-break) over a sparser deterministic host
+    link graph (one md5 link per doc across {_LPA_N_HOSTS} hosts, vs the
+    PageRank family's dense 3-link/24-host graph — density would collapse
+    LPA to one label). The site-family / link-farm clustering signal that
+    complements connected components (transitive reach) and PageRank
+    (authority). String labels + exact counts only, so the oracle's
+    unrolled recurrence matches bit-for-bit; per-round shape in
+    operators/graph.py:label_propagation."""
+    from .operators.graph import label_propagation
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e0 = d.select(
+        F.concat(
+            F.lit("g"), (F.col("doc_id") % _LPA_N_HOSTS).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("g"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":0"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _LPA_N_HOSTS
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    edges = e0.where(F.col("src") != F.col("dst")).distinct()
+    out = label_propagation(edges, iterations=3)
+    return out.select(F.col("node").alias("host"), F.col("label").alias("community"))
+
+
 _SQL_ANCHOR_TERMS = f"""
 WITH a0 AS (
   SELECT 'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
@@ -6116,6 +6278,65 @@ def docs_bpe_token_counts(spark, sf_dir):
         "doc_id",
         F.col("n_pretokens").cast("long").alias("n_pretokens"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "docs_tokenizer_fertility",
+    f"""
+WITH RECURSIVE {_bpe_sql_cte()},
+t AS (
+  SELECT pt.doc_id, count(*)::BIGINT AS n_pre, sum(fin.n_bpe)::BIGINT AS n_bpe
+  FROM pt JOIN fin USING (word) GROUP BY pt.doc_id
+)
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       sum(t.n_pre)::BIGINT AS n_pretokens,
+       sum(t.n_bpe)::BIGINT AS n_bpe_tokens,
+       sum(length(d.text))::BIGINT AS n_chars,
+       ((sum(t.n_bpe)::HUGEINT * 100) // sum(t.n_pre))::BIGINT AS fert_per_100w_fp,
+       ((sum(length(d.text))::HUGEINT * 1000) // sum(t.n_bpe))::BIGINT
+         AS chars_per_tok_fp
+FROM t JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def docs_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: subwords per 100 pre-tokens and
+    chars per subword under the committed BPE merges — the tokenizer-
+    fairness audit every multilingual pretraining run publishes (a
+    language whose fertility is 2x pays 2x the context budget per word;
+    see e.g. XLM-R's fertility tables). Composes the hash-gated
+    vocabulary-only BPE encode with a doc_id-keyed join back to lang
+    (co-partitioned at scale) and one partial-agg groupBy(lang); ratios
+    are floor fixed-point over DECIMAL(38,0)/HUGEINT-widened products so
+    the driver hashes integers. Docs with no pre-tokens are excluded on
+    both sides (the bpe_token_counts contract)."""
+    counts = _bpe.bpe_token_counts(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+    j = counts.join(d, "doc_id", "inner")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pretokens").cast("long").alias("n_pretokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_pretokens",
+        "n_bpe_tokens",
+        "n_chars",
+        F.expr(
+            "cast((cast(n_bpe_tokens as decimal(38,0)) * 100)"
+            " div n_pretokens as long)"
+        ).alias("fert_per_100w_fp"),
+        F.expr(
+            "cast((cast(n_chars as decimal(38,0)) * 1000)"
+            " div n_bpe_tokens as long)"
+        ).alias("chars_per_tok_fp"),
     )
 
 

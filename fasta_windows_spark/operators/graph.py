@@ -404,3 +404,130 @@ def anchor_terms(
         .select("host", "term", F.col("n").cast("long").alias("n"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from a seed host set over
+    distinct (src, dst) string edges. Returns (node, hops) for every node
+    reachable within `max_hops` hops; seeds are at hops 0 whether or not
+    they appear in the edge table (the crawl-frontier convention — a seed
+    list is trusted even before any link points at it).
+
+    Why this exists: crawl-depth-from-seeds is the standard trust /
+    quality prior in web curation (OPIC-style frontier scheduling, seed
+    expansion, spam demotion by distance from a curated allowlist) and the
+    natural batch twin of the politeness scheduler's frontier
+    (streaming/scheduler.py). PageRank/HITS/PPR give continuous authority;
+    hop distance is the discrete, exactly-verifiable counterpart.
+
+    Exactness: hop counts are small integers produced by min() folds —
+    no floats anywhere, so results are engine-, partitioning- and
+    iteration-order-independent, and the DuckDB oracle's unrolled CTE
+    recurrence matches bit-for-bit.
+
+    Scale shape (10^12 pages => ~10^8 hosts, ~10^9 host edges): each
+    round expands ONLY the frontier (rows settled in the previous round —
+    hop values are monotone under min, so a node's hop never changes
+    after it is first set). Per round: one join of the frontier against
+    the edge table (shuffle on src — local exchange if the lakehouse
+    buckets edges by src) and one partial-aggregated min() shuffle on
+    node. Lineage is truncated every round via eager localCheckpoint
+    (the pagerank/hits discipline), so plan depth is independent of
+    `max_hops`; superseded rounds' checkpoint RDDs are freed eagerly.
+    The early-stop probe is one count() on the frontier — a scalar job,
+    the production shape for an unbounded-depth crawl sweep."""
+    from ..staging import free_local_checkpoint
+
+    _own_edges = not (
+        edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    )
+    if _own_edges:
+        edges = edges.cache()
+    dist = (
+        seeds.select(F.col("node").cast("string").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_hops):
+        frontier = dist.where(F.col("hops") == it)
+        if frontier.count() == 0:
+            break  # frontier exhausted: deeper rounds are no-ops
+        cand = edges.join(
+            frontier, edges["src"] == frontier["node"], "inner"
+        ).select(
+            F.col("dst").alias("node"),
+            F.lit(it + 1).cast("long").alias("hops"),
+        )
+        prev = dist
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(prev)
+    if _own_edges:
+        edges.unpersist()
+    return dist
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over distinct
+    (src, dst) string edges, treated as UNDIRECTED (mirror detection and
+    link-farm discovery care about association, not direction). Returns
+    (node, label) after `iterations` rounds; nodes start labeled with
+    themselves and each round adopt the most frequent label among their
+    neighbors, ties broken by MINIMUM label — the tie-break is what makes
+    synchronous LPA deterministic (engine-, partitioning- and
+    schedule-independent), so an unrolled SQL recurrence reproduces it
+    bit-for-bit. Communities complement the dedup path's connected
+    components (operators/dedup.py): CC answers "transitively linked at
+    all?", LPA answers "densely linked together?" — the spam-cluster /
+    site-family signal a curation pipeline thresholds on.
+
+    Scale shape (10^8 hosts, ~10^9 undirected host edges): per round, one
+    join of the edge table against the node-sized label frame (shuffle on
+    the neighbor key; local exchange if the lakehouse buckets edges), one
+    partial-aggregated count shuffle on (node, label), and a row_number
+    window partitioned by NODE — per-node label counts are bounded by
+    degree, so no partition is corpus-sized and there is no global sort.
+    Lineage is truncated every round via eager localCheckpoint (the
+    pagerank discipline); superseded rounds' checkpoint RDDs are freed."""
+    from pyspark.sql import Window
+
+    from ..staging import free_local_checkpoint
+
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("me").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            und.join(labels, und["b"] == labels["node"], "inner")
+            .groupBy(F.col("a").alias("me"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        prev = labels
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("me").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(prev)
+    und.unpersist()
+    return labels

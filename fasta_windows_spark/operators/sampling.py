@@ -381,3 +381,73 @@ def dsir_gumbel_topk(
     return keyed.orderBy(
         F.col("gumbel_key").desc(), F.col(key_col).asc()
     ).limit(k)
+
+
+def epoch_order(
+    df: DataFrame,
+    salt: str = "epoch0",
+    n_shards: int = 8,
+    n_groups: int = 4096,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle with EXACT global positions: the
+    training-data-ordering stage (fixed, reproducible sample order is a
+    stated requirement of large-LM training runs — bitwise-identical data
+    order across restarts and across reshards of the same corpus).
+
+    Each row gets shuffle_key = the first 15 md5 hex chars of
+    "key:salt" as a 60-bit BIGINT (a new salt = a new epoch's
+    permutation), global_pos = its exact rank under (shuffle_key, key)
+    — a total order; the key tiebreak makes md5 collisions harmless —
+    plus the data-loader resume coordinates shard = global_pos mod
+    n_shards and step = global_pos div n_shards (round-robin shard
+    assignment: every shard sees the same number of steps +/-1, and step
+    s of shard d is reconstructible from (d, s) alone).
+
+    Why not ``row_number() OVER (ORDER BY shuffle_key)``: that compiles
+    to Exchange SinglePartition — every row of a 100 TB corpus through
+    one core. This uses the segmented-scan decomposition of
+    packing.running_offset, with the group key derived from the VALUE
+    being ranked (shuffle_key div 2^60/n_groups — md5 keys are uniform,
+    so groups are balanced without a range sampler and the plan is
+    replay-stable): one hash shuffle on the group key, a within-group
+    window on the same clustering (no second shuffle), and a broadcast
+    join against the metadata-sized per-group offset table.
+    """
+    if 2**60 % n_groups:
+        raise ValueError(f"n_groups must divide 2^60, got {n_groups}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    keyed = df.select(
+        key,
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key"),
+    )
+    d = keyed.withColumn("_grp", F.expr(f"shuffle_key div {2**60 // n_groups}"))
+    w_in = Window.partitionBy("_grp").orderBy("shuffle_key", key_col)
+    d = d.withColumn("_local", F.row_number().over(w_in) - F.lit(1))
+    counts = d.groupBy("_grp").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_across = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_grp", F.coalesce(F.sum("_cnt").over(w_across), F.lit(0)).alias("_goff")
+    )
+    return (
+        d.join(F.broadcast(offs), "_grp")
+        .select(
+            key_col,
+            "shuffle_key",
+            (F.col("_local") + F.col("_goff")).cast("long").alias("global_pos"),
+        )
+        .withColumn("shard", F.pmod(F.col("global_pos"), F.lit(n_shards)).cast("int"))
+        .withColumn(
+            "step", F.expr(f"global_pos div {int(n_shards)}").cast("long")
+        )
+    )

@@ -271,3 +271,126 @@ def test_pagerank_respects_caller_cached_edges(spark):
     pagerank(edges, iterations=1).collect()
     assert edges.storageLevel.useMemory, "caller's cache was evicted"
     edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops: multi-source BFS crawl depth
+# ---------------------------------------------------------------------------
+
+from fasta_windows_spark.operators.graph import bfs_hops
+
+
+def _py_bfs(edges, seeds, max_hops=3):
+    """Dict-based reference written against the spec: min hop from the
+    seed set, seeds at 0 even when absent from the edge table."""
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for s, d in edges:
+            if s in frontier and d not in dist:
+                dist[d] = hop
+                nxt.add(d)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def test_bfs_matches_python_reference_exactly(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("e",)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert got == _py_bfs(EDGES, ["a", "e"])
+
+
+def test_bfs_partition_invariant(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    a = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    b = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges.repartition(7), seeds).collect()
+    }
+    assert a == b == _py_bfs(EDGES, ["a"])
+
+
+def test_bfs_seed_absent_from_graph_still_at_zero(spark):
+    # the crawl-frontier convention: a curated seed is trusted before any
+    # link points at it (and an isolated seed reaches nothing)
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("zz",)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert got == {"zz": 0}
+
+
+def test_bfs_min_wins_over_longer_path(spark):
+    # b is reachable from seed a at hop 1 and via c->a->b at hop 3; the
+    # min() fold must keep 1 (monotone settling — the frontier-only
+    # expansion's correctness condition)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# label_propagation: synchronous LPA communities
+# ---------------------------------------------------------------------------
+
+from fasta_windows_spark.operators.graph import label_propagation
+
+
+def _py_lpa(edges, iterations=3):
+    """Reference written against the spec: synchronous rounds over the
+    undirected neighbor multiset-of-labels, max count, ties to min label."""
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    nodes = sorted({a for a, _ in und})
+    lab = {v: v for v in nodes}
+    for _ in range(iterations):
+        cnt = {}
+        for a, b in und:
+            key = (a, lab[b])
+            cnt[key] = cnt.get(key, 0) + 1
+        new = {}
+        for v in nodes:
+            cands = [(c, l) for (a, l), c in cnt.items() if a == v]
+            mx = max(c for c, _ in cands)  # max count, ties to min label
+            new[v] = min(l for c, l in cands if c == mx)
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python_reference_exactly(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert got == _py_lpa(EDGES)
+
+
+def test_lpa_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    a = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    b = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_lpa_two_cliques_bridged_find_two_communities(spark):
+    # two triangles joined by one bridge edge: LPA must keep them as two
+    # communities (each labeled by its minimum member)
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("c", "x")]
+    df = spark.createDataFrame(tri1 + tri2 + bridge, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert got == _py_lpa(tri1 + tri2 + bridge, 3)
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]  # the bridge does not merge the cliques

@@ -313,3 +313,63 @@ def test_dsir_gumbel_topk_deterministic_and_weight_sensitive(spark):
     assert 7 in s1
     with pytest.raises(ValueError):
         sampling.dsir_gumbel_topk(w, k=0)
+
+
+# ---------------------------------------------------------------------------
+# epoch_order: deterministic epoch shuffle with exact global positions
+# ---------------------------------------------------------------------------
+
+
+def _py_epoch_order(ids, salt="epoch0", n_shards=8):
+    keyed = sorted(
+        (int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:15], 16), i)
+        for i in ids
+    )
+    return {
+        i: (k, pos, pos % n_shards, pos // n_shards)
+        for pos, (k, i) in enumerate(keyed)
+    }
+
+
+def test_epoch_order_matches_python_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["global_pos"], r["shard"], r["step"])
+        for r in sampling.epoch_order(docs).collect()
+    }
+    ids = [r[0] for r in docs.collect()]
+    assert got == _py_epoch_order(ids)
+
+
+def test_epoch_order_partition_invariant_and_salt_changes_permutation(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    a = {r["doc_id"]: r["global_pos"] for r in sampling.epoch_order(docs).collect()}
+    b = {
+        r["doc_id"]: r["global_pos"]
+        for r in sampling.epoch_order(docs.repartition(13)).collect()
+    }
+    assert a == b
+    c = {
+        r["doc_id"]: r["global_pos"]
+        for r in sampling.epoch_order(docs, salt="epoch1").collect()
+    }
+    assert c != a  # a new salt is a new permutation
+    assert sorted(c.values()) == sorted(a.values())  # ...of the same positions
+
+
+def test_epoch_order_no_corpus_wide_single_partition(spark):
+    """The ranking must NOT be a global window: the only SinglePartition
+    exchange feeds the #groups-row offsets window (the packing.running_offset
+    shape); the corpus itself is ranked under a hash-partitioned window."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    df = sampling.epoch_order(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(_grp" in plan
+
+
+def test_epoch_order_shards_balanced(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    out = sampling.epoch_order(docs, n_shards=8)
+    sizes = [r["n"] for r in out.groupBy("shard").count().withColumnRenamed("count", "n").collect()]
+    assert max(sizes) - min(sizes) <= 1  # round-robin: equal +/- 1

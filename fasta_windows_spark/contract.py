@@ -1695,6 +1695,46 @@ def docs_decontaminate(spark, sf_dir):
 
 
 @q(
+    "docs_eval_contamination",
+    """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+hsh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 = 0 AND len(toks) >= 3
+),
+tsh AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 <> 0 AND len(toks) >= 3
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM hsh GROUP BY 1),
+sh AS (SELECT doc_id, count(*)::BIGINT AS n_shared
+       FROM hsh JOIN tsh USING (shingle) GROUP BY 1)
+SELECT n.doc_id, n.n_shingles,
+       coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+       ((coalesce(sh.n_shared, 0) * 1000000) // n.n_shingles)::BIGINT AS dirty_fp,
+       (coalesce(sh.n_shared, 0) > 0)::INT AS is_dirty
+FROM n LEFT JOIN sh USING (doc_id)
+""",
+)
+def docs_eval_contamination(spark, sf_dir):
+    """Per-EVAL-document contamination (GPT-3 Appendix C direction): for
+    each holdout doc (doc_id % 37 == 0 stands in for the benchmark), the
+    count and 1e-6 fixed-point fraction of its distinct word 3-grams found
+    anywhere in the training slice — the "dirty eval example" report that
+    decides which benchmark rows are still trustworthy, complementing
+    docs_decontaminate's training-side view. The 100 TB shape broadcasts
+    the holdout shingle set into the train scan and dedups only the
+    SURVIVORS (holdout-bounded), so the training corpus never shuffles
+    (operators/dedup.py:eval_contamination)."""
+    d = _docs(spark, sf_dir)
+    train = d.where(F.col("doc_id") % 37 != 0)
+    holdout = d.where(F.col("doc_id") % 37 == 0)
+    return _dedup.eval_contamination(train, holdout, shingle_words=3)
+
+
+@q(
     "docs_split_leakage_report",
     """
 WITH s AS (

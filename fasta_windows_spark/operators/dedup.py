@@ -463,6 +463,74 @@ def decontaminate_overlap(
     )
 
 
+def eval_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-EVAL-document contamination report — the reverse aggregation
+    direction of `decontaminate_overlap`: for each HOLDOUT/benchmark
+    document, how many of its distinct word n-grams appear anywhere in the
+    training corpus (the GPT-3 Appendix-C "dirty eval example" measure;
+    eval teams report results on the clean subset rather than filtering
+    the training set). Returns (id, n_shingles, n_shared, dirty_fp,
+    is_dirty) where dirty_fp is the contaminated fraction in 1e-6 fixed
+    point — exact integer floor division, so the driver hashes integers.
+
+    Scale shape (the train side is 100 TB, the holdout is MBs): the
+    holdout's distinct-shingle set is broadcast TWICE — first the training
+    shingle stream probes it in place (narrow explode over array_distinct,
+    left-semi against the broadcast — no train-side shuffle), and the
+    SURVIVORS (bounded by the holdout's own shingle count, not by train
+    size) are deduped and broadcast back to score each holdout document.
+    No corpus-sized shuffle anywhere."""
+
+    def _shingles(df):
+        toks = f"split(lower({text_col}), ' ')"
+        return df.where(
+            F.expr(f"size({toks})") >= shingle_words
+        ).select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size({toks})-{shingle_words}), "
+                    f"i -> array_join(slice({toks}, i+1, {shingle_words}), ' ')))"
+                )
+            ).alias("shingle"),
+        )
+
+    hsh = _shingles(holdout)
+    hset = F.broadcast(hsh.select("shingle").distinct())
+    # contaminated shingles: holdout-sized at most, never train-sized
+    hits = (
+        _shingles(train)
+        .join(hset, "shingle", "left_semi")
+        .select("shingle")
+        .distinct()
+    )
+    n = hsh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        hsh.join(F.broadcast(hits), "shingle", "left_semi")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        n.join(shared, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "dirty_fp",
+            F.expr("(n_shared * 1000000) div n_shingles").cast("long"),
+        )
+        .withColumn("is_dirty", (F.col("n_shared") > 0).cast("int"))
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -540,3 +540,70 @@ def test_incremental_minhash_changed_recrawl_keeps_index_pair(spark):
     got = {(r["doc_new"], r["doc_match"], r["match_src"]) for r in out}
     # the real near-dup pair (0, 2) survives, exactly once, least<greatest
     assert got == {(0, 2, "index")}
+
+
+# ---------------------------------------------------------------------------
+# eval_contamination: per-eval-doc dirty report (GPT-3 Appendix C direction)
+# ---------------------------------------------------------------------------
+
+
+def _py_eval_contamination(train_rows, hold_rows, k=3):
+    def sh(text):
+        toks = text.lower().split(" ")
+        if len(toks) < k:
+            return set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    tset = set()
+    for _, t in train_rows:
+        tset |= sh(t)
+    out = {}
+    for i, t in hold_rows:
+        s = sh(t)
+        if not s:
+            continue
+        shared = len(s & tset)
+        out[i] = (len(s), shared, shared * 1000000 // len(s), int(shared > 0))
+    return out
+
+
+def test_eval_contamination_matches_python_reference(spark):
+    from fasta_windows_spark.operators.dedup import eval_contamination
+
+    train_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+    ]
+    hold_rows = [
+        (100, "the quick brown fox sat still"),       # partially dirty
+        (101, "entirely novel benchmark sentence here"),  # clean
+        (102, "pack my box with five dozen liquor jugs"),  # fully dirty
+        (103, "xy"),                                    # too short: excluded
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    hold = spark.createDataFrame(hold_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["dirty_fp"], r["is_dirty"])
+        for r in eval_contamination(train, hold).collect()
+    }
+    assert got == _py_eval_contamination(train_rows, hold_rows)
+    assert got[102][3] == 1 and got[101][3] == 0
+
+
+def test_eval_contamination_train_side_never_shuffles(spark):
+    """The 100 TB invariant: the training shingle stream is filtered by a
+    BROADCAST semi join in place — the only exchanges in the plan carry
+    holdout-bounded rows (holdout shingles / contaminated survivors)."""
+    from fasta_windows_spark.operators.dedup import eval_contamination
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.where("doc_id % 37 <> 0")
+    hold = docs.where("doc_id % 37 = 0")
+    plan = (
+        eval_contamination(train, hold)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan

@@ -2377,6 +2377,106 @@ def docs_model_gate(spark, sf_dir):
     )
 
 
+# Shared per-doc score CTE under the trained perceptron — the pfin frame
+# both evaluation queries (AUC and calibration) reduce. Kept textually in
+# sync with docs_perceptron_scores' oracle so the eval oracles cannot
+# drift from the inference oracle.
+_SQL_PFIN_CTE = f"""{_perceptron_cte(_PCT_E)},
+pfin AS (SELECT t.doc_id, t.y, sum(t.tf * w.w)::BIGINT AS score
+         FROM ptf t JOIN pw{_PCT_E} w USING (b) GROUP BY 1, 2)"""
+
+
+@q(
+    "docs_perceptron_auc",
+    f"""WITH {_SQL_PFIN_CTE},
+ag AS (SELECT score,
+              sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS pos,
+              sum(CASE WHEN y = -1 THEN 1 ELSE 0 END)::BIGINT AS neg
+       FROM pfin GROUP BY 1),
+ac AS (SELECT score, pos, neg,
+              coalesce(sum(neg) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                AS neg_below
+       FROM ag)
+SELECT sum(pos)::BIGINT AS n_pos,
+       sum(neg)::BIGINT AS n_neg,
+       sum(CASE WHEN score > 0 THEN pos ELSE 0 END)::BIGINT AS tp,
+       sum(CASE WHEN score > 0 THEN neg ELSE 0 END)::BIGINT AS fp,
+       sum(CASE WHEN score <= 0 THEN neg ELSE 0 END)::BIGINT AS tn,
+       sum(CASE WHEN score <= 0 THEN pos ELSE 0 END)::BIGINT AS fn,
+       sum(pos * (2 * neg_below + neg))::BIGINT AS auc_num,
+       (2 * sum(pos) * sum(neg))::BIGINT AS auc_den,
+       (sum(pos * (2 * neg_below + neg)) * 1000000
+          // nullif(2 * sum(pos) * sum(neg), 0))::BIGINT AS auc_fp
+FROM ac""",
+)
+def docs_perceptron_auc(spark, sf_dir):
+    """EXACT classifier evaluation (operators/classify.binary_auc_report)
+    over the trained perceptron's per-doc margins: confusion counts at
+    the decision threshold plus exact ROC-AUC via the Mann-Whitney
+    rank-sum identity (auc_num/auc_den the exact rational, auc_fp the
+    1e-6 floor fixed point) — no trapezoid approximation, no float ranks,
+    every column BIGINT. The corpus collapses to the distinct-score frame
+    in one partial-agg groupBy; the tie-aware negatives-below prefix sum
+    runs through packing.running_offset's segmented scan (one
+    order-aligned hash Exchange + broadcast group offsets), NOT an
+    Exchange-SinglePartition global window."""
+    d = _docs(spark, sf_dir)
+    tgt = F.col("lang") == "en"
+    w = _classify.perceptron_fit(
+        d, target=tgt, n_buckets=_PCT_B, epochs=_PCT_E
+    )
+    scored = _classify.perceptron_scores(
+        d, w, target=tgt, n_buckets=_PCT_B
+    )
+    return _classify.binary_auc_report(scored)
+
+
+@q(
+    "docs_perceptron_calibration",
+    f"""WITH {_SQL_PFIN_CTE},
+cth AS (SELECT quantile_cont(score,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+        FROM pfin),
+cb AS (SELECT y, score,
+              (CASE WHEN score > t[1] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[2] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[3] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[4] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[5] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[6] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[7] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[8] THEN 1 ELSE 0 END +
+               CASE WHEN score > t[9] THEN 1 ELSE 0 END)::BIGINT AS bin
+       FROM pfin, cth)
+SELECT bin, count(*)::BIGINT AS n,
+       sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       sum(score)::BIGINT AS sum_score,
+       (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS pos_rate_fp
+FROM cb GROUP BY 1""",
+)
+def docs_perceptron_calibration(spark, sf_dir):
+    """Decile calibration table (operators/classify.calibration_report):
+    bins bounded by the EXACT score deciles (Spark percentile == DuckDB
+    quantile_cont under the shared (n-1)p interpolation — the
+    docs_length_quantile_filter precedent), per occupied bin the count,
+    positives, exact BIGINT margin sum, and 1e-6 fixed-point positive
+    rate — the "is the gate's margin monotone in label rate" audit a
+    quality-classifier deployment needs. Thresholds are one 1-row
+    aggregate broadcast back over the scan; bin assignment is a
+    count-of-thresholds-below fold — no sort, no window."""
+    d = _docs(spark, sf_dir)
+    tgt = F.col("lang") == "en"
+    w = _classify.perceptron_fit(
+        d, target=tgt, n_buckets=_PCT_B, epochs=_PCT_E
+    )
+    scored = _classify.perceptron_scores(
+        d, w, target=tgt, n_buckets=_PCT_B
+    )
+    return _classify.calibration_report(scored)
+
+
 # Shared unigram-LM CTEs (sur = per-doc rounded bits/token). Used by BOTH
 # docs_unigram_surprisal and docs_surprisal_buckets so the two oracles
 # cannot drift — the bucket thresholds must be computed over the SAME
@@ -2639,7 +2739,14 @@ def docs_crawl_delta(spark, sf_dir):
     snapshots synthesized deterministically from the corpus — 10%% of pages
     new in the current crawl, 1/13 dropped, every 7th re-crawled with
     changed content."""
-    d = _docs(spark, sf_dir)
+    prev, curr = _synth_snapshots(_docs(spark, sf_dir))
+    return _delta.snapshot_delta(prev, curr)
+
+
+def _synth_snapshots(d):
+    """The two deterministic crawl snapshots docs_crawl_delta defined
+    (10% new, 1/13 dropped, every 7th re-crawled with changed content) —
+    shared by the delta and drift queries so their oracles stay aligned."""
     prev = d.where(F.col("doc_id") % 10 != 0)
     curr = d.where(F.col("doc_id") % 13 != 0).withColumn(
         "text",
@@ -2647,7 +2754,72 @@ def docs_crawl_delta(spark, sf_dir):
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
         ).otherwise(F.col("text")),
     )
-    return _delta.snapshot_delta(prev, curr)
+    return prev, curr
+
+
+# Shared drift CTEs: the tagged-union token counts of the two synthesized
+# snapshots plus their totals — used by BOTH drift queries so the summary
+# and the attribution cannot drift from each other.
+_SQL_DRIFT_CTE = """
+dprev AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+dcurr AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+            AS text
+          FROM documents WHERE doc_id % 13 <> 0),
+dtok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok, 1 AS src FROM dprev
+  UNION ALL
+  SELECT unnest(string_split(lower(text), ' ')) AS tok, 2 AS src FROM dcurr
+),
+dtc AS (SELECT tok,
+               sum(CASE WHEN src = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+               sum(CASE WHEN src = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+        FROM dtok GROUP BY 1),
+dtot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM dtc)"""
+
+
+@q(
+    "docs_snapshot_drift",
+    f"""WITH {_SQL_DRIFT_CTE}
+SELECT n1, n2, count(*)::BIGINT AS n_union_tokens,
+       sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_prev_only,
+       sum(CASE WHEN c1 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_curr_only,
+       (sum(abs(c1::HUGEINT * n2 - c2::HUGEINT * n1)) * 1000000
+          // nullif(2 * n1::HUGEINT * n2, 0))::BIGINT AS tv_fp
+FROM dtc, dtot GROUP BY n1, n2""",
+)
+def docs_snapshot_drift(spark, sf_dir):
+    """Corpus drift monitor (operators/delta.token_drift_summary): the
+    EXACT total-variation distance between the two crawl snapshots'
+    unigram distributions (1e-6 floor fixed point), with snapshot totals,
+    union-vocabulary size, and side-exclusive token counts — the
+    distribution-shift alarm checked before mixing a new crawl into the
+    training mixture. All arithmetic integer (DECIMAL(38,0) products vs
+    the oracle's HUGEINT — the semdedup regime), which is why TV rather
+    than KL/JS is the hash-gated metric. One token-keyed shuffle over the
+    tagged union of both snapshots + a 1-row broadcast; text never
+    shuffles."""
+    prev, curr = _synth_snapshots(_docs(spark, sf_dir))
+    return _delta.token_drift_summary(prev, curr)
+
+
+@q(
+    "docs_snapshot_drift_tokens",
+    f"""WITH {_SQL_DRIFT_CTE}
+SELECT tok, c1, c2,
+       (abs(c1::HUGEINT * n2 - c2::HUGEINT * n1) * 1000000
+          // nullif(2 * n1::HUGEINT * n2, 0))::BIGINT AS drift_fp
+FROM dtc, dtot
+ORDER BY abs(c1::HUGEINT * n2 - c2::HUGEINT * n1) DESC, tok
+LIMIT 20""",
+)
+def docs_snapshot_drift_tokens(spark, sf_dir):
+    """Drift attribution (operators/delta.token_drift_topk): the 20
+    tokens moving the snapshot TV distance most, by exact cross-
+    multiplied numerator with token tie-break (total order — the top-k
+    set is deterministic and hash-checkable). Compiles to
+    TakeOrderedAndProject over the staged token frame; no global sort."""
+    prev, curr = _synth_snapshots(_docs(spark, sf_dir))
+    return _delta.token_drift_topk(prev, curr, k=20)
 
 
 @q(

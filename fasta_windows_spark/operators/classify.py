@@ -277,3 +277,111 @@ def model_gate(
         .alias("keep"),
         *[c for c in pages.columns if c not in (id_col, text_col)],
     )
+
+
+def binary_auc_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    y_col: str = "y",
+    group_size: int = 4096,
+) -> DataFrame:
+    """Exact classifier evaluation in one row: confusion counts at the
+    decision threshold (score > 0, the perceptron's prediction rule) plus
+    EXACT ROC-AUC via the Mann-Whitney rank-sum identity — no trapezoid
+    approximation, no float ranks. With ties at midrank,
+
+        2*U = sum over distinct scores s of pos(s) * (2*neg_below(s) + neg(s))
+        AUC = 2*U / (2 * n_pos * n_neg)
+
+    so the report carries the exact rational (auc_num = 2U, auc_den =
+    2*n_pos*n_neg, both BIGINT) alongside the floor-divided 1e-6 fixed
+    point — every column an exact integer, hash-checkable cross-engine.
+
+    100 TB shape: one partial-agg groupBy collapses the corpus to the
+    distinct-score frame; neg_below is the segmented-scan exclusive
+    prefix sum (packing.running_offset — one order-aligned hash Exchange
+    + metadata-sized group offsets, NOT an Exchange-SinglePartition
+    global window); the final reduce is one row. Overflow: auc_num *
+    1e6 <= 2e6 * n_pos * n_neg must stay inside BIGINT, i.e. evaluate on
+    an eval split up to ~2e6 x 2e6 — the standard regime (nobody labels
+    10^12 docs); corpus-scale evaluation shards by stratum first.
+    """
+    from .packing import running_offset
+
+    s = F.col(score_col)
+    g = scored.groupBy(score_col).agg(
+        F.sum(F.when(F.col(y_col) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+        F.sum(F.when(F.col(y_col) == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("neg"),
+    )
+    c = running_offset(
+        g, order_col=score_col, val_col="neg", out_col="neg_below",
+        group_size=group_size,
+    )
+    row = c.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.when(s > 0, F.col("pos")).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(s > 0, F.col("neg")).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(s <= 0, F.col("neg")).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when(s <= 0, F.col("pos")).otherwise(0)).cast("long").alias("fn"),
+        F.sum(
+            F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+        ).cast("long").alias("auc_num"),
+    )
+    return row.select(
+        "n_pos", "n_neg", "tp", "fp", "tn", "fn", "auc_num",
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+        F.expr(
+            "cast(auc_num * 1000000 div nullif(2 * n_pos * n_neg, 0) as bigint)"
+        ).alias("auc_fp"),
+    )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    y_col: str = "y",
+    probs: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Decile calibration table for a trained scorer: bins bounded by the
+    EXACT score percentiles (Spark `percentile` == DuckDB `quantile_cont`
+    by the shared (n-1)p interpolation — the docs_length_quantile_filter
+    precedent), one row per occupied bin with n, n_pos, the exact BIGINT
+    score sum, and the 1e-6 fixed-point positive rate. The thresholds are
+    ONE 1-row aggregate broadcast back over the scan (the data-dependent-
+    threshold pattern); bin assignment is a count-of-thresholds-below
+    fold, so there is no sort and no window — two passes total, both
+    partial-aggregated. int64 -> double threshold comparison is exact for
+    |score| < 2^53."""
+    plist = ", ".join(repr(float(p)) for p in probs)
+    th = scored.agg(
+        F.expr(f"percentile({score_col}, array({plist}))").alias("_th")
+    )
+    b = scored.crossJoin(F.broadcast(th)).select(
+        F.col(y_col),
+        F.col(score_col),
+        F.expr(
+            f"cast(aggregate(_th, 0L, (acc, t) -> acc + "
+            f"(case when {score_col} > t then 1L else 0L end)) as bigint)"
+        ).alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col(y_col) == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(score_col).cast("long").alias("sum_score"),
+        )
+        .select(
+            "bin", "n", "n_pos", "sum_score",
+            F.expr("cast(n_pos * 1000000 div n as bigint)").alias(
+                "pos_rate_fp"
+            ),
+        )
+    )

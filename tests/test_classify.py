@@ -182,3 +182,97 @@ def test_model_gate_passthrough_and_guard(spark):
     # non-text columns ride through for downstream pipeline stages
     assert "lang" in out.columns and "source" in out.columns
     assert "text" not in out.columns
+
+
+def _auc_sklearn_free(pairs):
+    """Reference exact AUC over (y, score) pairs: brute-force pair count
+    with midrank ties — 2*U and the exact rational, independent of Spark
+    and SQL."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == -1]
+    u2 = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                u2 += 2
+            elif p == n:
+                u2 += 1
+    return u2, 2 * len(pos) * len(neg)
+
+
+def test_binary_auc_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([1, -1]), rng.randrange(-50, 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y long, score long")
+    rep = classify.binary_auc_report(df).collect()[0]
+    u2, den = _auc_sklearn_free([(y, s) for _, y, s in rows])
+    assert rep.auc_num == u2
+    assert rep.auc_den == den
+    assert rep.auc_fp == u2 * 1_000_000 // den
+    assert rep.n_pos == sum(1 for _, y, _ in rows if y == 1)
+    assert rep.tp == sum(1 for _, y, s in rows if y == 1 and s > 0)
+    assert rep.tn == sum(1 for _, y, s in rows if y == -1 and s <= 0)
+
+
+def test_binary_auc_extremes(spark):
+    # perfectly separated -> AUC exactly 1; all-ties -> exactly 1/2
+    sep = spark.createDataFrame(
+        [(i, 1, 10) for i in range(5)] + [(i + 5, -1, -10) for i in range(5)],
+        "doc_id long, y long, score long",
+    )
+    r = classify.binary_auc_report(sep).collect()[0]
+    assert (r.auc_num, r.auc_den, r.auc_fp) == (50, 50, 1_000_000)
+    tie = spark.createDataFrame(
+        [(i, 1 if i % 2 else -1, 3) for i in range(10)],
+        "doc_id long, y long, score long",
+    )
+    r = classify.binary_auc_report(tie).collect()[0]
+    assert r.auc_num * 2 == r.auc_den
+    assert r.auc_fp == 500_000
+
+
+def test_binary_auc_partition_invariant(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice([1, -1]), rng.randrange(-9, 9)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y long, score long")
+    a = classify.binary_auc_report(df.repartition(1)).collect()[0]
+    b = classify.binary_auc_report(
+        df.repartition(17), group_size=8
+    ).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_binary_auc_single_class_null_fp(spark):
+    only_pos = spark.createDataFrame(
+        [(i, 1, i) for i in range(4)], "doc_id long, y long, score long"
+    )
+    r = classify.binary_auc_report(only_pos).collect()[0]
+    assert r.n_neg == 0 and r.auc_den == 0 and r.auc_fp is None
+
+
+def test_calibration_bins_partition_rows(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.choice([1, -1]), rng.randrange(-1000, 1000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y long, score long")
+    rep = {r.bin: r for r in classify.calibration_report(df).collect()}
+    # bins partition the corpus and the rate is the exact floor fixed point
+    assert sum(r.n for r in rep.values()) == 500
+    for r in rep.values():
+        assert r.pos_rate_fp == r.n_pos * 1_000_000 // r.n
+    # monotone bin boundaries: every score in bin b is <= every score in b+2
+    # (adjacent bins can share a threshold-equal score); check via sums
+    assert sorted(rep) == list(range(min(rep), max(rep) + 1))

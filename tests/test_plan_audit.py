@@ -35,6 +35,8 @@ def test_python_boundaries_are_vectorized_and_rare(spark):
         "docs_bpe_token_counts",
         "docs_bpe_pack_sequences",
         "docs_bpe_vocab",
+        # tokenizer fertility composes the same vocabulary-only BPE encode
+        "docs_tokenizer_fertility",
         # SemDeDup's in-cell pair scan is a per-cell exact integer GEMM
         # (applyInPandas, the PCA-Gramian precedent) — measured ~10x over
         # the interpreted zip_with/DECIMAL self-join it replaced; the

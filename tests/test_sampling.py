@@ -373,3 +373,78 @@ def test_epoch_order_shards_balanced(spark):
     out = sampling.epoch_order(docs, n_shards=8)
     sizes = [r["n"] for r in out.groupBy("shard").count().withColumnRenamed("count", "n").collect()]
     assert max(sizes) - min(sizes) <= 1  # round-robin: equal +/- 1
+
+
+# --- token drift (operators/delta.token_drift_*) ---
+
+
+def _drift_python(prev_texts, curr_texts):
+    """Exact-fraction TV reference, independent of Spark and SQL."""
+    from collections import Counter
+    from fractions import Fraction
+
+    c1 = Counter(t for x in prev_texts for t in x.lower().split(" "))
+    c2 = Counter(t for x in curr_texts for t in x.lower().split(" "))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    toks = set(c1) | set(c2)
+    tv = sum(
+        abs(Fraction(c1.get(t, 0), n1) - Fraction(c2.get(t, 0), n2))
+        for t in toks
+    ) / 2
+    return n1, n2, toks, tv
+
+
+def test_token_drift_matches_exact_fractions(spark):
+    from fasta_windows_spark.operators import delta
+
+    prev_texts = ["a b c a", "d e f", "a a b"]
+    curr_texts = ["a b c", "d e f g g", "h h h h"]
+    prev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(prev_texts)], "doc_id long, text string"
+    )
+    curr = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(curr_texts)], "doc_id long, text string"
+    )
+    r = delta.token_drift_summary(prev, curr).collect()[0]
+    n1, n2, toks, tv = _drift_python(prev_texts, curr_texts)
+    assert (r.n1, r.n2, r.n_union_tokens) == (n1, n2, len(toks))
+    assert r.tv_fp == int(tv * 1_000_000)  # floor of the exact fraction
+    top = delta.token_drift_topk(prev, curr, k=3).collect()
+    # h: |0*n2 - 4*n1| = 4*10 = 40 is the largest mover
+    assert top[0].tok == "h" and top[0].c1 == 0 and top[0].c2 == 4
+
+
+def test_token_drift_identical_snapshots_zero(spark):
+    from fasta_windows_spark.operators import delta
+
+    d = spark.createDataFrame(
+        [(1, "x y z"), (2, "y z")], "doc_id long, text string"
+    )
+    r = delta.token_drift_summary(d, d).collect()[0]
+    assert r.tv_fp == 0 and r.n_prev_only == 0 and r.n_curr_only == 0
+
+
+def test_token_drift_disjoint_snapshots_full(spark):
+    from fasta_windows_spark.operators import delta
+
+    a = spark.createDataFrame([(1, "p q")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "r s")], "doc_id long, text string")
+    r = delta.token_drift_summary(a, b).collect()[0]
+    assert r.tv_fp == 1_000_000  # TV = 1 exactly
+    assert r.n_prev_only == 2 and r.n_curr_only == 2
+
+
+def test_token_drift_partition_invariant(spark):
+    from fasta_windows_spark.operators import delta
+
+    rows = [(i, f"w{i % 13} w{i % 7} common") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = d.where("doc_id % 3 != 0")
+    curr = d.where("doc_id % 4 != 0")
+    a = delta.token_drift_summary(
+        prev.repartition(1), curr.repartition(1)
+    ).collect()[0]
+    b = delta.token_drift_summary(
+        prev.repartition(23), curr.repartition(5)
+    ).collect()[0]
+    assert a.asDict() == b.asDict()

@@ -60,6 +60,11 @@ HEADLINE = [
     "emb_sq8_search",           # SQ8 scalar-quantized ANN (fit + search)
     "docs_perceptron_scores",   # perceptron classifier: train + inference
     "docs_epoch_order",         # epoch shuffle: distributed exact ranking
+    # round-5 fourth-session families:
+    "docs_snapshot_drift",      # exact TV drift between crawl snapshots
+    "docs_window_drift",        # per-window drift (streaming op, batch face)
+    "docs_robots_filter",       # RFC 9309 longest-prefix robots gate
+    "emb_fps_centers",          # farthest-point coreset (k greedy passes)
 ]
 
 

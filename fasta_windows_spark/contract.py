@@ -1380,6 +1380,7 @@ from .operators import delta as _delta  # noqa: E402
 from .operators import classify as _classify  # noqa: E402
 from .operators import sampling as _sampling  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
+from .operators import robots as _robots  # noqa: E402
 from .functions import text as _text  # noqa: E402
 from .multimodal import decode as _mm  # noqa: E402
 
@@ -2820,6 +2821,76 @@ def docs_snapshot_drift_tokens(spark, sf_dir):
     TakeOrderedAndProject over the staged token frame; no global sort."""
     prev, curr = _synth_snapshots(_docs(spark, sf_dir))
     return _delta.token_drift_topk(prev, curr, k=20)
+
+
+# Epoch base for the synthesized page stream: 2024-01-01 00:00:00 UTC,
+# hour-aligned so Spark's epoch-aligned window() boundaries are exactly
+# base + k*3600 (outputs carry epoch SECONDS, keeping the oracle tz-free).
+_WDRIFT_EPOCH = 1_704_067_200
+_WDRIFT_B = 64
+
+
+@q(
+    "docs_window_drift",
+    f"""
+WITH wtok AS (
+  SELECT doc_id // 60 AS win,
+         ('0x' || substr(md5(unnest(string_split(lower(text), ' '))), 1, 8))
+           ::BIGINT % {_WDRIFT_B} AS b
+  FROM documents
+),
+wref AS (SELECT b, count(*)::BIGINT AS g FROM wtok GROUP BY 1),
+wrtot AS (SELECT sum(g)::BIGINT AS N FROM wref),
+wcnt AS (SELECT win, b, count(*)::BIGINT AS c FROM wtok GROUP BY 1, 2),
+wn AS (SELECT win, sum(c)::BIGINT AS n FROM wcnt GROUP BY 1),
+wtv AS (
+  SELECT w.win, w.n,
+         sum(abs(coalesce(c.c, 0)::HUGEINT * t.N - r.g::HUGEINT * w.n))
+           AS num
+  FROM wn w
+  CROSS JOIN wrtot t
+  CROSS JOIN wref r
+  LEFT JOIN wcnt c ON c.win = w.win AND c.b = r.b
+  GROUP BY 1, 2
+)
+SELECT ({_WDRIFT_EPOCH} + win * 3600)::BIGINT AS window_start_s,
+       ({_WDRIFT_EPOCH} + (win + 1) * 3600)::BIGINT AS window_end_s,
+       n AS n_tokens,
+       (num * 1000000 // (2 * n::HUGEINT * (SELECT N FROM wrtot)))::BIGINT
+         AS tv_fp
+FROM wtv""",
+)
+def docs_window_drift(spark, sf_dir):
+    """Per-window distribution-shift monitor (streaming/drift.
+    window_drift) — the STREAMING operator itself, hash-gated through its
+    batch face (window() groups bounded frames identically and the
+    watermark is a batch no-op, the doc_windows_counts_jvm precedent):
+    pages get event-time minutes (doc_id-derived, hour-aligned epoch
+    base), tokens hash into 64 md5 buckets, ONE windowed JVM HashAggregate
+    reduces each hour window to bucket counts, and the exact TV distance
+    to the full-corpus reference distribution (trained in-plan,
+    metadata-sized collect, embedded as plan literals) is a stateless
+    DECIMAL(38,0) fold per emitted window — 1e-6 fixed point, bit-equal
+    to the oracle's HUGEINT arithmetic. The streaming face (watermark,
+    state-store windows, checkpoint resume) is pinned stream==batch in
+    tests/test_streaming_drift.py."""
+    from .streaming.drift import corpus_bucket_counts, window_drift
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = corpus_bucket_counts(d, n_buckets=_WDRIFT_B)
+    pages = d.select(
+        F.timestamp_seconds(
+            F.lit(_WDRIFT_EPOCH) + F.col("doc_id") * 60
+        ).alias("ts"),
+        "text",
+    )
+    out = window_drift(pages, ref, window="1 hour")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        F.col("window_end").cast("long").alias("window_end_s"),
+        "n_tokens",
+        "tv_fp",
+    )
 
 
 @q(
@@ -4704,6 +4775,94 @@ def docs_fetch_schedule(spark, sf_dir):
     from .streaming.scheduler import fetch_schedule
 
     return fetch_schedule(_docs(spark, sf_dir))
+
+
+_ROBOTS_HASH = "('0x' || substr(md5({x}), 1, 8))::BIGINT % 2"
+
+
+@q(
+    "docs_robots_filter",
+    f"""
+WITH rp AS (
+  SELECT doc_id, source AS host,
+         '/' || string_split(text, ' ')[1] || '/' || string_split(text, ' ')[2]
+           AS path,
+         string_split(text, ' ')[1] AS tok1
+  FROM documents
+),
+rr1 AS (
+  SELECT DISTINCT host, '/' || tok1 AS prefix,
+         (CASE WHEN {_ROBOTS_HASH.format(x="host || ':' || tok1")} = 0
+               THEN 1 ELSE 0 END)::BIGINT AS allow
+  FROM rp
+),
+rr2 AS (
+  SELECT DISTINCT host, path AS prefix,
+         (CASE WHEN {_ROBOTS_HASH.format(x="host || '#' || path")} = 0
+               THEN 1 ELSE 0 END)::BIGINT AS allow
+  FROM rp WHERE doc_id % 11 = 0
+),
+rules AS (SELECT * FROM rr1 UNION SELECT * FROM rr2),
+sc AS (
+  SELECT p.doc_id, p.host, p.path,
+         max(CASE WHEN starts_with(p.path, r.prefix)
+                  THEN length(r.prefix) * 2 + r.allow END)::BIGINT AS best
+  FROM rp p LEFT JOIN rules r ON p.host = r.host
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, host, path,
+       coalesce(best // 2, 0)::BIGINT AS matched_len,
+       coalesce(best % 2, 1)::BIGINT AS allowed
+FROM sc""",
+)
+def docs_robots_filter(spark, sf_dir):
+    """Robots-exclusion gate (operators/robots.robots_filter): per-host
+    path-prefix allow/disallow rules applied to the crawl frontier under
+    RFC 9309 precedence — longest matching prefix wins, allow wins ties,
+    default allow — the compliance leg beside the CDX fetch plan and the
+    politeness scheduler. Precedence is evaluated as ONE integer MAX over
+    length(prefix)*2 + allow (no regex, no UDF). Rules are synthesized
+    deterministically from the corpus: a short '/<tok1>' rule per (host,
+    first-token) plus, for every 11th doc, a full-path override rule with
+    an independent allow bit, so both the longest-prefix override and the
+    default-allow branch are exercised. One host-keyed join + one per-URL
+    partial-agg MAX; the oracle spells identical semantics in SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    toks = F.split(F.col("text"), " ")
+    rp = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/"), toks[0], F.lit("/"), toks[1]
+        ).alias("path"),
+        toks[0].alias("tok1"),
+    )
+    h = _sampling._hash_bucket
+    rr1 = rp.select(
+        "host",
+        F.concat(F.lit("/"), F.col("tok1")).alias("prefix"),
+        F.when(
+            h(F.concat(F.col("host"), F.lit(":"), F.col("tok1")), 2) == 0,
+            1,
+        ).otherwise(0).cast("long").alias("allow"),
+    ).distinct()
+    rr2 = (
+        rp.where(F.col("doc_id") % 11 == 0)
+        .select(
+            "host",
+            F.col("path").alias("prefix"),
+            F.when(
+                h(F.concat(F.col("host"), F.lit("#"), F.col("path")), 2)
+                == 0,
+                1,
+            ).otherwise(0).cast("long").alias("allow"),
+        )
+        .distinct()
+    )
+    rules = rr1.unionByName(rr2).distinct()
+    return _robots.robots_filter(
+        rp.select("doc_id", "host", "path"), rules
+    )
 
 
 @q(
@@ -6778,6 +6937,86 @@ CROSS JOIN qv
 WHERE a.vec_id <> {qid}
 ORDER BY d2 ASC, a.vec_id ASC
 LIMIT {topk}"""
+
+
+def _fps_oracle_cte(k: int, d: int) -> str:
+    """Unrolled greedy chain for farthest-point sampling (cluster.py
+    fps_select): with the pick count fixed, the sequential greedy is a
+    finite CTE chain, and integer fixed-point d2 + the DESC-d2/ASC-id
+    total order make every pick EXACTLY reproducible (the kmeans-oracle
+    playbook). fsel{{i}} accumulates picks 0..i; candidates already picked
+    are excluded so duplicate vectors cannot re-win at d2 = 0."""
+    scale = _cluster.SCALE
+    dims = f"range(1, {d + 1})"
+    dd = (
+        f"list_sum(list_transform({dims}, "
+        "i -> (q.fv[i] - s.fv[i]) * (q.fv[i] - s.fv[i])))"
+    )
+    # AS MATERIALIZED throughout: each fsel{i} is referenced three times
+    # (candidate distances, the NOT-IN exclusion, and the next union) — if
+    # DuckDB inlined them the chain would re-expand ~3^k times and the
+    # oracle would take minutes instead of milliseconds
+    parts = [
+        f"""fq AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {scale})::BIGINT) AS fv
+  FROM embeddings),
+fsel0 AS MATERIALIZED (SELECT 0::BIGINT AS pick, vec_id, 0::BIGINT AS d2, fv
+          FROM fq ORDER BY vec_id LIMIT 1)"""
+    ]
+    for i in range(1, k):
+        parts.append(f"""
+fm{i} AS MATERIALIZED (SELECT q.vec_id, min({dd})::BIGINT AS d2
+          FROM fq q CROSS JOIN fsel{i - 1} s
+          WHERE q.vec_id NOT IN (SELECT vec_id FROM fsel{i - 1})
+          GROUP BY 1),
+fp{i} AS MATERIALIZED (SELECT {i}::BIGINT AS pick, m.vec_id, m.d2, q.fv
+          FROM fm{i} m JOIN fq q USING (vec_id)
+          ORDER BY m.d2 DESC, m.vec_id LIMIT 1),
+fsel{i} AS MATERIALIZED (SELECT * FROM fsel{i - 1} UNION ALL SELECT * FROM fp{i})""")
+    return ",".join(parts)
+
+
+_FPS_K = 8
+
+
+@q(
+    "emb_fps_centers",
+    f"WITH {_fps_oracle_cte(_FPS_K, 64)}\n"
+    f"SELECT pick, vec_id, d2 FROM fsel{_FPS_K - 1}",
+)
+def emb_fps_centers(spark, sf_dir):
+    """Farthest-point-sampling coreset (operators/cluster.fps_select,
+    Gonzalez 1985 k-center greedy): 8 maximally-spread embedding vectors —
+    the diversity-first data-selection primitive beside DSIR's
+    importance-first sampling. Integer fixed-point d2 with a DESC-d2/
+    ASC-id total order makes the greedy chain bit-identical to the
+    oracle's unrolled CTEs; each pick is one TakeOrderedAndProject job
+    (no wide Exchange). d2 is the pick's distance to the set before it —
+    the non-increasing Gonzalez radius sequence."""
+    return _cluster.fps_select(_emb(spark, sf_dir), k=_FPS_K)
+
+
+@q(
+    "emb_fps_coverage",
+    f"""WITH {_fps_oracle_cte(_FPS_K, 64)},
+fcov AS (
+  SELECT q.vec_id,
+         min(list_sum(list_transform(range(1, 65),
+               i -> (q.fv[i] - s.fv[i]) * (q.fv[i] - s.fv[i]))))::BIGINT AS d2
+  FROM fq q CROSS JOIN fsel{_FPS_K - 1} s GROUP BY 1)
+SELECT count(*)::BIGINT AS n_vectors,
+       max(d2)::BIGINT AS radius2,
+       sum(d2)::BIGINT AS cost
+FROM fcov""",
+)
+def emb_fps_coverage(spark, sf_dir):
+    """Coverage audit of the FPS coreset (operators/cluster.fps_coverage):
+    the exact k-center radius^2 (max over the pool of min d2 to the 8
+    centers — what Gonzalez greedy 2-approximates) plus the summed
+    quantization cost, one row. One full pass of min-d2 against the
+    center literals, then a single reduce."""
+    return _cluster.fps_coverage(_emb(spark, sf_dir), k=_FPS_K)
 
 
 @q("emb_kmeans_cells", _kmeans_oracle_sql(k=8, d=64, n_iter=2))

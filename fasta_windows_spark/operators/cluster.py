@@ -554,3 +554,94 @@ def pq_rerank_search(
         .orderBy(F.asc("d2"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def _min_d2_expr(centers_fv: list[list[int]]) -> str:
+    """SQL: min exact-integer squared distance from the row's fv to the
+    given center vectors, embedded as ONE parsed literal (the _longs_sql
+    rationale — no per-element py4j roundtrips)."""
+    return (
+        f"array_min(transform({_longs2_sql(centers_fv)}, "
+        "cv -> aggregate(zip_with(fv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)))"
+    )
+
+
+def _fps_pick(q: DataFrame, k: int, id_col: str) -> list:
+    """Greedy farthest-point iterations over the quantized frame:
+    [(pick, id, d2_at_pick, fv), ...]. Pick 0 is the lowest id (the
+    deterministic seed, like kmeans init); pick i maximizes the min exact
+    d2 to the already-picked set, ties to the lowest id, already-picked
+    ids excluded (so duplicate vectors cannot be re-picked at d2 = 0).
+    Each iteration is ONE TakeOrderedAndProject job returning ONE row —
+    k-1 passes total, no wide shuffle anywhere."""
+    first = (
+        q.orderBy(id_col).limit(1).select(id_col, "fv").collect()[0]
+    )
+    sel = [(0, first[0], 0, [int(x) for x in first[1]])]
+    for i in range(1, k):
+        picked_ids = ", ".join(str(int(s[1])) for s in sel)
+        cand = q.where(
+            ~F.col(id_col).isin([s[1] for s in sel])
+        ).select(
+            id_col,
+            "fv",
+            F.expr(_min_d2_expr([s[3] for s in sel])).alias("d2"),
+        )
+        row = cand.orderBy(F.desc("d2"), id_col).limit(1).collect()[0]
+        sel.append((i, row[0], int(row[2]), [int(x) for x in row[1]]))
+    return sel
+
+
+def fps_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point-sampling coreset (the k-center greedy 2-approximation,
+    Gonzalez 1985): k maximally-spread vectors — the diversity-first data
+    selection primitive (embedding-space coverage, active-learning seed
+    pools, k-center init) complementing DSIR's importance-first sampling.
+
+    Integer fixed-point throughout (the kmeans regime): quantized vectors,
+    exact d2, DESC-d2/ASC-id total order — so the picked SET and each
+    pick's d2 are bit-identical cross-engine and the whole greedy chain is
+    hash-checkable against an unrolled-CTE oracle. Returns (pick, id,
+    d2) — d2 being the pick's distance to the set before it, the
+    monotonically non-increasing Gonzalez radius sequence.
+
+    Scale: k driver-coordinated passes, each one TakeOrderedAndProject
+    (no wide Exchange). FPS is inherently sequential in k; for corpus-
+    scale pools run it on the deterministic sample (operators/sampling)
+    like every coreset construction — k stays coreset-sized either way.
+    """
+    qdf = quantize(emb, id_col, vec_col)
+    sel = _fps_pick(qdf, k, id_col)
+    return emb.sparkSession.createDataFrame(
+        [(p, int(v), int(d)) for p, v, d, _ in sel],
+        f"pick bigint, {id_col} bigint, d2 bigint",
+    )
+
+
+def fps_coverage(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage audit of the FPS coreset: one row with the pool size, the
+    exact k-center radius^2 (max over vectors of min d2 to the coreset —
+    the quantity Gonzalez greedy 2-approximates) and the summed
+    quantization cost. One full pass: min-d2 against the k center
+    literals per row, then a single reduce."""
+    qdf = quantize(emb, id_col, vec_col)
+    sel = _fps_pick(qdf, k, id_col)
+    d2 = qdf.select(
+        F.expr(_min_d2_expr([s[3] for s in sel])).alias("d2")
+    )
+    return d2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max("d2").cast("long").alias("radius2"),
+        F.sum("d2").cast("long").alias("cost"),
+    )

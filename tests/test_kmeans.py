@@ -164,3 +164,80 @@ def test_semdedup_matches_python_reference(spark):
     assert sum(1 for _, kept in got.values() if kept == 0) > 0, (
         "threshold must actually remove something at this scale"
     )
+
+
+# --- farthest-point sampling (C.fps_select / fps_coverage) ---
+
+
+def _fps_python(vecs: dict, k: int):
+    """Greedy k-center reference over quantized integer vectors."""
+    sel = [min(vecs)]
+    d2s = {0: 0}
+    for i in range(1, k):
+        best = None
+        for vid, fv in vecs.items():
+            if vid in sel:
+                continue
+            d2 = min(
+                sum((a - b) * (a - b) for a, b in zip(fv, vecs[s]))
+                for s in sel
+            )
+            key = (-d2, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, d2)
+        sel.append(best[1])
+        d2s[i] = best[2]
+    return sel, d2s
+
+
+def test_fps_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.pick: (r.vec_id, r.d2)
+        for r in C.fps_select(emb, k=6).collect()
+    }
+    q = {
+        r.vec_id: [int(x) for x in r.fv]
+        for r in C.quantize(emb).collect()
+    }
+    sel, d2s = _fps_python(q, 6)
+    assert [out[i][0] for i in range(6)] == sel
+    assert all(out[i][1] == d2s[i] for i in range(6))
+    # Gonzalez radius sequence is non-increasing after pick 1
+    picks = [out[i][1] for i in range(1, 6)]
+    assert all(a >= b for a, b in zip(picks, picks[1:]))
+
+
+def test_fps_skips_duplicate_vectors(spark):
+    # three distinct points, two of them duplicated — k=3 must pick the
+    # three DISTINCT points, never a 0-distance duplicate
+    pts = {0: [0.0, 0.0], 1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0],
+           4: [1.0, 0.0]}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id for r in C.fps_select(emb, k=3).collect()}
+    assert got == {0, 2, 3}
+
+
+def test_fps_coverage_consistent(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cov = C.fps_coverage(emb, k=5).collect()[0]
+    assert cov.n_vectors == 40
+    # radius2 can't exceed the last pick's d2 (the pool's farthest point
+    # before the final center was added) and is the max of the min-d2 map
+    last = C.fps_select(emb, k=5).collect()[-1]
+    assert cov.radius2 <= last.d2
+    assert cov.cost >= cov.radius2

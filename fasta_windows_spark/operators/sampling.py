@@ -166,8 +166,19 @@ def priority_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    from pyspark.sql import Window
+    q = priority_frame(df, weight_col=weight_col, key_col=key_col, salt=salt)
+    return _priority_rank_and_tau(q, k, key_col)
 
+
+def priority_frame(
+    df: DataFrame,
+    weight_col: str = "w",
+    key_col: str = "doc_id",
+    salt: str = "priority",
+) -> DataFrame:
+    """(pk, w, wq, q_fp) — the stateless half of DLT priority sampling
+    (the per-row fixed-point priorities), shared by the batch sampler and
+    the streaming twin (streaming/sampling.py) so the two cannot drift."""
     key, w = F.col(key_col), F.col(weight_col).cast("long")
     h1 = (
         F.conv(
@@ -183,7 +194,15 @@ def priority_sample(
         (w * F.lit(2**32)).alias("wq"),
         h1.alias("u_fp"),
     ).where(w > 0)
-    q = q.select("pk", "w", F.expr("wq div u_fp").alias("q_fp"), "wq")
+    return q.select("pk", "w", F.expr("wq div u_fp").alias("q_fp"), "wq")
+
+
+def _priority_rank_and_tau(q: DataFrame, k: int, key_col: str) -> DataFrame:
+    """The finisher half: k highest priorities + tau from the (k+1)-th —
+    also the reducer the streaming twin's finalize applies to the union
+    of per-shard candidates (any frame carrying pk/w/wq/q_fp)."""
+    from pyspark.sql import Window
+
     top = q.orderBy(F.col("q_fp").desc(), F.col("pk").asc()).limit(k + 1)
     rn = F.row_number().over(
         Window.orderBy(F.col("q_fp").desc(), F.col("pk").asc())

@@ -4762,6 +4762,86 @@ def docs_zorder_layout(spark, sf_dir):
     return _layout.zorder_files(_docs(spark, sf_dir))
 
 
+_CH_S, _CH_V = 6, 8
+_CH_MOD = 1 << 32
+
+
+def _ring_sql(name: str, s: int, v: int) -> str:
+    return (
+        f"{name} AS (SELECT s.s::INT AS sh, "
+        f"('0x' || substr(md5('s' || s.s || ':v' || v.v), 1, 8))::BIGINT "
+        f"AS pos FROM range({s}) s(s), range({v}) v(v))"
+    )
+
+
+def _owner_sql(ring: str, s: int) -> str:
+    return (
+        f"(min(((r.pos - d.p) % {_CH_MOD} + {_CH_MOD}) % {_CH_MOD} "
+        f"* {s} + r.sh) % {s})::BIGINT"
+    )
+
+
+_SQL_CH_DP = """dp AS (SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS p
+      FROM documents)"""
+
+
+@q(
+    "docs_shard_assign",
+    f"""
+WITH {_ring_sql("ring", _CH_S, _CH_V)}, {_SQL_CH_DP}
+SELECT d.doc_id, d.p, {_owner_sql("ring", _CH_S)} AS shard
+FROM dp d CROSS JOIN ring r
+GROUP BY 1, 2""",
+)
+def docs_shard_assign(spark, sf_dir):
+    """Consistent-hash shard assignment
+    (operators/layout.consistent_shard_assign): every doc's 32-bit md5
+    ring position and the owning shard under a {_CH_S}-shard ring with
+    {_CH_V} virtual nodes each — the layout primitive that lets a living
+    index grow one shard at a time moving ~1/(S+1) of keys instead of
+    mod-hashing's ~S/(S+1). The owner is a packed argmin of clockwise
+    ring distance over the ring LITERAL (S*V entries in the plan, the
+    centroid pattern) — one narrow JVM projection, no join, no shuffle;
+    exact integer arithmetic end to end."""
+    return _layout.consistent_shard_assign(
+        _docs(spark, sf_dir).select("doc_id"), n_shards=_CH_S, v_nodes=_CH_V
+    )
+
+
+@q(
+    "docs_reshard_audit",
+    f"""
+WITH {_ring_sql("ring_a", _CH_S, _CH_V)},
+{_ring_sql("ring_b", _CH_S + 1, _CH_V)}, {_SQL_CH_DP},
+own_a AS (SELECT d.doc_id, d.p, {_owner_sql("ring_a", _CH_S)} AS s_old
+          FROM dp d CROSS JOIN ring_a r GROUP BY 1, 2),
+own_b AS (SELECT d.doc_id, {_owner_sql("ring_b", _CH_S + 1)} AS s_new
+          FROM dp d CROSS JOIN ring_b r GROUP BY 1)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN a.s_old <> b.s_new THEN 1 ELSE 0 END)::BIGINT
+         AS moved_ring,
+       sum(CASE WHEN a.p % {_CH_S} <> a.p % {_CH_S + 1} THEN 1 ELSE 0
+           END)::BIGINT AS moved_mod,
+       (sum(CASE WHEN a.s_old <> b.s_new THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS moved_ring_fp,
+       (sum(CASE WHEN a.p % {_CH_S} <> a.p % {_CH_S + 1} THEN 1 ELSE 0 END)
+          * 1000000 // count(*))::BIGINT AS moved_mod_fp
+FROM own_a a JOIN own_b b USING (doc_id)""",
+)
+def docs_reshard_audit(spark, sf_dir):
+    """Resharding movement audit (operators/layout.reshard_audit): grow
+    the ring {_CH_S} -> {_CH_S + 1} shards and count keys that move under
+    the consistent ring (expected ~1/(S+1)) vs naive mod-hashing
+    (expected ~S/(S+1)) — the measured case for ring layout on a living
+    10^12-doc index, in exact 1e-6 fixed point. The S+1 ring is a strict
+    superset of the S ring (asserted), which IS the consistent-hashing
+    contract."""
+    return _layout.reshard_audit(
+        _docs(spark, sf_dir).select("doc_id"), n_shards=_CH_S, v_nodes=_CH_V
+    )
+
+
 @q("docs_fetch_schedule", __import__("fasta_windows_spark.streaming.scheduler", fromlist=["x"]).fetch_schedule_oracle_sql())
 def docs_fetch_schedule(spark, sf_dir):
     """Crawl politeness schedule (streaming/scheduler.py): every doc gets

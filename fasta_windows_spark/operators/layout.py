@@ -107,3 +107,124 @@ SELECT doc_id, zx, zy, zkey,
        ntile({n_files}) OVER (ORDER BY zkey, doc_id) AS file_id
 FROM z
 """
+
+
+# --- consistent-hash sharding (ring with virtual nodes) ---
+#
+# The layout primitive for a LIVING index: md5-ring assignment with V
+# virtual nodes per shard, so growing the fleet from S to S+1 shards
+# moves ~1/(S+1) of documents (vs ~S/(S+1) under mod-hashing) — the
+# difference between re-indexing 14% and re-indexing 86% of 10^12 docs.
+# Everything is exact integer arithmetic on 32-bit md5 positions: the
+# owner of a key is the ring node minimizing the clockwise distance
+# (pos - p) mod 2^32, evaluated as ONE packed array_min over the ring
+# literal (metadata-sized: S*V entries ride the plan, the kmeans-centroid
+# pattern) — no join, no shuffle, cross-engine bit-identical.
+
+RING_MOD = 1 << 32
+
+
+def _md5_32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def ring_nodes(n_shards: int, v_nodes: int = 8) -> list:
+    """[(pos, shard)] for the ring — python md5 mirrors the SQL md5 the
+    oracle builds the same ring with. Positions must be distinct for the
+    argmin tie-break to be moot; asserted (a collision would need two of
+    S*V 32-bit hashes to collide — if it ever fires, bump v-node labels)."""
+    nodes = [
+        (_md5_32(f"s{s}:v{v}"), s)
+        for s in range(n_shards)
+        for v in range(v_nodes)
+    ]
+    assert len({p for p, _ in nodes}) == len(nodes), "ring position collision"
+    return nodes
+
+
+def _ring_owner_expr(nodes: list, p_col: str) -> str:
+    """SQL: shard owning position ``p_col`` — packed argmin of clockwise
+    distance over the ring literal."""
+    n_shards = max(s for _, s in nodes) + 1
+    ring = (
+        "array("
+        + ",".join(f"struct({p}L as pos, {s} as sh)" for p, s in nodes)
+        + ")"
+    )
+    return (
+        f"cast(pmod(array_min(transform({ring}, r -> "
+        f"pmod(r.pos - {p_col}, {RING_MOD}) * {n_shards} + r.sh)), "
+        f"{n_shards}) as bigint)"
+    )
+
+
+def consistent_shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    v_nodes: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, p, shard): ring position of every key (32-bit md5) and the
+    shard owning it. One narrow JVM projection — the ring is plan
+    literals; nothing shuffles."""
+    nodes = ring_nodes(n_shards, v_nodes)
+    return df.select(
+        F.col(key_col),
+        F.expr(
+            f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+            f"16, 10) as bigint)"
+        ).alias("p"),
+    ).select(
+        key_col, "p", F.expr(_ring_owner_expr(nodes, "p")).alias("shard")
+    )
+
+
+def reshard_audit(
+    df: DataFrame,
+    n_shards: int,
+    v_nodes: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """One-row audit of growing S -> S+1 shards: how many keys move under
+    the consistent ring (expected ~n/(S+1) — only keys whose arc the new
+    shard's v-nodes split) vs under naive mod-hashing (expected ~n*S/(S+1)
+    — almost everything). Fractions in exact 1e-6 floor fixed point. The
+    S+1 ring is a SUPERSET of the S ring (v-node labels depend only on
+    the shard id), which is precisely the consistent-hashing contract."""
+    a = ring_nodes(n_shards, v_nodes)
+    b = ring_nodes(n_shards + 1, v_nodes)
+    assert set(a) <= set(b)
+    base = df.select(
+        F.expr(
+            f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), "
+            f"16, 10) as bigint)"
+        ).alias("p")
+    )
+    both = base.select(
+        "p",
+        F.expr(_ring_owner_expr(a, "p")).alias("s_old"),
+        F.expr(_ring_owner_expr(b, "p")).alias("s_new"),
+        F.pmod(F.col("p"), F.lit(n_shards)).alias("m_old"),
+        F.pmod(F.col("p"), F.lit(n_shards + 1)).alias("m_new"),
+    )
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("s_old") != F.col("s_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("moved_ring"),
+        F.sum(F.when(F.col("m_old") != F.col("m_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("moved_mod"),
+    ).select(
+        "n_docs",
+        "moved_ring",
+        "moved_mod",
+        F.expr("cast(moved_ring * 1000000 div n_docs as bigint)").alias(
+            "moved_ring_fp"
+        ),
+        F.expr("cast(moved_mod * 1000000 div n_docs as bigint)").alias(
+            "moved_mod_fp"
+        ),
+    )

@@ -134,3 +134,70 @@ def test_zx_clamps_rather_than_wraps(spark):
     )
     got = {r["doc_id"]: r["zx"] for r in doc_zorder_key(df).collect()}
     assert got == {1: 100, 2: 65535, 3: 65535}
+
+
+# --- consistent-hash sharding (layout.consistent_shard_assign) ---
+
+
+def _ring_python(n_shards, v_nodes, keys):
+    import hashlib
+
+    h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    ring = sorted(
+        (h(f"s{s}:v{v}"), s)
+        for s in range(n_shards)
+        for v in range(v_nodes)
+    )
+    out = {}
+    for k in keys:
+        p = h(str(k))
+        owner = min(ring, key=lambda ps: ((ps[0] - p) % (1 << 32), ps[1]))
+        out[k] = (p, owner[1])
+    return out
+
+
+def test_consistent_shards_match_python(spark):
+    from fasta_windows_spark.operators.layout import consistent_shard_assign
+
+    keys = list(range(0, 400, 3))
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r.doc_id: (r.p, r.shard)
+        for r in consistent_shard_assign(df, n_shards=5, v_nodes=4).collect()
+    }
+    assert got == _ring_python(5, 4, keys)
+
+
+def test_reshard_moves_roughly_one_over_s_plus_one(spark):
+    from fasta_windows_spark.operators.layout import reshard_audit
+
+    df = spark.createDataFrame([(k,) for k in range(3000)], "doc_id long")
+    r = reshard_audit(df, n_shards=6, v_nodes=8).collect()[0]
+    assert r.n_docs == 3000
+    # ring movement concentrates near 1/(S+1) ~ 14%; mod movement near
+    # S/(S+1) ~ 86% — generous bands (v-node placement variance is real)
+    assert 0.05 * 1e6 < r.moved_ring_fp < 0.30 * 1e6
+    assert 0.70 * 1e6 < r.moved_mod_fp < 0.95 * 1e6
+    assert r.moved_ring_fp * 3 < r.moved_mod_fp
+
+
+def test_ring_is_superset_on_growth(spark):
+    from fasta_windows_spark.operators.layout import ring_nodes
+
+    a, b = ring_nodes(6, 8), ring_nodes(7, 8)
+    assert set(a) < set(b)
+    # only keys landing on arcs claimed by the NEW shard's v-nodes move:
+    # every moved key must now be owned by shard 6
+    from fasta_windows_spark.operators.layout import consistent_shard_assign
+
+    df = spark.createDataFrame([(k,) for k in range(2000)], "doc_id long")
+    old = {
+        r.doc_id: r.shard
+        for r in consistent_shard_assign(df, 6, 8).collect()
+    }
+    new = {
+        r.doc_id: r.shard
+        for r in consistent_shard_assign(df, 7, 8).collect()
+    }
+    moved = {k for k in old if old[k] != new[k]}
+    assert moved and all(new[k] == 6 for k in moved)

@@ -3132,6 +3132,47 @@ def docs_bigram_surprisal(spark, sf_dir):
 
 
 @q(
+    "docs_trigram_surprisal",
+    """
+WITH t3 AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents
+            WHERE len(string_split(lower(text),' ')) >= 3),
+trip AS (
+  SELECT doc_id, t[j-2] AS p2, t[j-1] AS p1, t[j] AS cur
+  FROM t3, LATERAL (SELECT unnest(generate_series(3, len(t))) AS j) jj
+),
+ttf AS (SELECT doc_id, p2, p1, cur, count(*) AS tf FROM trip GROUP BY 1,2,3,4),
+tc3 AS (SELECT p2, p1, cur, count(*) AS c3 FROM trip GROUP BY 1, 2, 3),
+tcc AS (SELECT p2, p1, count(*) AS cctx FROM trip GROUP BY 1, 2),
+tc2 AS (SELECT p1, cur, count(*) AS c2b FROM trip GROUP BY 1, 2),
+tp1 AS (SELECT p1, count(*) AS c1p FROM trip GROUP BY 1),
+tcu AS (SELECT cur, count(*) AS c1c FROM trip GROUP BY 1),
+ttot AS (SELECT count(*) AS total FROM trip)
+SELECT ttf.doc_id, sum(ttf.tf)::BIGINT AS n_trigrams,
+       round(-sum(ttf.tf * log2(
+           0.6 * (tc3.c3::DOUBLE / tcc.cctx::DOUBLE)
+         + 0.3 * (tc2.c2b::DOUBLE / tp1.c1p::DOUBLE)
+         + 0.1 * (tcu.c1c::DOUBLE / ttot.total::DOUBLE)
+       )) / sum(ttf.tf), 6) AS bits_per_trigram
+FROM ttf
+JOIN tc3 USING (p2, p1, cur)
+JOIN tcc USING (p2, p1)
+JOIN tc2 USING (p1, cur)
+JOIN tp1 USING (p1)
+JOIN tcu USING (cur), ttot
+GROUP BY ttf.doc_id, ttot.total
+""",
+)
+def docs_trigram_surprisal(spark, sf_dir):
+    """Jelinek-Mercer trigram-LM scoring (functions/text.py:
+    trigram_surprisal, 0.6/0.3/0.1) — the top of the n-gram fluency
+    ladder: separates fluent text from 2-gram-plausible word salad. All
+    component counts over the trigram-site stream, so the mixture is
+    normalized over one event space and the oracle replays it exactly;
+    five token-keyed partial-aggregated joins, tf-first."""
+    return _text.trigram_surprisal(_docs(spark, sf_dir))
+
+
+@q(
     "docs_length_quantiles_by_lang",
     """
 SELECT lang, count(*)::BIGINT AS n_docs,
@@ -4840,6 +4881,52 @@ def docs_reshard_audit(spark, sf_dir):
     return _layout.reshard_audit(
         _docs(spark, sf_dir).select("doc_id"), n_shards=_CH_S, v_nodes=_CH_V
     )
+
+
+_CPCT_TARGET = 40_000
+
+
+@q(
+    "docs_compaction_plan",
+    f"""
+WITH keyed AS (
+  SELECT doc_id,
+         least(n_chars, 65535) AS zx,
+         ('0x' || substr(md5(source), 1, 4))::BIGINT & 65535 AS zy
+  FROM documents
+),
+zc AS (SELECT doc_id,
+              ntile(16) OVER (ORDER BY {_layout.morton_sql("zx", "zy", 16, "duckdb")}, doc_id)
+                AS file_id
+       FROM keyed),
+cfs AS (SELECT zc.file_id, sum(d.n_chars)::BIGINT AS bytes
+        FROM zc JOIN documents d USING (doc_id) GROUP BY 1),
+cc AS (SELECT file_id, bytes,
+              coalesce(sum(bytes) OVER (ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                AS cum_before
+       FROM cfs)
+SELECT file_id, bytes, cum_before,
+       (cum_before // {_CPCT_TARGET})::BIGINT AS cgroup
+FROM cc""",
+)
+def docs_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (operators/layout.compaction_plan):
+    bin the z-order layout's files into ~{_CPCT_TARGET}-byte rewrite
+    groups by cumulative size over the file order — contiguous-in-zkey
+    groups, so compaction preserves the clustering (post-compaction
+    footer min/max stay exactly as tight). The prefix sum is the
+    packing.running_offset segmented scan, not a single-partition
+    window — the file table is metadata-sized but the plan shape is the
+    one that holds at millions of files."""
+    d = _docs(spark, sf_dir)
+    zf = _layout.zorder_files(d).select("doc_id", "file_id")
+    fs = (
+        zf.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("file_id")
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+    )
+    return _layout.compaction_plan(fs, target_bytes=_CPCT_TARGET)
 
 
 @q("docs_fetch_schedule", __import__("fasta_windows_spark.streaming.scheduler", fromlist=["x"]).fetch_schedule_oracle_sql())
@@ -7097,6 +7184,54 @@ def emb_fps_coverage(spark, sf_dir):
     quantization cost, one row. One full pass of min-d2 against the
     center literals, then a single reduce."""
     return _cluster.fps_coverage(_emb(spark, sf_dir), k=_FPS_K)
+
+
+def _reindex_queue_oracle_sql() -> str:
+    """Crawl-delta statuses composed with the unrolled k-means chain: the
+    dirty (added/changed) docs of the synthesized snapshot pair, each with
+    its target IVF cell + exact d2 under the trained quantizer."""
+    fit = _kmeans_oracle_sql(k=8, d=64, n_iter=2)
+    body = fit[len("WITH "): fit.rindex("\nSELECT")]
+    return f"""WITH {body},
+rprev AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+rcurr AS (
+  SELECT doc_id, (doc_id % 7 = 0) AS chg
+  FROM documents WHERE doc_id % 13 <> 0
+),
+rst AS (
+  SELECT doc_id,
+         CASE WHEN rprev.doc_id IS NULL THEN 'added'
+              WHEN rcurr.doc_id IS NULL THEN 'deleted'
+              WHEN rcurr.chg THEN 'changed'
+              ELSE 'same' END AS status
+  FROM rprev FULL OUTER JOIN rcurr USING (doc_id)
+)
+SELECT s.doc_id, s.status, a.cell, a.d2
+FROM rst s JOIN a2 a ON a.vec_id = s.doc_id
+WHERE s.status IN ('added', 'changed')"""
+
+
+@q("docs_reindex_queue", _reindex_queue_oracle_sql())
+def docs_reindex_queue(spark, sf_dir):
+    """Incremental ANN-index maintenance — the composition a living
+    vector index runs after every crawl: the delta's dirty slice (added +
+    changed pages from operators/delta.snapshot_delta on the synthesized
+    snapshot pair) joined to its target IVF cell + exact d2 under the
+    TRAINED fixed-point quantizer (operators/cluster.kmeans_assign, the
+    oracle-gated emb_kmeans_cells plan) — i.e. exactly which postings
+    lists to touch, leaving the ~86% unchanged corpus alone. doc_id-keyed
+    join of two already-hash-gated subplans; the fingerprint comparison
+    rides md5s so page payloads never join."""
+    prev, curr = _synth_snapshots(_docs(spark, sf_dir))
+    dirty = _delta.snapshot_delta(prev, curr).where(
+        F.col("status").isin("added", "changed")
+    )
+    cells = _cluster.kmeans_assign(_emb(spark, sf_dir), k=8, n_iter=2)
+    return dirty.join(
+        cells, dirty["doc_id"] == cells["vec_id"]
+    ).select(
+        "doc_id", "status", "cell", F.col("d2").cast("long").alias("d2")
+    )
 
 
 @q("emb_kmeans_cells", _kmeans_oracle_sql(k=8, d=64, n_iter=2))

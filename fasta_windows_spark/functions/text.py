@@ -392,6 +392,79 @@ def bigram_surprisal(
     )
 
 
+def trigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l3: float = 0.6,
+    l2: float = 0.3,
+    l1: float = 0.1,
+) -> DataFrame:
+    """Per-document bits/trigram under a Jelinek-Mercer-interpolated
+    trigram LM trained on the corpus itself — the top of the n-gram
+    ladder (unigram_surprisal, bigram_surprisal): p(cur|p2,p1) =
+    l3*c3/c(p2,p1) + l2*c(p1,cur)/c(p1) + l1*c(cur)/T. Trigram context
+    separates fluent text from 2-gram-plausible word salad — the
+    strongest KenLM-free fluency screen here.
+
+    Every component count is taken over the TRIGRAM-SITE stream (each
+    position with two predecessors), so all three mixture terms are
+    properly normalized over the same event space and the estimator is
+    self-consistent — and the oracle can replay it exactly.
+
+    Scale shape: tf-first per-doc trigram frequencies, then five
+    token-keyed partial-aggregated joins (trigram, context-bigram,
+    (p1,cur)-bigram, p1-unigram, cur-unigram) + a 1-row total broadcast —
+    the bigram_surprisal pattern one order up. Arithmetic is written
+    operand-for-operand identically to the SQL oracle."""
+    toks = F.split(F.lower(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc"), toks.alias("_t")).where(
+        F.size("_t") >= 3
+    )
+    trip = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(_t)-1), i -> "
+                "struct(_t[i-2] as p2, _t[i-1] as p1, _t[i] as cur))"
+            )
+        ).alias("g"),
+    ).select("doc", "g.p2", "g.p1", "g.cur")
+    tf = trip.groupBy("doc", "p2", "p1", "cur").agg(F.count("*").alias("tf"))
+    c3 = trip.groupBy("p2", "p1", "cur").agg(F.count("*").alias("c3"))
+    cctx = trip.groupBy("p2", "p1").agg(F.count("*").alias("cctx"))
+    c2b = trip.groupBy("p1", "cur").agg(F.count("*").alias("c2b"))
+    c1p = trip.groupBy("p1").agg(F.count("*").alias("c1p"))
+    c1c = trip.groupBy("cur").agg(F.count("*").alias("c1c"))
+    total = trip.agg(F.count("*").alias("total"))
+    j = (
+        tf.join(c3, ["p2", "p1", "cur"])
+        .join(cctx, ["p2", "p1"])
+        .join(c2b, ["p1", "cur"])
+        .join(c1p, "p1")
+        .join(c1c, "cur")
+        .crossJoin(total)
+    )
+    p = (
+        F.lit(l3) * (F.col("c3").cast("double") / F.col("cctx").cast("double"))
+        + F.lit(l2)
+        * (F.col("c2b").cast("double") / F.col("c1p").cast("double"))
+        + F.lit(l1)
+        * (F.col("c1c").cast("double") / F.col("total").cast("double"))
+    )
+    per_doc = j.groupBy("doc").agg(
+        F.sum("tf").alias("n_trigrams"),
+        F.sum(F.col("tf") * F.log2(p)).alias("_sl"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.round(-F.col("_sl") / F.col("n_trigrams"), 6).alias(
+            "bits_per_trigram"
+        ),
+    )
+
+
 # URL canonicalization patterns, Java-regex/RE2 common subset (verbatim in
 # the DuckDB oracle). `utm_[^&#]*&` eats every utm param followed by another
 # param; the trailing-utm pattern then cleans the last one; the final two fix

@@ -228,3 +228,41 @@ def reshard_audit(
             "moved_mod_fp"
         ),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    group_size: int = 4096,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite-data-files step
+    of a lakehouse table): bin files into compaction groups of
+    ~``target_bytes`` by CUMULATIVE size over the file order — group =
+    floor(exclusive-prefix-sum / target). Grouping contiguous-in-layout
+    files (z-order file ids here) is deliberate: a compacted output file
+    spans an unbroken zkey range, so the post-compaction footer min/max
+    stay exactly as tight as before — compaction never undoes clustering.
+
+    Returns (file, bytes, cum_before, cgroup). Scale shape: the file
+    table is metadata-sized even at 10^12 docs (millions of rows), and
+    the prefix sum is the packing.running_offset segmented scan — no
+    single-partition window even on metadata."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    from .packing import running_offset
+
+    placed = running_offset(
+        files.select(F.col(file_col), F.col(bytes_col).cast("long")),
+        order_col=file_col,
+        val_col=bytes_col,
+        out_col="cum_before",
+        group_size=group_size,
+    )
+    return placed.select(
+        file_col,
+        bytes_col,
+        "cum_before",
+        F.expr(f"cum_before div {int(target_bytes)}").alias("cgroup"),
+    )

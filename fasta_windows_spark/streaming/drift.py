@@ -67,12 +67,16 @@ def window_drift(
     ts_col: str = "ts",
     text_col: str = "text",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     streaming: bool = False,
 ) -> DataFrame:
     """(window_start, window_end, n_tokens, tv_fp) per event-time window:
     the window's hashed-unigram TV distance to ``ref_counts`` in 1e-6
-    fixed point, every column exact. Pass ``streaming=True`` on an
+    fixed point, every column exact. ``slide`` < ``window`` turns the
+    monitor sliding (the reference's -w/-s analog: overlapping windows,
+    each page contributing to window/slide of them) — same single
+    stateful aggregate, more groups. Pass ``streaming=True`` on an
     unbounded frame to bound state with a watermark; the batch plan is
     otherwise identical — the duality the stream==batch test pins."""
     n_b = len(ref_counts)
@@ -90,7 +94,10 @@ def window_drift(
         .alias(f"_c{i}")
         for i in range(n_b)
     ]
-    g = toks.groupBy(F.window(ts_col, window)).agg(
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    g = toks.groupBy(win).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"), *aggs
     )
     glit = "array(" + ",".join(f"{int(x)}L" for x in ref_counts) + ")"

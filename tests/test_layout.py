@@ -201,3 +201,41 @@ def test_ring_is_superset_on_growth(spark):
     }
     moved = {k for k in old if old[k] != new[k]}
     assert moved and all(new[k] == 6 for k in moved)
+
+
+def test_compaction_plan_groups_are_contiguous_and_sized(spark):
+    from fasta_windows_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(1, 101)],
+        "file_id long, bytes long",
+    )
+    out = compaction_plan(files, target_bytes=1000).collect()
+    rows = sorted(out, key=lambda r: r.file_id)
+    # exclusive prefix sum is exact
+    cum = 0
+    for r in rows:
+        assert r.cum_before == cum
+        assert r.cgroup == cum // 1000
+        cum += r.bytes
+    # groups are contiguous runs of file ids (never interleaved)
+    seen = [r.cgroup for r in rows]
+    assert seen == sorted(seen)
+    # every group except possibly the last crosses the target boundary
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r.cgroup] += r.bytes
+    gids = sorted(tot)
+    assert all(tot[g] >= 1000 - 499 for g in gids[:-1])  # no starved group
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest as _pt
+
+    from fasta_windows_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame([(1, 10)], "file_id long, bytes long")
+    with _pt.raises(ValueError):
+        compaction_plan(files, target_bytes=0)

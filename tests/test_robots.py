@@ -58,3 +58,40 @@ def test_every_url_survives_exactly_once(spark):
     assert out.count() == 30
     agg = out.agg(F.sum("allowed").alias("s")).collect()[0]
     assert agg.s == 20  # /p0 blocked (10 docs), /p1 + unmatched /p2 pass
+
+
+def test_robots_gate_runs_on_stream(spark, tmp_path):
+    """The gate is a join + aggregate over static rules — verify the SAME
+    call runs on readStream micro-batches and emits rows identical to the
+    batch face (complete mode: the agg re-emits per batch)."""
+    import pyspark.sql.types as T
+
+    rows = [(i, "h", f"/p{i % 3}/x") for i in range(40)]
+    src = str(tmp_path / "urls")
+    schema = "doc_id long, host string, path string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    rules = _rules(spark, [("h", "/p0", 0), ("h", "/p1/x", 1), ("h", "/p1", 0)])
+
+    batch = {
+        r.doc_id: (r.matched_len, r.allowed)
+        for r in robots_filter(
+            spark.createDataFrame(rows, schema), rules
+        ).collect()
+    }
+    stream = spark.readStream.schema(
+        T._parse_datatype_string(schema)
+    ).parquet(src)
+    out = robots_filter(stream, rules)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("robots_stream")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.matched_len, r.allowed)
+        for r in spark.sql("select * from robots_stream").collect()
+    }
+    assert got == batch

@@ -135,3 +135,62 @@ def test_drift_rejects_empty_reference(spark, pages_pdf):
     batch = P.spark_pages(spark, pages_pdf)
     with pytest.raises(ValueError):
         window_drift(batch, [0] * 64, ts_col="warc_ts")
+
+
+def test_drift_sliding_windows(spark, pages_pdf, ref_counts):
+    # sliding 20m/10m: each page lands in exactly 2 windows; window counts
+    # must equal the union of the two half-offset tumbling runs
+    batch = P.spark_pages(spark, pages_pdf)
+    slid = window_drift(
+        batch, ref_counts, ts_col="warc_ts", window="20 minutes",
+        slide="10 minutes",
+    ).collect()
+    assert len(slid) > 2
+    starts = sorted(r.window_start for r in slid)
+    # consecutive window starts step by the SLIDE, not the width
+    import datetime
+
+    steps = {
+        (b - a).total_seconds() for a, b in zip(starts, starts[1:])
+    }
+    # starts advance on the 10m slide grid (a traffic gap may skip a
+    # slide position — empty windows are not emitted — so steps are
+    # slide-multiples, with the plain slide step present)
+    assert 600.0 in steps and all(s % 600.0 == 0 for s in steps)
+    # every sliding window's tokens == sum of the two 10m tumbling halves
+    tumb = {
+        r.window_start: r.n_tokens
+        for r in window_drift(
+            batch, ref_counts, ts_col="warc_ts", window="10 minutes"
+        ).collect()
+    }
+    for r in slid:
+        halves = [
+            tumb.get(r.window_start, 0),
+            tumb.get(
+                r.window_start + datetime.timedelta(minutes=10), 0
+            ),
+        ]
+        assert r.n_tokens == sum(halves)
+
+
+def test_drift_sliding_stream_matches_batch(spark, pages_dir, pages_pdf, ref_counts, tmp_path):
+    stream = S.read_pages_stream(spark, pages_dir)
+    agg = window_drift(
+        stream, ref_counts, ts_col="warc_ts", window="20 minutes",
+        slide="10 minutes", watermark="10 minutes", streaming=True,
+    )
+    out, ckpt = str(tmp_path / "out_s"), str(tmp_path / "ck_s")
+    q = S.write_exactly_once(agg, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert len(got) > 0
+    batch = window_drift(
+        P.spark_pages(spark, pages_pdf), ref_counts, ts_col="warc_ts",
+        window="20 minutes", slide="10 minutes",
+    )
+    expected = {
+        r.window_start: (r.n_tokens, r.tv_fp) for r in batch.collect()
+    }
+    for r in got:
+        assert expected[r.window_start] == (r.n_tokens, r.tv_fp)

@@ -179,3 +179,56 @@ def test_remove_boilerplate_lines_site_scoped(spark):
     assert got[5] == (2, 0, "other words entirely here")
     assert got[6] == (2, 0, "footer text one two")
     assert got[7] == (2, 0, "footer text three four")
+
+
+def test_trigram_surprisal_matches_python(spark):
+    """Lockstep differential for the trigram JM mixture on a tiny corpus,
+    independent of Spark and SQL."""
+    import math
+    from collections import Counter
+
+    from fasta_windows_spark.functions.text import trigram_surprisal
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran on the mat",
+        3: "a dog sat on a log today",
+        4: "xy zq",  # < 3 tokens: excluded
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.bits_per_trigram)
+        for r in trigram_surprisal(df).collect()
+    }
+    assert 4 not in got
+
+    trips, by_doc = [], {}
+    for did, tx in texts.items():
+        t = tx.split(" ")
+        if len(t) < 3:
+            continue
+        g = [(t[i - 2], t[i - 1], t[i]) for i in range(2, len(t))]
+        by_doc[did] = g
+        trips += g
+    c3 = Counter(trips)
+    cctx = Counter((a, b) for a, b, _ in trips)
+    c2b = Counter((b, c) for _, b, c in trips)
+    c1p = Counter(b for _, b, _ in trips)
+    c1c = Counter(c for _, _, c in trips)
+    T = len(trips)
+    for did, g in by_doc.items():
+        s = sum(
+            math.log2(
+                0.6 * (c3[x] / cctx[(x[0], x[1])])
+                + 0.3 * (c2b[(x[1], x[2])] / c1p[x[1]])
+                + 0.1 * (c1c[x[2]] / T)
+            )
+            for x in g
+        )
+        assert got[did][0] == len(g)
+        assert abs(got[did][1] - round(-s / len(g), 6)) < 1e-9
+    # repeated trigram context scores lower than the one-off: doc 1/2 share
+    # 'on the mat' structure; all three docs must produce positive bits
+    assert all(v[1] > 0 for v in got.values())

@@ -221,6 +221,12 @@ def main():
     # (hypervisor CPU/DRAM throttling windows, see BENCH/BASELINE.md) — with
     # a ~0.3 chance of a throttled draw, best-of-2 still misreads capability
     # ~10% of the time; best-of-3 drops that to ~3% for ~15s extra
+    # one UNSCORED warmup first: the first streaming run in a JVM is
+    # reliably 4-6x under the plateau (state-store + codegen + shuffle
+    # machinery cold start: measured 6.3k/8.2k warmup vs 35-42k plateau
+    # on the same host, 2026-08-20 ledger) — scoring it would measure JIT,
+    # not the engine; standard warmup-excluded benchmarking practice
+    streaming_windows_per_sec(spark, scratch)
     stream_stats = None
     for _ in range(3):
         st = streaming_windows_per_sec(spark, scratch)

@@ -294,6 +294,149 @@ for _k in (2, 3, 4):
     ORACLES[f"doc_windows_kmer{_k}"] = _kmer_long_sql(_k)
 
 
+# Composition-null O/E screens — the analytic form of the north star's
+# "di/tri-nucleotide shuffles": a composition-preserving shuffle test
+# (Altschul-Erickson) estimates E[count] under the exact k-composition
+# null empirically; the Markov-0/Markov-1 closed forms below ARE those
+# expectations, so the O/E ratio is the shuffle z-statistic's numerator
+# computed exactly (CpG O/E, Gardiner-Garden & Frommer 1987, generalized
+# to all 16/64 grams). Everything lives inside one window_stats row
+# (k2/k3 vectors + folded mono counts), so both queries are zero-join,
+# zero-extra-shuffle projections in exact BIGINT fixed point.
+
+_SQL_OE_WINS = SQL_WINS.replace("FROM documents", f"FROM {_SQL_DNA_DOCS}")
+
+
+def _oe_gram_sql(k: int, name: str) -> str:
+    return f"""{name} AS (
+  SELECT doc_id, w_start, upper(substring(wt, (p+1)::INT, {k})) AS gram,
+         count(*)::BIGINT AS cnt
+  FROM win2, LATERAL (SELECT unnest(range(length(wt)-{k - 1})) AS p) l
+  WHERE length(wt) >= {k}
+    AND regexp_matches(upper(substring(wt, (p+1)::INT, {k})), '^[ACGT]+$')
+  GROUP BY 1, 2, 3
+)"""
+
+
+_SQL_OE_MONO = f"""oem AS (
+  SELECT doc_id, w_start,
+         {_cnt_fold('A')}::BIGINT AS ca, {_cnt_fold('C')}::BIGINT AS cc,
+         {_cnt_fold('G')}::BIGINT AS cg, {_cnt_fold('T')}::BIGINT AS ct
+  FROM win2
+)"""
+
+
+def _oe_mono_case(pos_expr: str) -> str:
+    return (
+        f"(CASE {pos_expr} WHEN 'A' THEN oem.ca WHEN 'C' THEN oem.cc "
+        f"WHEN 'G' THEN oem.cg ELSE oem.ct END)"
+    )
+
+
+@q(
+    "doc_windows_dinuc_oe",
+    f"""
+WITH {_SQL_OE_WINS},
+{_oe_gram_sql(2, "oeg2")},
+{_SQL_OE_MONO}
+SELECT g.doc_id, g.w_start, g.gram, g.cnt AS obs,
+       (g.cnt * (oem.ca + oem.cc + oem.cg + oem.ct) * 1000000
+          // nullif({_oe_mono_case("substring(g.gram, 1, 1)")}
+                    * {_oe_mono_case("substring(g.gram, 2, 1)")}, 0))::BIGINT
+         AS oe_fp
+FROM oeg2 g JOIN oem USING (doc_id, w_start)""",
+)
+def doc_windows_dinuc_oe(spark, sf_dir):
+    """Per-window dinucleotide observed/expected under the Markov-0
+    (mononucleotide-composition) null — CpG O/E generalized to all 16
+    grams, in exact 1e-6 fixed point: oe = obs * (a+c+g+t) / (c(X)*c(Y)).
+    This is the analytic value a composition-preserving shuffle test
+    converges to, computed exactly instead of sampled. Zero join: the
+    k2 vector and the folded mono counts live in the same window_stats
+    row; the gram's mono factors index the count array by idx div/mod 4
+    (lexicographic row-major order, kernels.kmer_names)."""
+    ws = window_stats(
+        _dna_docs(spark, sf_dir), window=W, id_cols=["doc_id"], f32=False,
+        with_vectors=True,
+    )
+    names = F.expr(
+        "array(" + ",".join(f"'{s}'" for s in kmer_names(2)) + ")"
+    )
+    mono = "array(cnt_a, cnt_c, cnt_g, cnt_t)"
+    out = ws.select(
+        "doc_id", "w_start", "cnt_a", "cnt_c", "cnt_g", "cnt_t",
+        F.posexplode("k2_vec").alias("idx", "cnt"),
+    ).where(F.col("cnt") > 0)
+    return out.select(
+        "doc_id",
+        "w_start",
+        F.element_at(names, F.col("idx") + 1).alias("gram"),
+        F.col("cnt").cast("long").alias("obs"),
+        F.expr(
+            f"cast(cast(cnt as bigint) * (cnt_a + cnt_c + cnt_g + cnt_t) "
+            f"* 1000000 div nullif("
+            f"element_at({mono}, cast((idx div 4) + 1 as int)) "
+            f"* element_at({mono}, cast(pmod(idx, 4) + 1 as int)), "
+            f"0) as bigint)"
+        ).alias("oe_fp"),
+    )
+
+
+@q(
+    "doc_windows_trinuc_oe",
+    f"""
+WITH {_SQL_OE_WINS},
+{_oe_gram_sql(3, "oeg3")},
+{_oe_gram_sql(2, "oeg2")},
+{_SQL_OE_MONO}
+SELECT g.doc_id, g.w_start, g.gram, g.cnt AS obs,
+       (g.cnt * {_oe_mono_case("substring(g.gram, 2, 1)")} * 1000000
+          // nullif(p.cnt * s.cnt, 0))::BIGINT AS oe_fp
+FROM oeg3 g
+JOIN oeg2 p ON p.doc_id = g.doc_id AND p.w_start = g.w_start
+           AND p.gram = substring(g.gram, 1, 2)
+JOIN oeg2 s ON s.doc_id = g.doc_id AND s.w_start = g.w_start
+           AND s.gram = substring(g.gram, 2, 2)
+JOIN oem ON oem.doc_id = g.doc_id AND oem.w_start = g.w_start""",
+)
+def doc_windows_trinuc_oe(spark, sf_dir):
+    """Per-window trinucleotide observed/expected under the Markov-1
+    (dinucleotide-composition) null: oe = obs(XYZ) * c(Y) /
+    (c(XY) * c(YZ)) — the maximum-entropy extension of the dinuc screen,
+    equal to what a dinucleotide-preserving shuffle (the north star's
+    'tri-nucleotide shuffle') estimates. Still zero-join on the engine
+    side: k3 and k2 vectors plus mono counts share the window_stats row;
+    prefix/suffix/middle factors are pure index arithmetic on the
+    lexicographic code (idx = 16x + 4y + z). Denominators are nonzero
+    whenever obs > 0 (a counted trigram's prefix/suffix bigrams are
+    counted too)."""
+    ws = window_stats(
+        _dna_docs(spark, sf_dir), window=W, id_cols=["doc_id"], f32=False,
+        with_vectors=True,
+    )
+    names = F.expr(
+        "array(" + ",".join(f"'{s}'" for s in kmer_names(3)) + ")"
+    )
+    mono = "array(cnt_a, cnt_c, cnt_g, cnt_t)"
+    out = ws.select(
+        "doc_id", "w_start", "cnt_a", "cnt_c", "cnt_g", "cnt_t", "k2_vec",
+        F.posexplode("k3_vec").alias("idx", "cnt"),
+    ).where(F.col("cnt") > 0)
+    return out.select(
+        "doc_id",
+        "w_start",
+        F.element_at(names, F.col("idx") + 1).alias("gram"),
+        F.col("cnt").cast("long").alias("obs"),
+        F.expr(
+            f"cast(cast(cnt as bigint) "
+            f"* element_at({mono}, cast(pmod(idx div 4, 4) + 1 as int)) "
+            f"* 1000000 div nullif("
+            f"cast(element_at(k2_vec, cast((idx div 4) + 1 as int)) as bigint) "
+            f"* element_at(k2_vec, cast(pmod(idx, 16) + 1 as int)), 0) as bigint)"
+        ).alias("oe_fp"),
+    )
+
+
 _SQL_DIVERSITY = (
     f"WITH {SQL_WINS},\n"
     + ",\n".join(

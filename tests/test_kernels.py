@@ -339,3 +339,37 @@ def test_sliding_concat_matches_reference_path():
             assert np.array_equal(a[4][k], b2[4][k])
         if with_ctw:
             assert np.allclose(a[5], b2[5], atol=1e-12)
+
+
+def test_dinuc_oe_hand_computed(spark):
+    """CpG O/E on a hand-built window: 'acgcg' + padding inside one
+    100-char window — obs(CG)=2, c(C)=2, c(G)=2, total=5 (pad with 'n'
+    so only acgcg counts); oe = 2*5/(2*2) = 2.5 exactly."""
+    import pyspark.sql.functions as F
+
+    from fasta_windows_spark.functions.udfs import window_stats
+
+    df = spark.createDataFrame(
+        [(1, "acgcg" + "n" * 95)], "doc_id long, text string"
+    )
+    ws = window_stats(df, window=100, id_cols=["doc_id"], f32=False,
+                      with_vectors=True)
+    row = ws.collect()[0]
+    k2 = list(row.k2_vec)
+    # lexicographic: CG is index 4*1+2 = 6
+    assert k2[6] == 2
+    tot = row.cnt_a + row.cnt_c + row.cnt_g + row.cnt_t
+    assert (row.cnt_c, row.cnt_g, tot) == (2, 2, 5)
+    # run the contract query's arithmetic directly on this frame
+    exp = 2 * 5 * 1_000_000 // (2 * 2)
+    got = (
+        ws.select(F.posexplode("k2_vec").alias("i", "c"), "cnt_a", "cnt_c",
+                  "cnt_g", "cnt_t")
+        .where("i = 6")
+        .selectExpr(
+            "cast(cast(c as bigint) * (cnt_a+cnt_c+cnt_g+cnt_t) * 1000000 "
+            "div nullif(cnt_c * cnt_g, 0) as bigint) as oe_fp"
+        )
+        .collect()[0].oe_fp
+    )
+    assert got == exp == 2_500_000

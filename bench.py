@@ -65,6 +65,8 @@ HEADLINE = [
     "docs_window_drift",        # per-window drift (streaming op, batch face)
     "docs_robots_filter",       # RFC 9309 longest-prefix robots gate
     "emb_fps_centers",          # farthest-point coreset (k greedy passes)
+    # round-5 fifth-session families:
+    "emb_bq_reranked",          # 1-bit Hamming shortlist + exact re-rank
 ]
 
 

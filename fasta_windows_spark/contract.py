@@ -6784,6 +6784,115 @@ def emb_sq8_search(spark, sf_dir):
     return _sim.sq8_search(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+# Shared 1-bit binary-quantization CTEs: fixed-point corpus -> per-dim
+# (sum, n) thresholds -> above-mean bits (cross-multiplied integer
+# compare, no float mean) -> 32-bits-per-BIGINT packed words. Words stay
+# in [0, 2^32), so << never touches the sign bit in either engine.
+_SQL_BQ_CTE = f"""
+bfv AS (SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> round(x * {1_000_000})::BIGINT) AS fv
+        FROM embeddings),
+bst AS (SELECT dim, sum(x)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM (SELECT unnest(fv) AS x, generate_subscripts(fv, 1) AS dim
+              FROM bfv)
+        GROUP BY 1),
+bsa AS (SELECT list(s ORDER BY dim) AS s, max(n) AS n FROM bst),
+bbits AS (SELECT f.vec_id, f.fv,
+                 list_transform(range(1, 65),
+                   i -> CASE WHEN f.fv[i] * bsa.n > bsa.s[i]
+                        THEN 1::BIGINT ELSE 0::BIGINT END) AS bits
+          FROM bfv f CROSS JOIN bsa),
+bwords AS (SELECT vec_id, fv,
+                  list_transform(range(0, 2),
+                    j -> list_sum(list_transform(range(0, 32),
+                      i -> bits[j * 32 + i + 1] * (1::BIGINT << i)))::BIGINT)
+                    AS words
+           FROM bbits)"""
+
+_SQL_BQ_HAM = """list_sum(list_transform(range(1, 3),
+                   j -> bit_count(xor(c.words[j], bq.qw[j]))::BIGINT))::BIGINT"""
+
+
+@q(
+    "emb_bq_codes",
+    f"""WITH {_SQL_BQ_CTE}
+SELECT vec_id, words[1]::BIGINT AS w0, words[2]::BIGINT AS w1,
+       (bit_count(words[1]) + bit_count(words[2]))::BIGINT AS popcnt
+FROM bwords""",
+)
+def emb_bq_codes(spark, sf_dir):
+    """1-bit binary quantization (operators/similarity.py:bq_encode, the
+    sign/ITQ-zero-rotation family): bit_d = 1 iff dimension d is above
+    its corpus mean, packed 32 bits per BIGINT word — 32x smaller than
+    the fixed-point vectors, the cheapest rung of the quantization
+    ladder (bq -> sq8 -> pq-adc -> exact). The threshold compare is
+    cross-multiplied exact integer (x * n > s), so codes are
+    cross-engine bit-identical; the hash pins both words plus their
+    popcount per vector."""
+    codes = _sim.bq_encode(_emb(spark, sf_dir))
+    return codes.select(
+        "vec_id",
+        F.element_at("words", 1).alias("w0"),
+        F.element_at("words", 2).alias("w1"),
+        F.expr(
+            "cast(bit_count(element_at(words, 1)) "
+            "+ bit_count(element_at(words, 2)) as bigint)"
+        ).alias("popcnt"),
+    )
+
+
+@q(
+    "emb_bq_search",
+    f"""WITH {_SQL_BQ_CTE},
+bq AS (SELECT words AS qw FROM bwords WHERE vec_id = 0)
+SELECT c.vec_id, {_SQL_BQ_HAM} AS ham
+FROM bwords c CROSS JOIN bq
+WHERE c.vec_id <> 0
+ORDER BY ham ASC, c.vec_id ASC
+LIMIT 10""",
+)
+def emb_bq_search(spark, sf_dir):
+    """Top-10 by Hamming distance over the packed 1-bit codes
+    (operators/similarity.py:bq_search): bit_count(xor) per word — the
+    popcount kernel every binary-code ANN system runs — with (ham, id)
+    tie-break so the top-k set is unique and hash-exact. Plan: 1-row
+    query broadcast + narrow fold + TakeOrderedAndProject, zero corpus
+    shuffle; same shape as sq8_search over 1/4 the bytes."""
+    return _sim.bq_search(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@q(
+    "emb_bq_reranked",
+    f"""WITH {_SQL_BQ_CTE},
+bq AS (SELECT words AS qw, fv AS qf FROM bwords WHERE vec_id = 0),
+bsh AS (SELECT c.vec_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> (c.fv[i] - bq.qf[i]) * (c.fv[i] - bq.qf[i])))::BIGINT
+                 AS d2,
+               row_number() OVER (ORDER BY {_SQL_BQ_HAM}, c.vec_id) AS rn
+        FROM bwords c CROSS JOIN bq
+        WHERE c.vec_id <> 0)
+SELECT vec_id, d2 FROM bsh WHERE rn <= 160
+ORDER BY d2 ASC, vec_id ASC
+LIMIT 10""",
+)
+def emb_bq_reranked(spark, sf_dir):
+    """Two-stage binary ANN (operators/similarity.py:bq_rerank_search):
+    Hamming shortlist of 160 over the packed words, then exact integer
+    squared-L2 re-rank against the query's fixed-point vector — the
+    standard coarse-popcount-then-precise deployment, mirroring
+    emb_pq_reranked. encode carries fv through (keep_fv) so the re-rank
+    needs NO join back to the corpus; both stages are total-ordered
+    ((ham, id) then (d2, id)) and end in TakeOrderedAndProject. Measured
+    recall@10 vs the exact-integer truth: 1.0 at sf0.001 AND sf0.01
+    (raw Hamming alone: 0.1/0.3 — the re-rank carries the quality);
+    tests/test_bq.py gates the 0.8 floor."""
+    return _sim.bq_rerank_search(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, shortlist=160
+    )
+
+
 @q(
     "docs_media_png",
     """

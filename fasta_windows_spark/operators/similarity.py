@@ -416,3 +416,155 @@ def sq8_search(
         .orderBy(F.asc("d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bq_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension corpus sum + corpus count — the trained threshold of
+    the 1-bit binary quantizer. The mean threshold is never materialized
+    as a float: encode compares ``x * n > s`` in cross-multiplied exact
+    BIGINT form, so training emits only integers (sum fits: |x| <= ~1e6
+    fixed point times n <= ~1e12 rows stays under 2^63).
+
+    Scale shape: same as sq8_stats — posexplode -> map-side-combined
+    sum/count per dimension; shuffle carries d * n_input_partitions tiny
+    rows, result is dimension-sized and broadcasts everywhere.
+    """
+    from .cluster import quantize
+
+    fv = quantize(emb, id_col=id_col, vec_col=vec_col)
+    return (
+        fv.select(F.posexplode("fv").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def bq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_fv: bool = False,
+) -> DataFrame:
+    """1-bit binary quantization (the sign/ITQ-zero-rotation family,
+    RaBitQ's 1-bit baseline): bit_d = 1 iff x_d is above the corpus mean
+    of dimension d, packed 32 bits per BIGINT word — 32x smaller than the
+    fixed-point vectors and 4x smaller than SQ8. The threshold compare is
+    cross-multiplied integer (``x * n > s``), the pack is shiftleft+sum of
+    0/1 longs, so codes are bit-identical in any engine (words stay in
+    [0, 2^32), no sign-bit trap).
+
+    Scale shape: the d-row stats table collapses to ONE broadcast struct
+    row (sorted per-dim sums + the global count); encode is a narrow
+    per-row zip_with + fold — no join key, no corpus shuffle. ``keep_fv``
+    carries the fixed-point vector through for joinless re-ranking.
+    Output: (id, words: array<bigint>[, fv]); requires d % 32 == 0 (the
+    final slice would otherwise zip against nulls).
+    """
+    from .cluster import quantize
+
+    stats = bq_stats(emb, id_col=id_col, vec_col=vec_col)
+    packed = stats.agg(
+        F.expr(
+            "struct(transform(array_sort(collect_list(struct(dim, s))), "
+            "t -> t.s) as s, max(n) as n)"
+        ).alias("_bs")
+    )
+    fv = quantize(emb, id_col=id_col, vec_col=vec_col)
+    bits = "zip_with(fv, _bs.s, (x, s) -> IF(x * _bs.n > s, 1L, 0L))"
+    words = (
+        f"transform(sequence(0, cast((size(fv) + 31) div 32 as int) - 1), "
+        f"j -> aggregate(zip_with(slice({bits}, j * 32 + 1, 32), "
+        f"sequence(0, 31), (b, i) -> shiftleft(b, i)), "
+        f"0L, (acc, x) -> acc + x))"
+    )
+    cols = [F.col(id_col), F.expr(words).alias("words")]
+    if keep_fv:
+        cols.append(F.col("fv"))
+    return fv.crossJoin(F.broadcast(packed)).select(*cols)
+
+
+def bq_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbours in 1-bit code space: Hamming distance
+    over the packed words (bit_count of xor, the popcount kernel every
+    binary-code ANN system runs), query encoded by the SAME trained
+    thresholds, ties broken by id so the top-k SET is unique and
+    cross-engine exact.
+
+    Scale shape: 1-row query broadcast + narrow per-row fold +
+    TakeOrderedAndProject — the same 0-shuffle plan as sq8_search but
+    over 1/4 the bytes; at 100 TB this is the cheapest first-pass filter
+    in the quantization ladder (bq -> sq8 -> pq-adc -> exact).
+    """
+    codes = bq_encode(emb, id_col=id_col, vec_col=vec_col)
+    q = codes.where(F.col(id_col) == query_vec_id).select(
+        F.col("words").alias("qw")
+    )
+    ham = (
+        "aggregate(zip_with(words, qw, "
+        "(x, y) -> cast(bit_count(x ^ y) as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return (
+        codes.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), F.expr(ham).alias("ham"))
+        .orderBy(F.asc("ham"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bq_rerank_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 160,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary ANN: Hamming shortlist over the packed words,
+    then exact integer squared-L2 re-rank of the shortlist against the
+    query's fixed-point vector — the standard deployment of binary codes
+    (coarse popcount filter, precise final ordering), mirroring
+    emb_pq_reranked's shape. Both stages are total-ordered ((ham, id)
+    then (d2, id)) so the result set is unique and hash-exact.
+
+    Scale shape: encode carries fv through (keep_fv) so re-ranking needs
+    NO join back to the corpus; stage 1 is the bq_search plan, stage 2
+    re-ranks ``shortlist`` rows on the driver-side limit boundary —
+    both stages end in TakeOrderedAndProject.
+    """
+    codes = bq_encode(emb, id_col=id_col, vec_col=vec_col, keep_fv=True)
+    q = codes.where(F.col(id_col) == query_vec_id).select(
+        F.col("words").alias("qw"), F.col("fv").alias("qf")
+    )
+    ham = (
+        "aggregate(zip_with(words, qw, "
+        "(x, y) -> cast(bit_count(x ^ y) as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    d2 = (
+        "aggregate(zip_with(fv, qf, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    short = (
+        codes.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col), F.expr(ham).alias("ham"), F.expr(d2).alias("d2")
+        )
+        .orderBy(F.asc("ham"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(id_col, "d2")
+        .orderBy(F.asc("d2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -67,6 +67,7 @@ HEADLINE = [
     "emb_fps_centers",          # farthest-point coreset (k greedy passes)
     # round-5 fifth-session families:
     "emb_bq_reranked",          # 1-bit Hamming shortlist + exact re-rank
+    "docs_winnow_overlap_pairs",  # winnowing fingerprint local overlap
 ]
 
 

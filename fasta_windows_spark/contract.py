@@ -1802,6 +1802,87 @@ def docs_containment_pairs(spark, sf_dir):
     )
 
 
+# Shared winnowing CTEs (k=8 char grams, w=4 window): gram md5 hashes ->
+# per-window min with RIGHTMOST tie (len - indexof(reverse) replays the
+# engine's <=-fold), distinct (doc, pos, fp) selections.
+_WINNOW_K, _WINNOW_W = 8, 4
+_SQL_WINNOW_CTE = f"""
+wfh AS (SELECT doc_id AS doc,
+               list_transform(range(length(text) - {_WINNOW_K - 1}),
+                 p -> ('0x' || substr(md5(substring(lower(text),
+                        (p + 1)::INT, {_WINNOW_K})), 1, 8))::BIGINT) AS hs
+        FROM documents WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}),
+wsel AS (SELECT DISTINCT doc,
+           (j + {_WINNOW_W} - list_indexof(
+              list_reverse(list_slice(hs, (j + 1)::INT, (j + {_WINNOW_W})::INT)),
+              list_aggregate(list_slice(hs, (j + 1)::INT, (j + {_WINNOW_W})::INT),
+                             'min')))::BIGINT AS pos,
+           list_aggregate(list_slice(hs, (j + 1)::INT, (j + {_WINNOW_W})::INT),
+                          'min')::BIGINT AS fp
+         FROM wfh, LATERAL (SELECT unnest(range(len(hs) - {_WINNOW_W - 1})) AS j) l)"""
+
+
+@q(
+    "docs_winnow_fingerprints",
+    f"""WITH {_SQL_WINNOW_CTE}
+SELECT doc, count(*)::BIGINT AS n_fp, sum(fp)::BIGINT AS fp_sum,
+       sum(pos)::BIGINT AS pos_sum, min(fp)::BIGINT AS fp_min
+FROM wsel GROUP BY doc""",
+)
+def docs_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.py:winnow_fingerprints,
+    Schleimer-Wilkerson-Aiken 2003 / MOSS): per-window minimum of k-gram
+    md5 hashes with rightmost tie-break — the guarantee that any shared
+    substring of length >= k + w - 1 shares a fingerprint. The selection
+    is ONE JVM aggregate fold per window (struct accumulator + finish
+    lambda), zero shuffle before the per-doc summary. The hash pins each
+    doc's full selection set via (count, sum(fp), sum(pos), min(fp)) —
+    per-doc summary rather than the 75-per-doc raw rows so the driver
+    compare stays small; the raw rows are pair-tested in
+    tests/test_winnow.py against a pure-Python replica."""
+    fps = _dedup.winnow_fingerprints(_docs(spark, sf_dir))
+    return fps.groupBy("doc").agg(
+        F.count("*").alias("n_fp"),
+        F.sum("fp").alias("fp_sum"),
+        F.sum("pos").alias("pos_sum"),
+        F.min("fp").alias("fp_min"),
+    )
+
+
+@q(
+    "docs_winnow_overlap_pairs",
+    f"""WITH {_SQL_WINNOW_CTE},
+wf AS (SELECT DISTINCT doc, fp FROM wsel),
+wrare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= 20),
+wrf AS (SELECT wf.doc, wf.fp FROM wf JOIN wrare USING (fp)),
+wsz AS (SELECT doc, count(*) AS n_fp FROM wrf GROUP BY doc),
+wcm AS (SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS n_shared
+        FROM wrf l JOIN wrf r ON l.fp = r.fp AND l.doc < r.doc
+        GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.n_shared::BIGINT AS n_shared,
+       round(c.n_shared::DOUBLE / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM wcm c
+JOIN wsz sa ON c.doc_a = sa.doc
+JOIN wsz sb ON c.doc_b = sb.doc
+WHERE round(c.n_shared::DOUBLE / least(sa.n_fp, sb.n_fp), 6) >= 0.5""",
+)
+def docs_winnow_overlap_pairs(spark, sf_dir):
+    """Local-overlap pairs over the winnowing index (operators/dedup.py:
+    winnow_overlap_pairs): rare fingerprints (df <= 20, the inverted-
+    index recall/cost bound) joined fingerprint-to-fingerprint, scored
+    by containment of the smaller doc's set — positional partial-copy
+    detection between SimHash (global) and CDC (exact chunks) in the
+    near-dup ladder. Plan: staged distinct (doc, fp) subtree feeds the
+    rare filter, both join sides, and the sizes without re-exploding
+    the corpus; the pair join buckets on the fingerprint hash."""
+    return _dedup.winnow_overlap_pairs(_docs(spark, sf_dir)).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        "containment",
+    )
+
+
 @q(
     "docs_decontaminate",
     """
@@ -7522,6 +7603,51 @@ def emb_kmeans_search(spark, sf_dir):
     return _cluster.kmeans_search(
         emb, query_vec_id=0, k=8, n_iter=2, nprobe=2, topk=10
     ).select("vec_id", "cell", F.col("d2").cast("long").alias("d2"))
+
+
+def _hard_negatives_oracle_sql(
+    k: int = 8, d: int = 64, n_iter: int = 2, n_per: int = 3, min_d2: int = 1
+) -> str:
+    """Hard-negative oracle on top of the unrolled-fit chain: same-cell
+    pairs from the final assignment, exact-integer pair d2 (::BIGINT —
+    list_sum promotes to HUGEINT, the r4 rendering trap), per-anchor
+    row_number over the (d2, neg) total order."""
+    fit = _kmeans_oracle_sql(k, d, n_iter)
+    body = fit[len("WITH "): fit.rindex("\nSELECT")]
+    dims = f"range(1, {d + 1})"
+    return f"""WITH {body},
+hn AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS neg, a.cell,
+         list_sum(list_transform({dims},
+           i -> (qa.fv[i] - qb.fv[i]) * (qa.fv[i] - qb.fv[i])))::BIGINT AS d2
+  FROM a{n_iter} a JOIN a{n_iter} b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id
+),
+hrk AS (
+  SELECT anchor, neg, cell, d2,
+         row_number() OVER (PARTITION BY anchor ORDER BY d2, neg) AS rn
+  FROM hn WHERE d2 >= {min_d2}
+)
+SELECT anchor, neg, cell, d2, rn::INT AS rn FROM hrk WHERE rn <= {n_per}"""
+
+
+@q("emb_hard_negatives", _hard_negatives_oracle_sql())
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training
+    (operators/similarity.py:hard_negatives): per anchor, the 3 closest
+    same-cell neighbors under the TRAINED fixed-point quantizer that are
+    not exact duplicates (d2 >= 1) — the "hardest negatives that aren't
+    positives" selection every embedding-model data pipeline runs, made
+    hash-exact by the (d2, id) total order. The candidate join is
+    bounded WITHIN cells (the SemDeDup cell-bound argument: k grows with
+    the corpus, never all-pairs); fv rides the assignment so scoring
+    needs no join back; the per-anchor top-3 is a row_number window
+    partitioned by anchor."""
+    return _sim.hard_negatives(
+        _emb(spark, sf_dir), k=8, n_iter=2, n_per_anchor=3, min_d2=1
+    )
 
 
 def _semdedup_oracle_sql(

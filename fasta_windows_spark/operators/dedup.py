@@ -1370,3 +1370,115 @@ def semdedup(
         .applyInPandas(scan_cell, schema="vid long, cell int, kept int")
         .select(F.col("vid").alias(id_col), "cell", "kept")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS algorithm): hash every k-char gram of lower(text), slide a
+    w-hash window, select each window's minimum (rightmost on ties), and
+    keep the distinct (position, hash) selections. The winnowing
+    guarantee: any substring of length >= k + w - 1 shared by two
+    documents yields at least one shared fingerprint — POSITIONAL local
+    overlap detection, between SimHash (global signature, no locality)
+    and CDC chunk dedup (exact chunks only) in the near-dup ladder.
+
+    Everything up to the output explode is per-row JVM array HOFs (gram
+    hashing reuses _shingle_hashes' md5 convention so the oracle replays
+    it; the per-window min+rightmost-argmin is ONE aggregate fold with a
+    struct accumulator and a finish lambda) — zero shuffle, work linear
+    in corpus bytes * w. Docs shorter than k + w - 1 grams' worth of text
+    are fenced out (no full window exists; the guarantee above is empty
+    for them anyway). Output: (doc, pos, fp), distinct by construction.
+    """
+    sel = (
+        f"array_distinct(transform(sequence(0, size(_hs) - {w}), j -> "
+        f"aggregate("
+        f"zip_with(slice(_hs, j + 1, {w}), sequence(0, {w - 1}), "
+        f"(h, i) -> named_struct('h', h, 'i', i)), "
+        f"named_struct('fp', cast(null as bigint), 'pos', -1), "
+        f"(acc, x) -> IF(acc.fp IS NULL OR x.h <= acc.fp, "
+        f"named_struct('fp', x.h, 'pos', x.i), acc), "
+        f"r -> named_struct('pos', j + r.pos, 'fp', r.fp))))"
+    )
+    return (
+        docs.where(F.length(text_col) >= k + w - 1)
+        .select(
+            F.col(id_col).alias("doc"),
+            _shingle_hashes(f"lower({text_col})", k).alias("_hs"),
+        )
+        .select("doc", F.explode(F.expr(sel)).alias("s"))
+        .select(
+            "doc",
+            F.col("s.pos").cast("long").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 20,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Local-overlap candidate pairs over the winnowing fingerprint index:
+    two docs pair when they share rare fingerprints (document frequency
+    <= max_df — the same inverted-index bound the shingle-Jaccard path
+    uses, so boilerplate fingerprints can't explode the join) covering
+    >= min_containment of the smaller doc's fingerprint set. Catches
+    partial-copy/quotation overlap that whole-doc Jaccard dilutes away.
+
+    Scale shape: distinct (doc, fp) is narrow (array_distinct before the
+    explode); the pair join is bucketed on the fingerprint hash; staged
+    subtrees feed the rare-filter build, both join sides, and the
+    per-doc sizes without re-exploding the corpus.
+    """
+    from ..staging import stage_scoped
+
+    fps = stage_scoped(
+        winnow_fingerprints(docs, text_col, id_col, k, w).select(
+            "doc", "fp"
+        ).distinct(),
+        "winnow_fps",
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    rfps = fps.join(rare, "fp")
+    sizes = rfps.groupBy("doc").agg(F.count("*").alias("n_fp"))
+    a = rfps.select(F.col("doc").alias("doc_a"), "fp")
+    b = rfps.select(F.col("doc").alias("doc_b"), "fp")
+    common = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_fp", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_fp", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+    return out.select("doc_a", "doc_b", "n_shared", "containment")

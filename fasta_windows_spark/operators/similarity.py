@@ -568,3 +568,63 @@ def bq_rerank_search(
         .orderBy(F.asc("d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    n_per_anchor: int = 3,
+    min_d2: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the n closest SAME-CELL neighbors under the trained IVF
+    quantizer that are not duplicates (exact-integer squared L2 >=
+    min_d2; the default 1 excludes only d2 = 0 exact copies) — the
+    standard "hardest negatives that aren't positives" selection, made
+    deterministic by the (d2, id) total order so the mined set is unique
+    and hash-exact.
+
+    Scale shape: the candidate join is WITHIN cells only (the same cell
+    bound SemDeDup's pair scan relies on — k grows with the corpus so
+    cells stay bounded; never an all-pairs join), fv is carried through
+    the assignment so pair scoring needs no join back to the corpus, and
+    the per-anchor top-n is a row_number window partitioned by anchor
+    (millions of partitions — no global sort). Output:
+    (anchor, neg, cell, d2, rn), rn in 1..n_per_anchor.
+    """
+    from pyspark.sql import Window
+
+    from .cluster import _assign, kmeans_fit, quantize
+
+    centroids, _ = kmeans_fit(
+        emb, k, n_iter, id_col, vec_col, with_inertia=False
+    )
+    cells = _assign(
+        quantize(emb, id_col=id_col, vec_col=vec_col),
+        centroids,
+        id_col,
+        keep_fv=True,
+    )
+    a = cells.select(
+        F.col(id_col).alias("anchor"), "cell", F.col("fv").alias("afv")
+    )
+    b = cells.select(
+        F.col(id_col).alias("neg"), "cell", F.col("fv").alias("bfv")
+    )
+    d2 = (
+        "aggregate(zip_with(afv, bfv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("anchor") != F.col("neg"))
+        .select("anchor", "neg", "cell", F.expr(d2).alias("d2"))
+        .where(F.col("d2") >= min_d2)
+    )
+    w = Window.partitionBy("anchor").orderBy(F.asc("d2"), F.asc("neg"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= n_per_anchor
+    )

@@ -241,3 +241,29 @@ def test_fps_coverage_consistent(spark):
     last = C.fps_select(emb, k=5).collect()[-1]
     assert cov.radius2 <= last.d2
     assert cov.cost >= cov.radius2
+
+
+def test_hard_negatives_excludes_exact_dups(spark):
+    """Exact duplicate vectors (d2 = 0) are positives, never negatives;
+    every mined negative shares the anchor's cell; per-anchor cap holds;
+    ranking is closest-first."""
+    import random
+
+    from fasta_windows_spark.operators import similarity as S
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)]
+    rows.append((30, list(rows[0][1])))  # exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.hard_negatives(emb, k=2, n_iter=1, n_per_anchor=3).collect()
+    assert all(r.d2 >= 1 for r in out)
+    mined = {(r.anchor, r.neg) for r in out}
+    assert (0, 30) not in mined and (30, 0) not in mined
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r.anchor, []).append((r.rn, r.d2))
+    for ranked in per_anchor.values():
+        assert len(ranked) <= 3
+        ranked.sort()
+        d2s = [d for _, d in ranked]
+        assert d2s == sorted(d2s)

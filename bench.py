@@ -68,6 +68,7 @@ HEADLINE = [
     # round-5 fifth-session families:
     "emb_bq_reranked",          # 1-bit Hamming shortlist + exact re-rank
     "docs_winnow_overlap_pairs",  # winnowing fingerprint local overlap
+    "docs_drop_provenance",     # per-doc curation audit (4 gates composed)
 ]
 
 

@@ -7758,6 +7758,94 @@ QUERIES["docs_clean_corpus_semantic"] = docs_clean_corpus_semantic_impl
 ORACLES["docs_clean_corpus_semantic"] = _clean_corpus_semantic_oracle_sql()
 
 
+def _drop_provenance_oracle_sql() -> str:
+    """Provenance oracle: every curation gate's drop set composed into
+    one first-match CASE — the same CTEs the individual hash-gated rows
+    use (quality, md5 keepers, 3-gram contamination, SemDeDup rem)."""
+    sem = _semdedup_oracle_sql(k=8, d=64, n_iter=2, num2=4, den2=25)
+    sem_body = sem[len("WITH "): sem.rindex("\nSELECT")]
+    return f"""WITH {sem_body},
+semdrop AS (SELECT DISTINCT vec_id AS doc_id FROM rem),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+qt AS (
+  SELECT doc_id, len(string_split(lower(text),' '))::BIGINT AS n_tokens,
+         len(list_filter(string_split(lower(text),' '),
+             t -> list_contains({_SQL_STOP['en']}, t)))::DOUBLE AS stop
+  FROM documents
+),
+ptok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+pho AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM ptok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 = 0 AND len(toks) >= 3
+),
+ptr AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, p+1, p+3), ' ') AS shingle
+  FROM ptok, LATERAL (SELECT unnest(range(len(toks)-2)) AS p) x
+  WHERE doc_id % 37 <> 0 AND len(toks) >= 3
+),
+cont AS (SELECT DISTINCT ptr.doc_id FROM ptr JOIN pho USING (shingle))
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 37 = 0 THEN 'holdout'
+            WHEN NOT (qt.n_tokens >= 10 AND qt.stop/qt.n_tokens > 0.02)
+              THEN 'quality'
+            WHEN keep.doc_id IS NULL THEN 'exact_dup'
+            WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN semdrop.doc_id IS NOT NULL THEN 'semantic_dup'
+            ELSE 'kept' END AS stage
+FROM documents d
+JOIN qt USING (doc_id)
+LEFT JOIN keep ON keep.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+LEFT JOIN semdrop ON semdrop.doc_id = d.doc_id"""
+
+
+@q("docs_drop_provenance", _drop_provenance_oracle_sql())
+def docs_drop_provenance(spark, sf_dir):
+    """Record-level curation provenance — the "why was this document
+    dropped" audit every production data pipeline needs when a corpus
+    number moves: ONE plan assigns every doc its first-matching fate in
+    pipeline order (holdout slice -> quality gate -> exact-dedup loser ->
+    eval-contaminated -> SemDeDup semantic dup -> kept), reusing the
+    exact operators the individual hash-gated rows run (with_quality,
+    exact_dedup_groups, decontaminate_overlap, semdedup), so the audit
+    can never disagree with the pipeline it explains. All four gate
+    outputs join as doc_id-keyed marker tables (each far smaller than
+    the corpus at 100 TB; the CASE is first-match so overlapping drop
+    reasons stay deterministic)."""
+    docs = _docs(spark, sf_dir)
+    qf = _text.with_quality(docs).select("doc_id", "quality_ok")
+    keepers = _dedup.exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("_keep")
+    )
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    holdout = docs.where(F.col("doc_id") % 37 == 0)
+    cont = _dedup.decontaminate_overlap(
+        train, holdout, shingle_words=3
+    ).select("doc_id", F.lit(1).alias("_cont"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    semdrop = (
+        _dedup.semdedup(emb, k=8, n_iter=2, tau_num=2, tau_den=5)
+        .where(F.col("kept") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("_sem"))
+    )
+    out = (
+        qf.join(keepers, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(semdrop, "doc_id", "left")
+    )
+    stage = (
+        F.when(F.col("doc_id") % 37 == 0, "holdout")
+        .when(~F.col("quality_ok"), "quality")
+        .when(F.col("_keep").isNull(), "exact_dup")
+        .when(F.col("_cont") == 1, "contaminated")
+        .when(F.col("_sem") == 1, "semantic_dup")
+        .otherwise("kept")
+    )
+    return out.select("doc_id", stage.alias("stage"))
+
+
 def _pq_oracle_cte(
     k: int = 8,
     d: int = 64,

@@ -1378,6 +1378,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    hash_grams: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
     the MOSS algorithm): hash every k-char gram of lower(text), slide a
@@ -1395,7 +1396,23 @@ def winnow_fingerprints(
     in corpus bytes * w. Docs shorter than k + w - 1 grams' worth of text
     are fenced out (no full window exists; the guarantee above is empty
     for them anyway). Output: (doc, pos, fp), distinct by construction.
+
+    ``hash_grams="xxh"`` is the throughput twin for the real 100 TB path
+    (the minhash_signatures_fast convention): xxhash64 costs a few cycles
+    per gram where md5 runs a full digest — md5 is the default only
+    because DuckDB can recompute it. Identical selection/window/tie
+    semantics, different hash values, so it is property-tested (the
+    shared-substring guarantee and dup invariance hold for any gram
+    hash) rather than oracle-gated.
     """
+    if hash_grams == "xxh":
+        grams = F.expr(
+            f"transform(sequence(0, length({text_col})-{k}), p -> "
+            f"pmod(xxhash64(substring(lower({text_col}), p+1, {k})), "
+            f"4294967296))"
+        )
+    else:
+        grams = _shingle_hashes(f"lower({text_col})", k)
     sel = (
         f"array_distinct(transform(sequence(0, size(_hs) - {w}), j -> "
         f"aggregate("
@@ -1410,7 +1427,7 @@ def winnow_fingerprints(
         docs.where(F.length(text_col) >= k + w - 1)
         .select(
             F.col(id_col).alias("doc"),
-            _shingle_hashes(f"lower({text_col})", k).alias("_hs"),
+            grams.alias("_hs"),
         )
         .select("doc", F.explode(F.expr(sel)).alias("s"))
         .select(
@@ -1429,6 +1446,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     max_df: int = 20,
     min_containment: float = 0.5,
+    hash_grams: str = "md5",
 ) -> DataFrame:
     """Local-overlap candidate pairs over the winnowing fingerprint index:
     two docs pair when they share rare fingerprints (document frequency
@@ -1445,7 +1463,7 @@ def winnow_overlap_pairs(
     from ..staging import stage_scoped
 
     fps = stage_scoped(
-        winnow_fingerprints(docs, text_col, id_col, k, w).select(
+        winnow_fingerprints(docs, text_col, id_col, k, w, hash_grams).select(
             "doc", "fp"
         ).distinct(),
         "winnow_fps",

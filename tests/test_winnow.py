@@ -103,3 +103,36 @@ def test_winnow_overlap_pairs_detects_partial_copy(spark, docs):
     assert len(pairs) == 1
     p = pairs[0]
     assert (p.doc_a, p.doc_b) == (1, 2) and p.containment >= 0.5
+
+
+def test_winnow_xxh_twin_properties(spark, docs):
+    """The throughput twin (hash_grams='xxh') isn't oracle-checkable, so
+    pin its semantics by property: deterministic across runs and
+    partitionings, exact dups share the full fingerprint set, the
+    shared-substring guarantee holds, and selection density is in the
+    winnowing band (expected ~2/(w+1) of grams)."""
+    shared = "the quick brown fox here"
+    a = "zzzzqqqqvvvv " + shared + " xkcdxkcdxkcd"
+    b = "mmmmnnnnpppp " + shared + " wubbawubbawub"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id long, text string"
+    )
+    fps = {}
+    for r in D.winnow_fingerprints(df, hash_grams="xxh").collect():
+        fps.setdefault(r.doc, set()).add((r.pos, r.fp))
+    assert fps[1] == fps[3]  # dup invariance
+    assert {f for _, f in fps[1]} & {f for _, f in fps[2]}  # guarantee
+    again = {}
+    for r in D.winnow_fingerprints(
+        df.repartition(5), hash_grams="xxh"
+    ).collect():
+        again.setdefault(r.doc, set()).add((r.pos, r.fp))
+    assert again == fps
+    rows = docs.limit(100).collect()
+    sub = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+    )
+    n_fp = D.winnow_fingerprints(sub, hash_grams="xxh").count()
+    n_grams = sum(len(r.text) - K + 1 for r in rows if len(r.text) >= K + W - 1)
+    density = n_fp / n_grams
+    assert 0.25 <= density <= 0.55  # theory: 2/(w+1) = 0.4

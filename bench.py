@@ -69,6 +69,9 @@ HEADLINE = [
     "emb_bq_reranked",          # 1-bit Hamming shortlist + exact re-rank
     "docs_winnow_overlap_pairs",  # winnowing fingerprint local overlap
     "docs_drop_provenance",     # per-doc curation audit (4 gates composed)
+    # round-5 sixth-session families:
+    "docs_host_triangles",      # oriented-wedge triangle counting
+    "docs_redirect_resolve",    # redirect chains via pointer doubling
 ]
 
 

@@ -6314,6 +6314,221 @@ def docs_host_communities(spark, sf_dir):
     return out.select(F.col("node").alias("host"), F.col("label").alias("community"))
 
 
+# Sparse deterministic host graph for the density-sensitive structure ops
+# (triangles, k-core): the PageRank family's 24-host graph is essentially
+# complete (every cc would be 1.0 and no node ever peels), so these derive
+# the SAME 3-links-per-doc md5 graph over 600 hosts instead — avg degree
+# ~5 at sf0.001, so triangle counts and peeling rounds are non-trivial at
+# every test scale.
+_TRI_N_HOSTS = 600
+_CC_SCALE = 10**6  # clustering coefficient fixed point: parts-per-million
+
+_SQL_SPARSE_EDGES = f"""
+e0 AS (
+  SELECT 'h' || (doc_id % {_TRI_N_HOSTS})::VARCHAR AS src,
+         'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                  % {_TRI_N_HOSTS})::VARCHAR) AS dst
+  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j) js
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)"""
+
+
+def _host_edges_sparse(spark, sf_dir) -> DataFrame:
+    """The sparse 600-host variant of _host_edges (same derivation, larger
+    modulus — the e0/edges CTE pair in _SQL_SPARSE_EDGES)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    e0 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % _TRI_N_HOSTS).cast("string")
+        ).alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).select(
+        "src",
+        F.concat(
+            F.lit("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _TRI_N_HOSTS
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    return e0.where(F.col("src") != F.col("dst")).distinct()
+
+
+_SQL_TRIANGLES = f"""
+WITH {_SQL_SPARSE_EDGES},
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+ori AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+                    THEN a ELSE b END AS u,
+               CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+                    THEN b ELSE a END AS v
+        FROM und JOIN deg d1 ON und.a = d1.node JOIN deg d2 ON und.b = d2.node),
+ov AS (SELECT u, v, deg AS dv FROM ori JOIN deg ON ori.v = deg.node),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM ov e1 JOIN ov e2 ON e1.u = e2.u
+         AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v),
+pern AS (SELECT node, count(*)::BIGINT AS tri
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY node)
+SELECT deg.node AS host, deg.deg AS deg, coalesce(pern.tri, 0)::BIGINT AS tri,
+       CASE WHEN deg.deg >= 2
+            THEN ((2 * coalesce(pern.tri, 0) * {_CC_SCALE}) // (deg.deg * (deg.deg - 1)))::BIGINT
+            ELSE 0 END AS cc_fp
+FROM deg LEFT JOIN pern ON deg.node = pern.node
+"""
+
+
+@q("docs_host_triangles", _SQL_TRIANGLES)
+def docs_host_triangles(spark, sf_dir):
+    """Per-host triangle counts + local clustering coefficient over the
+    sparse deterministic host graph — the structural spam feature
+    (link farms are near-cliques, topical hubs are stars; Becchetti et
+    al. KDD 2008) beside PageRank/LPA/k-core. Degree-ordered orientation
+    (Suri & Vassilvitskii WWW 2011) counts each triangle exactly once
+    with wedge work bounded O(sqrt(m)) per node; cc is floor fixed-point
+    parts-per-million, so the oracle matches bit-for-bit
+    (operators/graph.py:triangle_counts)."""
+    from .operators.graph import triangle_counts
+
+    out = triangle_counts(_host_edges_sparse(spark, sf_dir), cc_scale=_CC_SCALE)
+    return out.select(F.col("node").alias("host"), "deg", "tri", "cc_fp")
+
+
+# k=3 converges in 2 peels at sf0.001 (592 -> 544 hosts) with margin at 3;
+# k=4 sits exactly at this graph's critical threshold and cascades one host
+# at a time for 15+ rounds — the classic percolation knife-edge, wrong for a
+# bounded-round contract query.
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+# One unrolled synchronous peel (operators/graph.py:kcore_peel): induced
+# degree over the survivors, keep nodes with deg >= k.
+def _kcore_iter_sql(i: int) -> str:
+    return f"""
+kl{i} AS (SELECT und.a, und.b FROM und
+          JOIN ka{i - 1} x ON und.a = x.node
+          JOIN ka{i - 1} y ON und.b = y.node),
+kd{i} AS (SELECT node, count(*)::BIGINT AS deg
+          FROM (SELECT a AS node FROM kl{i} UNION ALL SELECT b FROM kl{i})
+          GROUP BY node),
+ka{i} AS (SELECT node FROM kd{i} WHERE deg >= {_KCORE_K})"""
+
+
+_SQL_KCORE = f"""
+WITH {_SQL_SPARSE_EDGES},
+ka0 AS (SELECT DISTINCT a AS node FROM und
+        UNION SELECT DISTINCT b AS node FROM und),
+{_kcore_iter_sql(1)},
+{_kcore_iter_sql(2)},
+{_kcore_iter_sql(3)},
+klf AS (SELECT und.a, und.b FROM und
+        JOIN ka{_KCORE_ROUNDS} x ON und.a = x.node
+        JOIN ka{_KCORE_ROUNDS} y ON und.b = y.node)
+SELECT node AS host, count(*)::BIGINT AS deg
+FROM (SELECT a AS node FROM klf UNION ALL SELECT b FROM klf)
+GROUP BY node
+"""
+
+
+@q("docs_host_kcore", _SQL_KCORE)
+def docs_host_kcore(spark, sf_dir):
+    """{_KCORE_K}-core of the sparse host graph after {_KCORE_ROUNDS}
+    synchronous peels: survivors + their induced degree. Coreness is the
+    density signal raw degree can't fake (a k-core survives deleting any
+    k-1 neighbors), the standard link-farm/robust-hub prior. Bounded-round
+    semantics (the pagerank discipline) make the unrolled oracle exact;
+    tests pin that {_KCORE_ROUNDS} rounds reach the true fixpoint at test
+    scale (operators/graph.py:kcore_peel)."""
+    from .operators.graph import kcore_peel
+
+    out = kcore_peel(
+        _host_edges_sparse(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+    return out.select(F.col("node").alias("host"), "deg")
+
+
+_REDIR_PCT = 40  # 40% of docs are redirects: chains are common, still a DAG
+_REDIR_ROUNDS = 6  # pointer doubling: covers chains up to 2^6 = 64 links
+
+
+_SQL_REDIRECTS = f"""
+WITH RECURSIVE r AS (
+  SELECT doc_id AS src, (doc_id // 2)::BIGINT AS dst
+  FROM documents
+  WHERE doc_id > 0
+    AND ('0x' || substr(md5(doc_id::VARCHAR || ':redir'), 1, 8))::BIGINT
+        % 100 < {_REDIR_PCT}
+),
+chain(src, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM r
+  UNION ALL
+  SELECT c.src, r.dst, c.hops + 1 FROM chain c JOIN r ON c.cur = r.src
+)
+SELECT c.src AS src, c.cur AS dst, c.hops AS hops
+FROM chain c
+WHERE c.cur NOT IN (SELECT src FROM r)
+"""
+
+
+@q("docs_redirect_resolve", _SQL_REDIRECTS)
+def docs_redirect_resolve(spark, sf_dir):
+    """Canonical-URL resolution: every redirecting doc chased to its
+    terminal target with exact hop counts, by POINTER DOUBLING (log-round
+    path halving — the only shape that resolves a 10^12-row redirect
+    table; a hop-at-a-time chase is one full join per link). Deterministic
+    redirect stand-in: doc u redirects to u div 2 when md5(u:redir) lands
+    under {_REDIR_PCT}%, so the graph is functional and acyclic by
+    construction (targets strictly decrease). The DuckDB oracle walks the
+    SAME chains one hop at a time via a recursive CTE, pinning that
+    doubling introduces no hop off-by-one
+    (operators/graph.py:resolve_chains)."""
+    from .operators.graph import resolve_chains
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    redirs = d.where(
+        (F.col("doc_id") > 0)
+        & (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":redir"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < _REDIR_PCT
+        )
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    return resolve_chains(redirs, rounds=_REDIR_ROUNDS)
+
+
 _SQL_ANCHOR_TERMS = f"""
 WITH a0 AS (
   SELECT 'h' || ((('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT

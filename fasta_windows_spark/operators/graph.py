@@ -531,3 +531,239 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         free_local_checkpoint(prev)
     und.unpersist()
     return labels
+
+
+def triangle_counts(edges: DataFrame, cc_scale: int = 10**6) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient over
+    distinct (src, dst) string edges, treated as UNDIRECTED.
+
+    Why this exists: triangle density separates organically-linked site
+    neighborhoods from link farms and mirror rings (spam nets are near-
+    cliques; legitimate topical hubs are star-like) — the classic
+    structural spam feature (Becchetti et al., "Efficient semi-streaming
+    algorithms for local triangle counting", KDD 2008) a web curation
+    pipeline thresholds on, complementing PageRank (authority), LPA
+    (community) and k-core (coreness) over the same host graph.
+
+    Algorithm — degree-ordered orientation (the MapReduce-standard form,
+    Suri & Vassilvitskii, WWW 2011): orient every undirected edge from the
+    endpoint that is SMALLER under the total order (degree, node) to the
+    larger. Every triangle then has exactly one "apex" node with two
+    out-edges, so counting (wedge e1.u->v, e2.u->w joined against closing
+    oriented edge v->w) sees each triangle EXACTLY once — no /3, no /6
+    correction, and out-degree under this orientation is bounded by
+    O(sqrt(m)) regardless of raw skew, which is what keeps the wedge join
+    from exploding on celebrity hosts at web scale.
+
+    Exactness: counts are integers; the clustering coefficient is emitted
+    as parts-per-cc_scale FLOOR fixed point (2*tri*cc_scale div
+    deg*(deg-1)), so Spark and the DuckDB oracle agree bit-for-bit. The
+    explicit (deg, node) tuple comparison is spelled as boolean arithmetic
+    (not engine struct comparison) so both engines provably use the same
+    total order.
+
+    Scale shape (10^8 hosts, ~10^9 undirected host edges): canonical-edge
+    dedup is one shuffle; degrees one partial-agg shuffle; the wedge join
+    shuffles oriented edges on u (out-degree capped ~sqrt(m) by the
+    orientation) and the closing probe is a join on the oriented edge key
+    (v, w) — bucketable on a lakehouse. Per-node rollup is one
+    partial-agg shuffle of triangle corners."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .cache()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .cache()
+    )
+    e1 = ori.select(
+        F.col("u").alias("w_u"), F.col("v").alias("w_v"), F.col("dv").alias("w_dv")
+    )
+    e2 = ori.select(
+        F.col("u").alias("x_u"), F.col("v").alias("x_v"), F.col("dv").alias("x_dv")
+    )
+    wedges = e1.join(e2, F.col("w_u") == F.col("x_u"), "inner").where(
+        (F.col("w_dv") < F.col("x_dv"))
+        | ((F.col("w_dv") == F.col("x_dv")) & (F.col("w_v") < F.col("x_v")))
+    )
+    tri_rows = wedges.join(
+        ori.select(F.col("u").alias("c_u"), F.col("v").alias("c_v")),
+        (F.col("w_v") == F.col("c_u")) & (F.col("x_v") == F.col("c_v")),
+        "inner",
+    ).select(
+        F.col("w_u").alias("x"), F.col("w_v").alias("y"), F.col("x_v").alias("z")
+    )
+    per_node = (
+        tri_rows.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+        )
+        .select(
+            "node",
+            "deg",
+            "tri",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(f"(2 * tri * {cc_scale}L) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_fp"),
+        )
+    )
+    return out
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peeling over distinct (src, dst) string edges,
+    treated as UNDIRECTED: `rounds` synchronous rounds of "drop every node
+    whose degree in the currently-surviving induced subgraph is < k".
+    Returns (node, deg) for survivors, deg = induced degree after the last
+    peel. Semantics are DEFINED as the bounded recurrence (the
+    pagerank/HITS discipline in this module): a fixed round count makes
+    the operator engine- and schedule-independent, so an unrolled SQL
+    recurrence reproduces it bit-for-bit; a test pins that at test scale
+    the chosen round count reaches the true fixpoint (rounds vs rounds+1
+    equal), which is the production convergence probe.
+
+    Why this exists: coreness is the robust density signal of the host
+    graph — a k-core survives deleting any (k-1) neighbors, so link farms
+    that inflate raw degree with throwaway pages do not inflate coreness
+    without building a genuinely dense subgraph. Standard crawl-frontier /
+    spam-demotion prior alongside triangles and PageRank.
+
+    Scale shape: per round, the induced degree is ONE join of the edge
+    table against the surviving-node set on each endpoint (semi-join
+    shape, broadcastable once peeling shrinks the frontier) plus one
+    partial-agg count shuffle; lineage is truncated per round via eager
+    localCheckpoint and superseded rounds are freed."""
+    from ..staging import free_local_checkpoint
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+
+    def induced_deg(alive: DataFrame) -> DataFrame:
+        sa = alive.select(F.col("node").alias("a"))
+        sb = alive.select(F.col("node").alias("b"))
+        live = und.join(sa, "a", "left_semi").join(sb, "b", "left_semi")
+        return (
+            live.select(F.col("a").alias("node"))
+            .unionByName(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    alive = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        prev = alive
+        alive = (
+            induced_deg(alive)
+            .where(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(prev)
+    out = induced_deg(alive)
+    und.unpersist()
+    return out
+
+
+def resolve_chains(redirects: DataFrame, rounds: int) -> DataFrame:
+    """Resolve redirect chains to their terminal target by pointer
+    doubling: `rounds` synchronous rounds of ptr(x) <- ptr(ptr(x)) with
+    exact hop accumulation, so chains up to 2^rounds links resolve in
+    O(log chain) joins instead of O(chain) — the crawl-graph analog of
+    path halving in union-find, and the reason a 10^12-row redirect table
+    is resolvable at all (a sequential chase would need one full-table
+    join per hop).
+
+    Input: (src, dst) with ONE row per src (a functional graph — HTTP
+    gives each URL at most one Location) and NO cycles (the caller's
+    contract; a redirect cycle is a crawl error upstream fences out —
+    bounded rounds also mean a cycle cannot hang the job, it just keeps
+    doubling). Returns (src, dst, hops): the terminal URL every source
+    ultimately lands on and the exact number of redirect edges traversed
+    — what a curation pipeline needs to canonicalize url keys (dedup by
+    final target) and to drop SEO redirect ladders (hops threshold).
+
+    Exactness: hop counts are exact integers under synchronous doubling
+    (jumping through node m adds exactly the hops m's pointer already
+    covers), so the result is engine-, partitioning- and round-order
+    independent once rounds >= ceil(log2(longest chain)) — the DuckDB
+    recursive-CTE oracle walks the SAME chains one hop at a time and
+    agrees bit-for-bit, which also pins that doubling introduces no
+    off-by-one in hops.
+
+    Scale shape: each round is ONE self-equi-join of the state on the
+    pointer key (shuffle on ptr; partial state stays (node, ptr, hops) —
+    ~3 longs/row, never the page text) and lineage is truncated per round
+    via eager localCheckpoint with superseded rounds freed."""
+    from ..staging import free_local_checkpoint
+
+    state = redirects.select(
+        F.col("src").alias("node"),
+        F.col("dst").alias("ptr"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        m = state.select(
+            F.col("node").alias("m_node"),
+            F.col("ptr").alias("m_ptr"),
+            F.col("hops").alias("m_hops"),
+        )
+        prev = state
+        state = (
+            state.join(m, state["ptr"] == m["m_node"], "left")
+            .select(
+                "node",
+                F.coalesce("m_ptr", "ptr").alias("ptr"),
+                (F.col("hops") + F.coalesce("m_hops", F.lit(0)))
+                .cast("long")
+                .alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(prev)
+    return state.select(
+        F.col("node").alias("src"), F.col("ptr").alias("dst"), "hops"
+    )

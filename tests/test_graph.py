@@ -394,3 +394,154 @@ def test_lpa_two_cliques_bridged_find_two_communities(spark):
     assert got["a"] == got["b"] == got["c"]
     assert got["x"] == got["y"] == got["z"]
     assert got["a"] != got["x"]  # the bridge does not merge the cliques
+
+
+# --- triangle counting -------------------------------------------------------
+
+def _py_triangles(edges):
+    """Brute-force reference: undirected simple graph, count triangles per
+    node and floor fixed-point clustering coefficient."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nodes = sorted({x for e in und for x in e})
+    nbr = {v: set() for v in nodes}
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    out = {}
+    for v in nodes:
+        deg = len(nbr[v])
+        tri = sum(
+            1
+            for x in nbr[v]
+            for y in nbr[v]
+            if x < y and (min(x, y), max(x, y)) in und
+        )
+        cc = (2 * tri * 10**6) // (deg * (deg - 1)) if deg >= 2 else 0
+        out[v] = (deg, tri, cc)
+    return out
+
+
+TRI_EDGES = [
+    # K4 on a..d (4 triangles), a pendant e off a, and a disjoint
+    # path f-g (zero triangles); one duplicate + one reversed edge to
+    # exercise canonicalization.
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("d", "c"), ("a", "b"), ("a", "e"), ("f", "g"),
+]
+
+
+def test_triangle_counts_match_python_reference(spark):
+    from fasta_windows_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(TRI_EDGES, ["src", "dst"])
+    got = {
+        r["node"]: (r["deg"], r["tri"], r["cc_fp"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _py_triangles(TRI_EDGES)
+    # spot values: every K4 member touches C(3,2)=3 triangles; 'a' has an
+    # extra pendant so deg 4, cc = 2*3/(4*3) = 0.5
+    assert got["a"] == (4, 3, 500000)
+    assert got["b"] == (3, 3, 1000000)
+    assert got["e"] == (1, 0, 0)
+    assert got["f"] == (1, 0, 0)
+
+
+def test_triangle_counts_partition_invariant(spark):
+    from fasta_windows_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(TRI_EDGES, ["src", "dst"])
+    a = sorted(map(tuple, triangle_counts(df).collect()))
+    b = sorted(map(tuple, triangle_counts(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    from fasta_windows_spark.operators.graph import triangle_counts
+
+    # C4 (square): every node deg 2, zero triangles, cc 0
+    sq = [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]
+    df = spark.createDataFrame(sq, ["src", "dst"])
+    rows = triangle_counts(df).collect()
+    assert all(r["tri"] == 0 and r["cc_fp"] == 0 and r["deg"] == 2 for r in rows)
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+KCORE_EDGES = [
+    # K4 core a..d, plus a chain e-f-g hanging off a: peeling k=2 removes
+    # g, then f, then e (one per ROUND — the boundedness is observable),
+    # leaving the K4 with induced degree 3 each.
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("a", "e"), ("e", "f"), ("f", "g"),
+]
+
+
+def test_kcore_peel_rounds_are_observable(spark):
+    from fasta_windows_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame(KCORE_EDGES, ["src", "dst"])
+    # after 1 round only g (deg 1) is gone; f survives round 1 with deg 2
+    r1 = {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=1).collect()}
+    assert "g" not in r1 and r1["f"] == 1
+    # fixpoint needs 3 peels: chain gone, K4 remains at induced deg 3
+    r3 = {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=3).collect()}
+    assert r3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_peel_reaches_fixpoint_at_contract_rounds(spark):
+    """The production convergence probe: at test scale the contract's round
+    count reaches the true fixpoint (rounds vs rounds+1 identical)."""
+    from fasta_windows_spark.contract import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _host_edges_sparse,
+    )
+    from fasta_windows_spark.operators.graph import kcore_peel
+    from tests.conftest import SF_DIR
+
+    edges = _host_edges_sparse(spark, SF_DIR).cache()
+    a = sorted(map(tuple, kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS).collect()))
+    b = sorted(map(tuple, kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS + 1).collect()))
+    edges.unpersist()
+    assert a == b and len(a) > 0
+
+
+# --- redirect chain resolution ----------------------------------------------
+
+def test_resolve_chains_hand_chain(spark):
+    from fasta_windows_spark.operators.graph import resolve_chains
+
+    # chain 16->8->4->2->1 plus a side redirect 9->4: every source lands
+    # on terminal 1 resp. 1, with exact hop counts
+    edges = [(16, 8), (8, 4), (4, 2), (2, 1), (9, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["src"]: (r["dst"], r["hops"]) for r in resolve_chains(df, 3).collect()}
+    assert got == {16: (1, 4), 8: (1, 3), 4: (1, 2), 2: (1, 1), 9: (1, 3)}
+
+
+def test_resolve_chains_doubling_coverage(spark):
+    from fasta_windows_spark.operators.graph import resolve_chains
+
+    # a length-8 chain resolves fully in ceil(log2(8)) = 3 rounds but NOT
+    # in 2 (pointer doubling covers 2^rounds links) — pins that the round
+    # bound is the documented one
+    chain = [(i, i - 1) for i in range(8, 0, -1)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    full = {r["src"]: (r["dst"], r["hops"]) for r in resolve_chains(df, 3).collect()}
+    assert full[8] == (0, 8)
+    short = {r["src"]: (r["dst"], r["hops"]) for r in resolve_chains(df, 2).collect()}
+    assert short[8] != (0, 8)  # 2 rounds only cover 4 links
+
+
+def test_resolve_chains_partition_invariant(spark):
+    from fasta_windows_spark.operators.graph import resolve_chains
+
+    edges = [(i, i // 3) for i in range(3, 200)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, resolve_chains(df, 4).collect()))
+    b = sorted(map(tuple, resolve_chains(df.repartition(13), 4).collect()))
+    assert a == b

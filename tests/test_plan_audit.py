@@ -43,6 +43,8 @@ def test_python_boundaries_are_vectorized_and_rare(spark):
         # semantic clean-corpus composition inherits the same boundary
         "emb_semdedup",
         "docs_clean_corpus_semantic",
+        # the provenance audit composes semdedup too (same GEMM boundary)
+        "docs_drop_provenance",
     }
     unexpected = {
         n

@@ -5012,6 +5012,32 @@ def docs_bm25_search(spark, sf_dir):
     return _retrieval.bm25_search(_docs(spark, sf_dir))
 
 
+@q("docs_phrase_search", _retrieval.phrase_search_oracle_sql())
+def docs_phrase_search(spark, sf_dir):
+    """Exact phrase retrieval for the fixed 2-gram "stream window"
+    (operators/retrieval.phrase_search): consecutive-token match with
+    occurrence count and 1-based first position. Runs SCAN-LOCAL — one
+    narrow JVM HOF projection evaluates the positional lambda per
+    document, zero explode/shuffle, TakeOrderedAndProject top-k — where
+    the textbook positional-postings self-join would shuffle the postings
+    table once per phrase token. Both engines index 1-based, so counts
+    AND positions are hash-exact."""
+    return _retrieval.phrase_search(_docs(spark, sf_dir))
+
+
+@q("docs_postings_bytes", _retrieval.postings_bytes_oracle_sql())
+def docs_postings_bytes(spark, sf_dir):
+    """Inverted-index layout economics (operators/retrieval.
+    postings_bytes_audit): exact BIGINT byte audit of block-local
+    delta + LEB128-varint postings vs raw 8-byte ids, per token — the
+    numbers that justify (or refute) an index compression choice. The
+    sort window partitions on (token, doc_block), so a 10^9-document
+    stopword posting sorts as independent 4096-doc blocks instead of one
+    giant window partition — skew-free by layout, exactly why production
+    indexes block their postings. One shuffle on (token, block)."""
+    return _retrieval.postings_bytes_audit(_docs(spark, sf_dir))
+
+
 from .operators import layout as _layout  # noqa: E402
 
 

@@ -152,3 +152,218 @@ WHERE {matched} > 0
 ORDER BY score DESC, doc_id
 LIMIT {topk}
 """
+
+
+# =============================================================================
+# exact phrase search (positional match, scan-local)
+# =============================================================================
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase=("stream", "window"),
+    topk: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval: documents containing the n-token phrase as
+    consecutive tokens, with occurrence count and first match position.
+
+    The classic implementation is a positional-postings self-join (term_i
+    at pos p joins term_{i+1} at p+1), which shuffles the postings table
+    n-1 times. Here the match runs SCAN-LOCAL instead: one narrow JVM
+    projection evaluates `filter(sequence(1, dl-n+1), i -> tok[i]=t0 AND
+    tok[i+1]=t1 ...)` per document — zero explode, zero shuffle, and the
+    only reduce is the final TakeOrderedAndProject. At 10^12 pages that is
+    the difference between n-1 corpus-sized shuffles and none; the
+    postings-index form only wins when the phrase is rare AND an index
+    already exists (see postings_bytes_audit for that index's layout
+    economics). Both engines use 1-based element_at/list indexing, so
+    positions are cross-engine exact.
+
+    Returns (doc_id, n_matches, first_pos) for the topk documents with
+    n_matches > 0, ordered by (n_matches DESC, doc_id); first_pos is the
+    1-based token index of the first occurrence.
+    """
+    n = len(phrase)
+    if n < 2:
+        raise ValueError("phrase must have at least 2 tokens")
+    for t in phrase:
+        if not t.isalnum():
+            raise ValueError(f"phrase token must be alphanumeric: {t!r}")
+    conds = " AND ".join(
+        f"element_at(_toks, i + {j}) = '{t}'" if j else f"element_at(_toks, i) = '{t}'"
+        for j, t in enumerate(phrase)
+    )
+    hits = F.expr(
+        f"if(size(_toks) >= {n}, "
+        f"filter(sequence(1, size(_toks) - {n - 1}), i -> {conds}), "
+        f"array())"
+    )
+    return (
+        docs.select(
+            id_col,
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')").alias(
+                "_toks"
+            ),
+        )
+        .select(
+            id_col,
+            hits.alias("_hits"),
+        )
+        .select(
+            id_col,
+            F.expr("cast(size(_hits) as bigint)").alias("n_matches"),
+            F.expr("cast(element_at(_hits, 1) as bigint)").alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def phrase_search_oracle_sql(phrase=("stream", "window"), topk: int = 50) -> str:
+    """DuckDB replay of phrase_search (same 1-based positional lambda)."""
+    n = len(phrase)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" if j else f"toks[i] = '{t}'"
+        for j, t in enumerate(phrase)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+              THEN list_filter(generate_series(1, len(toks) - {n - 1}), i -> {conds})
+              ELSE [] END AS hits
+  FROM base
+)
+SELECT doc_id, len(hits)::BIGINT AS n_matches, hits[1]::BIGINT AS first_pos
+FROM m
+WHERE len(hits) > 0
+ORDER BY n_matches DESC, doc_id
+LIMIT {topk}
+"""
+
+
+# =============================================================================
+# inverted-index layout economics: block-local delta + varint postings audit
+# =============================================================================
+
+POSTINGS_BLOCK = 4096  # docs per posting block (Lucene-style block postings)
+
+
+def _varint_bytes_sql(v: str) -> str:
+    """LEB128 byte count of a non-negative BIGINT, as a portable CASE
+    (identical text works in Spark SQL and DuckDB)."""
+    return (
+        f"(CASE WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2 "
+        f"WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4 "
+        f"WHEN {v} < 34359738368 THEN 5 ELSE 6 END)"
+    )
+
+
+def postings_bytes_audit(
+    docs: DataFrame,
+    min_df: int = 8,
+    topk: int = 100,
+    block: int = POSTINGS_BLOCK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact byte audit of a positional-free inverted index under
+    block-local delta + LEB128-varint encoding — the layout decision a
+    web-scale index build has to justify with numbers, computed as exact
+    BIGINTs so the audit is hash-gateable.
+
+    Postings for a token are its sorted doc ids. Each ``block`` of the doc
+    id space (doc_id // block) opens with the absolute id and continues
+    with gaps, exactly the skip-friendly block layout production indexes
+    use (and the reason this plan is skew-free: the sort window partitions
+    on (token, block), so a billion-document stopword posting never lands
+    in ONE window partition — its blocks sort independently). One shuffle
+    on (token, block); no collect_list, nothing row-at-a-time.
+
+    Returns per-token (token, df, n_blocks, raw_bytes, varint_bytes,
+    ratio) for tokens with df >= min_df, ordered by (df DESC, token),
+    limited to topk; raw_bytes is the uncompressed 8-byte-per-id cost.
+    """
+    from pyspark.sql import Window
+
+    post = (
+        docs.select(
+            F.explode(
+                F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')")
+            ).alias("token"),
+            F.col(id_col).cast("long").alias("did"),
+        )
+        .distinct()
+        .withColumn("blk", F.expr(f"did DIV {block}"))
+    )
+    w = Window.partitionBy("token", "blk").orderBy("did")
+    val = F.expr("coalesce(did - _prev, did)")  # block head stores absolute id
+    enc = (
+        post.withColumn("_prev", F.lag("did").over(w))
+        .withColumn("v", val)
+        .withColumn("nb", F.expr(f"cast({_varint_bytes_sql('v')} as bigint)"))
+        .withColumn("is_head", F.expr("if(_prev is null, 1, 0)"))
+    )
+    agg = enc.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("is_head").cast("long").alias("n_blocks"),
+        (F.count("*") * F.lit(8)).cast("long").alias("raw_bytes"),
+        F.sum("nb").cast("long").alias("varint_bytes"),
+    )
+    return (
+        agg.where(F.col("df") >= min_df)
+        .withColumn(
+            "ratio",
+            F.round(F.col("varint_bytes").cast("double") / F.col("raw_bytes"), 6),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(topk)
+    )
+
+
+def postings_bytes_oracle_sql(
+    min_df: int = 8, topk: int = 100, block: int = POSTINGS_BLOCK
+) -> str:
+    """DuckDB replay of postings_bytes_audit (same window, same CASE)."""
+    vb = _varint_bytes_sql("v")
+    return f"""
+WITH post AS (
+  SELECT DISTINCT t.token, d.doc_id AS did
+  FROM documents d,
+       LATERAL unnest(list_filter(string_split(lower(d.text), ' '),
+                                  x -> x <> '')) AS t(token)
+),
+enc AS (
+  SELECT token, did // {block} AS blk,
+         lag(did) OVER (PARTITION BY token, did // {block} ORDER BY did) AS prev,
+         did
+  FROM post
+),
+bytes AS (
+  SELECT token,
+         coalesce(did - prev, did) AS v,
+         CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_head
+  FROM enc
+),
+agg AS (
+  SELECT token,
+         count(*)::BIGINT AS df,
+         sum(is_head)::BIGINT AS n_blocks,
+         (count(*) * 8)::BIGINT AS raw_bytes,
+         sum({vb})::BIGINT AS varint_bytes
+  FROM bytes GROUP BY token
+)
+SELECT token, df, n_blocks, raw_bytes, varint_bytes,
+       round(varint_bytes::DOUBLE / raw_bytes::DOUBLE, 6) AS ratio
+FROM agg
+WHERE df >= {min_df}
+ORDER BY df DESC, token
+LIMIT {topk}
+"""

@@ -5496,6 +5496,34 @@ def docs_dup_components_star(spark, sf_dir):
 
 
 @q(
+    "docs_leakage_safe_split",
+    f"""
+WITH RECURSIVE {_SQL_DUP_COMP_CTES}
+SELECT doc_id, component_id,
+       CASE WHEN substr(md5(component_id::VARCHAR || ':split'), 1, 4) < '0ccc'
+              THEN 'valid'
+            WHEN substr(md5(component_id::VARCHAR || ':split'), 1, 4) < '1999'
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM comp
+""",
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    """Duplicate-aware split (operators/sampling.leakage_safe_split):
+    docs_split_assign's md5-bucket assignment applied to the duplicate
+    COMPONENT label instead of the doc id, so near-duplicate clusters
+    cannot straddle the train/test fence — the constructive fix for the
+    contamination docs_split_leakage_report measures. Composes the
+    hash-gated connected-components subplan; the split column itself adds
+    zero shuffles. tests/test_sampling.py pins the invariant that NO
+    MinHash band pair crosses splits."""
+    docs = _docs(spark, sf_dir)
+    pairs = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs))
+    labels = _dedup.connected_components(pairs, docs.select("doc_id"))
+    return _sampling.leakage_safe_split(labels)
+
+
+@q(
     "docs_media_bmp",
     """
 SELECT doc_id,

@@ -470,3 +470,33 @@ def epoch_order(
             "step", F.expr(f"global_pos div {int(n_shards)}").cast("long")
         )
     )
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    valid_frac: float = 0.05,
+    test_frac: float = 0.05,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+) -> DataFrame:
+    """Duplicate-aware train/valid/test assignment: hash the duplicate
+    COMPONENT label, not the document id, so every member of a
+    near-duplicate cluster lands in the same split BY CONSTRUCTION — the
+    standard fix for eval contamination via near-duplicates (a doc-keyed
+    split puts two fuzzy copies of the same page on opposite sides of the
+    train/test fence; docs_split_leakage_report MEASURES that leak, this
+    operator removes it).
+
+    `labels` is any (id, component) frame — e.g. connected_components over
+    the MinHash band-pair graph. Determinism inherits from split_assign:
+    the split is a pure function of the component label, and component
+    labels are min-doc_id, so re-running on a grown corpus never moves an
+    existing CLUSTER across splits unless two old clusters merge (in which
+    case moving one of them is unavoidable for correctness).
+
+    Plan shape: the split column is a narrow projection over the labels
+    frame — no extra shuffle beyond what the label computation already
+    did. Returns (id, component, split)."""
+    return split_assign(
+        labels, valid_frac, test_frac, key_col=comp_col
+    ).select(id_col, comp_col, "split")

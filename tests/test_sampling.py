@@ -448,3 +448,69 @@ def test_token_drift_partition_invariant(spark):
         prev.repartition(23), curr.repartition(5)
     ).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+# --- leakage-safe split ------------------------------------------------------
+
+
+def test_leakage_safe_split_no_pair_crosses_splits(spark):
+    """THE invariant: no MinHash band pair — the near-duplicate candidate
+    graph the split must respect — has its two docs in different splits."""
+    from fasta_windows_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_band_pairs(dedup.minhash_signatures(docs))
+    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    split = sampling.leakage_safe_split(labels)
+    crossing = (
+        pairs.join(
+            split.select("doc_id", "split"),
+            pairs.doc_a == split.doc_id,
+        )
+        .drop("doc_id")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            split.select("doc_id", "split"),
+            pairs.doc_b == split.doc_id,
+        )
+        .where("split_a <> split")
+        .count()
+    )
+    assert crossing == 0
+    assert pairs.count() > 0  # the invariant is non-vacuous on this corpus
+
+
+def test_leakage_safe_split_component_determines_split(spark):
+    """Every member of a component carries the identical split, and the
+    split equals split_assign of the component label (so the assignment
+    stays rerun-stable the way docs_split_assign is)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "doc_id long, component_id long",
+    )
+    rows = sampling.leakage_safe_split(labels).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    import hashlib as _h
+
+    for r in rows:
+        b = _h.md5(f"{r.component_id}:split".encode()).hexdigest()[:4]
+        want = "valid" if b < "0ccc" else ("test" if b < "1999" else "train")
+        assert r.split == want
+
+
+def test_leakage_safe_split_fractions_sane(spark):
+    """Splits cover everything and train dominates at the default rates."""
+    from fasta_windows_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_band_pairs(dedup.minhash_signatures(docs))
+    labels = dedup.connected_components(pairs, docs.select("doc_id"))
+    split = sampling.leakage_safe_split(labels)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert counts.get("train", 0) > counts.get("valid", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)

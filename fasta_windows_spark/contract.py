@@ -4945,6 +4945,37 @@ def docs_heavy_hitters_cms(spark, sf_dir):
 
 
 @q(
+    "docs_heavy_hitters_exact",
+    """
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[j] || ' ' || toks[j + 1] AS item
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j) jj
+  WHERE len(toks) >= 2
+)
+SELECT item, count(*)::BIGINT AS cnt
+FROM bg GROUP BY item HAVING count(*) >= 45
+ORDER BY cnt DESC, item
+""",
+)
+def docs_heavy_hitters_exact(spark, sf_dir):
+    """EXACT threshold heavy hitters over word bigrams (operators/sketch.
+    heavy_hitters_exact): every bigram with count >= 45 — the
+    HAVING-shaped twin of the CMS sketch above, and the batch face of the
+    streaming Misra-Gries pass (streaming/topk.py), whose
+    candidates-then-exact-rescore output must equal THIS query row-for-row
+    (tests/test_streaming_topk.py pins it, plus the MG superset
+    certificate on actual shard totals). One JVM bigram HOF + explode +
+    partial-agg count; nothing row-at-a-time."""
+    from .operators import sketch as _sketch
+
+    return _sketch.heavy_hitters_exact(_docs(spark, sf_dir), threshold=45)
+
+
+@q(
     "docs_tfidf_top_terms",
     """
 WITH toks AS (

@@ -98,3 +98,65 @@ def cms_heavy_hitters(
         .where(F.col("est_cnt") >= F.col("thresh"))
         .select("tok", "est_cnt", "exact_cnt")
     )
+
+
+# =============================================================================
+# exact threshold heavy hitters (the batch face of streaming/topk.py)
+# =============================================================================
+
+
+def bigram_items(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-bigram item stream: 'tok_i tok_{i+1}' per adjacent token pair
+    of lower(text), as one JVM HOF projection + explode (no Python). The
+    SAME function feeds the batch face and the streaming Misra-Gries
+    candidate pass, so the two operators count an identical item space."""
+    return docs.select(
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(filter(split(lower({text_col}), ' '), x -> x <> '')) >= 2
+                THEN transform(
+                  sequence(1, size(filter(split(lower({text_col}), ' '), x -> x <> '')) - 1),
+                  i -> concat(element_at(filter(split(lower({text_col}), ' '), x -> x <> ''), i),
+                              ' ',
+                              element_at(filter(split(lower({text_col}), ' '), x -> x <> ''), i + 1)))
+                ELSE array() END"""
+            )
+        ).alias("item")
+    )
+
+
+def heavy_hitters_exact(
+    docs: DataFrame, threshold: int = 45, text_col: str = "text"
+) -> DataFrame:
+    """EXACT threshold heavy hitters over word bigrams: every item with
+    count >= threshold — the HAVING-shaped twin of cms_heavy_hitters'
+    one-sided sketch and docs_top_tokens' top-k. One partial-aggregated
+    groupBy; output (item, cnt) ordered (cnt DESC, item). This is also
+    the ground truth the streaming Misra-Gries pass (streaming/topk.py)
+    must reproduce exactly after its rescore."""
+    return (
+        bigram_items(docs, text_col)
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
+
+
+def char_ngram_items(docs: DataFrame, n: int = 4, text_col: str = "text") -> DataFrame:
+    """Character n-gram item stream (the reference's own item space —
+    fasta_windows' k-mers ARE char n-grams of the page text): one JVM
+    substring transform + explode, no Python. Feeds the same
+    heavy-hitter machinery as bigram_items."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return docs.select(
+        F.explode(
+            F.expr(
+                f"""CASE WHEN length({text_col}) >= {n}
+                THEN transform(sequence(1, length({text_col}) - {n - 1}),
+                               i -> substring({text_col}, i, {n}))
+                ELSE array() END"""
+            )
+        ).alias("item")
+    )

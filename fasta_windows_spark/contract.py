@@ -1756,6 +1756,61 @@ def docs_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "docs_jaccard_join_exact",
+    """
+WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS l
+           FROM documents),
+shg AS (
+  SELECT DISTINCT doc_id AS doc, l[p+1]||' '||l[p+2]||' '||l[p+3] AS s
+  FROM t, LATERAL (SELECT unnest(range(len(l)-2)) AS p) x
+  WHERE len(l) >= 3
+),
+dfreq AS (SELECT s, count(*) AS df FROM shg GROUP BY s),
+sized AS (SELECT doc, count(*) AS n FROM shg GROUP BY doc),
+ranked AS (
+  SELECT shg.doc, shg.s,
+         row_number() OVER (PARTITION BY shg.doc ORDER BY dfreq.df, shg.s) AS rn,
+         sized.n
+  FROM shg JOIN dfreq USING (s) JOIN sized USING (doc)
+),
+prefix AS (SELECT doc, s FROM ranked WHERE rn <= n - (n * 1 + 2 - 1) // 2 + 1),
+cand AS (
+  SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+  FROM prefix l JOIN prefix r ON l.s = r.s AND l.doc < r.doc
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+  FROM cand c
+  JOIN shg a ON a.doc = c.doc_a
+  JOIN shg b ON b.doc = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       (sa.n + sb.n - i.n_inter)::BIGINT AS n_union,
+       round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sized sa ON sa.doc = i.doc_a
+JOIN sized sb ON sb.doc = i.doc_b
+WHERE i.n_inter * 2 >= 1 * (sa.n + sb.n - i.n_inter)
+ORDER BY doc_a, doc_b
+""",
+)
+def docs_jaccard_join_exact(spark, sf_dir):
+    """EXACT Jaccard >= 1/2 set-similarity join via AllPairs/PPJoin prefix
+    filtering (operators/dedup.jaccard_threshold_join) — the no-recall-cap
+    upgrade over docs_jaccard_pairs' rare-shingle index (whose misses are
+    df-bounded) and the MinHash band join (probabilistic). Candidates come
+    only from each doc's n - ceil(tau*n) + 1 RAREST shingles — the prefix-
+    filter theorem guarantees completeness while the join keys are
+    anti-skewed by construction (boilerplate shingles never reach the
+    index). Verification is pure integers (inter*2 >= union); the oracle
+    replays the identical prefix, so both the ALGORITHM and the answer are
+    cross-engine exact. tests/test_dedup_ppjoin.py additionally pins
+    equality with the brute-force all-pairs join."""
+    return _dedup.jaccard_threshold_join(_docs(spark, sf_dir))
+
+
+@q(
     "docs_containment_pairs",
     """
 WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),

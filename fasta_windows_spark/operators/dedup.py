@@ -1500,3 +1500,108 @@ def winnow_overlap_pairs(
         .where(F.col("containment") >= min_containment)
     )
     return out.select("doc_a", "doc_b", "n_shared", "containment")
+
+
+# =============================================================================
+# exact Jaccard threshold join via prefix filtering (AllPairs / PPJoin)
+# =============================================================================
+
+
+def jaccard_threshold_join(
+    docs: DataFrame,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    shingle_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity join: every pair of documents whose word-shingle
+    sets have Jaccard >= tau_num/tau_den — no recall cap, unlike the
+    MinHash-LSH and rare-shingle paths (whose misses are probabilistic /
+    df-bounded respectively). The candidate generator is the prefix filter
+    of AllPairs/PPJoin (Bayardo et al. WWW'07; Xiao et al. WWW'08):
+
+    order the shingle universe by ascending document frequency (rarest
+    first, ties by value); a doc with n shingles exposes only its first
+    n - ceil(tau*n) + 1 shingles in that order as its PREFIX. Two sets
+    with Jaccard >= tau must overlap in >= ceil(tau*max(|A|,|B|))
+    elements, so skipping the last ceil(tau*n)-1 positions cannot skip
+    every shared element: any qualifying pair shares >= 1 PREFIX shingle.
+    Candidates = the inverted-index self-join on prefix shingles only;
+    each candidate is then verified with exact integer counts
+    (inter * tau_den >= tau_num * union — no float ever decides).
+
+    Scale shape: the prefix keeps exactly the RAREST shingles of each doc,
+    so the candidate join's key distribution is anti-skewed by
+    construction (the boilerplate shingles that blow up naive
+    shingle-joins are precisely the ones the prefix drops); ceil() is
+    integer arithmetic ((n*num + den - 1) DIV den), the per-doc ordering
+    is one row_number window partitioned by doc (bounded partitions), and
+    verification joins on pair keys. All shuffles are key-bucketed; no
+    cartesian anywhere (plan-tested).
+
+    Returns (doc_a, doc_b, n_inter, n_union, jaccard) with doc_a < doc_b,
+    ordered by (doc_a, doc_b); jaccard rounded to 6 dp.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"tau must be in (0, 1]: {tau_num}/{tau_den}")
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(0, greatest(size(filter(split(lower({text_col}), ' '), x -> x <> '')) - {shingle_words}, -1)), "
+                f"i -> array_join(slice(filter(split(lower({text_col}), ' '), x -> x <> ''), i + 1, {shingle_words}), ' ')))"
+            )
+        ).alias("s"),
+    )
+    from ..staging import stage_scoped
+
+    sh = stage_scoped(sh, "ppjoin_sh")
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    sized = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    # prefix length uses integer ceil: (n*num + den - 1) DIV den
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "s")),
+        )
+        .join(sized, "doc")
+        .where(
+            F.expr(
+                f"rn <= n - (n * {tau_num} + {tau_den} - 1) DIV {tau_den} + 1"
+            )
+        )
+        .select("doc", "s")
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    cand = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    na = sized.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sized.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"))
+        .where(F.col("n_inter") * tau_den >= F.lit(tau_num) * F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

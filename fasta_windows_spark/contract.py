@@ -2169,6 +2169,55 @@ def docs_pii_scrub(spark, sf_dir):
     return _text.scrub_pii(d)
 
 
+@q(
+    "docs_pii_luhn",
+    """
+WITH t AS (
+  SELECT doc_id,
+         text || ' ref 12345 card ' ||
+         CASE doc_id % 3 WHEN 0 THEN '4111111111111111'
+                         WHEN 1 THEN '4242424242424242'
+                         ELSE '1234567812345678' END AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS run FROM t
+),
+cand AS (SELECT doc_id, run FROM runs WHERE length(run) BETWEEN 13 AND 19)
+SELECT doc_id,
+       repeat('*', length(run) - 4) || substring(run, -4) AS masked,
+       length(run)::BIGINT AS n_digits,
+       list_sum(list_transform(generate_series(1, length(run)), i ->
+         CASE WHEN (length(run) - i) % 2 = 1
+              THEN [0, 2, 4, 6, 8, 1, 3, 5, 7, 9][substring(run, i, 1)::INT + 1]
+              ELSE substring(run, i, 1)::INT END)) % 10 = 0 AS luhn_valid
+FROM cand
+ORDER BY doc_id, masked
+""",
+)
+def docs_pii_luhn(spark, sf_dir):
+    """Luhn-validated card-number audit (functions/text.luhn_card_audit):
+    maximal 13-19-digit runs checked with the ISO/IEC 7812 checksum as a
+    pure JVM integer fold, masked to last-4 IN the validating projection
+    (raw candidates never leave the plan). The validator is what separates
+    a real PII scrubber from digit-run regexing — the injected fixture
+    plants one valid and one invalid PAN shape plus a short decoy run per
+    doc (the corpus has no digits, same rationale as docs_pii_scrub), and
+    the oracle recomputes the identical checksum in DuckDB, so validity
+    bits are hash-gated, not asserted."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ref 12345 card "),
+            F.when(F.col("doc_id") % 3 == 0, "4111111111111111")
+            .when(F.col("doc_id") % 3 == 1, "4242424242424242")
+            .otherwise("1234567812345678"),
+        ).alias("text"),
+    )
+    return _text.luhn_card_audit(d)
+
+
 _SQL_STOP = {
     lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
     for lang, words in _text.STOPWORDS.items()
@@ -5031,6 +5080,39 @@ def docs_heavy_hitters_exact(spark, sf_dir):
 
 
 @q(
+    "docs_vocab_growth",
+    """
+WITH tok AS (
+  SELECT doc_id AS did,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+firsts AS (SELECT tok, min(did) AS first_did FROM tok GROUP BY tok),
+pd AS (
+  SELECT doc_id AS did,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT AS n_toks
+  FROM documents
+)
+SELECT k::BIGINT AS checkpoint,
+       (SELECT count(*) FROM pd WHERE did < k)::BIGINT AS n_docs,
+       (SELECT coalesce(sum(n_toks), 0) FROM pd WHERE did < k)::BIGINT AS n_tokens,
+       (SELECT count(*) FROM firsts WHERE first_did < k)::BIGINT AS vocab
+FROM (SELECT unnest([100, 200, 300, 400, 500]) AS k)
+ORDER BY checkpoint
+""",
+)
+def docs_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (functions/text.vocab_growth):
+    cumulative tokens vs cumulative DISTINCT vocabulary at doc-id
+    checkpoints — the 'is new crawl still buying new language?' curve.
+    Exactness without per-checkpoint rescans: vocab-at-k counts tokens
+    whose FIRST occurrence (min doc id) precedes k, so the plan is one
+    explode + min-groupBy (vocabulary-sized) + |checkpoints| conditional
+    aggregates stacked JVM-side — two passes total at any corpus size."""
+    return _text.vocab_growth(_docs(spark, sf_dir))
+
+
+@q(
     "docs_tfidf_top_terms",
     """
 WITH toks AS (
@@ -5579,6 +5661,48 @@ def docs_dup_components_star(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs))
     return _dedup.connected_components_star(pairs, docs.select("doc_id"))
+
+
+@q(
+    "docs_dup_cluster_sizes",
+    f"""
+WITH RECURSIVE {_SQL_DUP_COMP_CTES},
+sizes AS (
+  SELECT component_id, count(*)::BIGINT AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs,
+       (cluster_size * count(*) - count(*))::BIGINT AS n_removable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+""",
+)
+def docs_dup_cluster_sizes(spark, sf_dir):
+    """THE dedup diagnostic: the duplicate-cluster size distribution —
+    how many clusters of each size, how many docs they hold, and how many
+    docs a keep-one-per-cluster policy would remove. Two partial-agg
+    groupBys over the hash-gated connected-components labels (component →
+    size, size → histogram); the histogram is |distinct sizes| rows, so
+    at 10^12 docs the output is KBs while the answer ('12% of the corpus
+    is redundant') is what a curation run actually reports."""
+    docs = _docs(spark, sf_dir)
+    pairs = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs))
+    labels = _dedup.connected_components(pairs, docs.select("doc_id"))
+    sizes = labels.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            (F.col("cluster_size") * F.col("n_clusters") - F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 @q(

@@ -918,3 +918,111 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    checkpoints=(100, 200, 300, 400, 500),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: at each corpus checkpoint
+    (docs with id < k, the deterministic ingestion order), the cumulative
+    token count and the cumulative DISTINCT vocabulary — the curve whose
+    flattening tells a crawl when new data stops buying new language.
+
+    Exact distinct-so-far without per-checkpoint rescans: a token is in
+    the vocabulary at checkpoint k iff its FIRST occurrence (min doc id)
+    is < k — so one explode + min-groupBy produces a vocabulary-sized
+    first-seen table, and every checkpoint is a conditional count over it.
+    Token totals are likewise |checkpoints| conditional sums over per-doc
+    counts. Two partial-agg passes, 1-row wide aggregate each, stacked to
+    |checkpoints| rows JVM-side; at 10^12 docs the only sized intermediate
+    is the (vocabulary) first-seen table, which shuffles as (token, min)
+    partials. Returns (n_docs, n_tokens, vocab) per checkpoint."""
+    ck = sorted(checkpoints)
+    tok = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')")
+        ).alias("tok"),
+    )
+    first = tok.groupBy("tok").agg(F.min("did").alias("first_did"))
+    v_aggs = [
+        F.sum(F.when(F.col("first_did") < k, 1).otherwise(0))
+        .cast("long")
+        .alias(f"v_{k}")
+        for k in ck
+    ]
+    vrow = first.agg(*v_aggs)
+    per_doc = docs.select(
+        F.col(id_col).alias("did"),
+        F.expr(
+            f"cast(size(filter(split(lower({text_col}), ' '), x -> x <> '')) as bigint)"
+        ).alias("n_toks"),
+    )
+    t_aggs = []
+    for k in ck:
+        t_aggs.append(
+            F.sum(F.when(F.col("did") < k, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias(f"t_{k}")
+        )
+        t_aggs.append(
+            F.sum(F.when(F.col("did") < k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"d_{k}")
+        )
+    trow = per_doc.agg(*t_aggs)
+    wide = trow.crossJoin(F.broadcast(vrow))  # 1 row x 1 row
+    stack = ", ".join(f"{k}L, d_{k}, t_{k}, v_{k}" for k in ck)
+    return wide.selectExpr(
+        f"stack({len(ck)}, {stack}) AS (checkpoint, n_docs, n_tokens, vocab)"
+    ).orderBy("checkpoint")
+
+
+# Luhn double-map: digit d at an even distance-from-right stays d; at odd
+# distance it becomes 2d with decimal digits summed (0,2,4,6,8,1,3,5,7,9).
+_LUHN_MAP = "array(0, 2, 4, 6, 8, 1, 3, 5, 7, 9)"
+
+
+def luhn_valid_expr(s: str) -> str:
+    """Spark SQL boolean: string column/expr `s` of digits passes the Luhn
+    checksum (ISO/IEC 7812) — the validator real PII scrubbers apply to
+    card-number candidates so random digit runs don't redact. Pure integer
+    JVM fold; the DuckDB twin lives in the contract oracle."""
+    return (
+        f"aggregate(sequence(1, length({s})), 0, (acc, i) -> acc + "
+        f"CASE WHEN pmod(length({s}) - i, 2) = 1 "
+        f"THEN element_at({_LUHN_MAP}, cast(substring({s}, i, 1) as int) + 1) "
+        f"ELSE cast(substring({s}, i, 1) as int) END) % 10 = 0"
+    )
+
+
+def luhn_card_audit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Card-number candidate audit: every maximal digit run of 13-19 digits
+    (the PAN length range), Luhn-validated, masked to its last 4 digits.
+    Output (doc_id, masked, n_digits, luhn_valid) per candidate, ordered.
+
+    The run extraction avoids lookbehind (RE2-incompatible) by taking all
+    maximal `[0-9]+` runs and length-filtering — portable to every regex
+    engine. The checksum is a JVM integer fold per candidate (no Python);
+    raw numbers never leave the plan: masking happens in the same
+    projection that validates. One narrow scan, no shuffle until the
+    output sort."""
+    runs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)")
+        ).alias("run"),
+    ).where(F.expr("length(run) between 13 and 19"))
+    return runs.select(
+        F.col(id_col),
+        F.expr(
+            "concat(repeat('*', length(run) - 4), substring(run, -4, 4))"
+        ).alias("masked"),
+        F.expr("cast(length(run) as bigint)").alias("n_digits"),
+        F.expr(luhn_valid_expr("run")).alias("luhn_valid"),
+    ).orderBy(id_col, "masked")

@@ -232,3 +232,95 @@ def test_trigram_surprisal_matches_python(spark):
     # repeated trigram context scores lower than the one-off: doc 1/2 share
     # 'on the mat' structure; all three docs must produce positive bits
     assert all(v[1] > 0 for v in got.values())
+
+
+# --- Luhn card audit ---------------------------------------------------------
+
+
+def _py_luhn(s):
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = int(ch)
+        total += d if i % 2 == 0 else (d * 2 - 9 if d > 4 else d * 2)
+    return total % 10 == 0
+
+
+def test_luhn_validator_matches_reference(spark):
+    """The JVM fold agrees with a textbook Luhn implementation on valid
+    and invalid PANs of odd and even length."""
+    from fasta_windows_spark.functions.text import luhn_card_audit
+
+    cards = [
+        "4111111111111111",   # valid (16, even)
+        "4242424242424242",   # valid
+        "1234567812345678",   # invalid
+        "5555555555554444",   # valid
+        "4111111111111112",   # invalid (last digit off by one)
+        "4222222222222",      # valid (13 digits, odd length)
+        "4222222222223",      # invalid
+    ]
+    df = spark.createDataFrame(
+        [(i, f"card {c} end") for i, c in enumerate(cards)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.luhn_valid for r in luhn_card_audit(df).collect()}
+    assert got == {i: _py_luhn(c) for i, c in enumerate(cards)}
+    assert sum(got.values()) == 4
+
+
+def test_luhn_audit_masks_and_length_filters(spark):
+    """Runs outside 13-19 digits are ignored; masked output keeps only the
+    last 4 digits; multiple candidates per doc all surface."""
+    from fasta_windows_spark.functions.text import luhn_card_audit
+
+    df = spark.createDataFrame(
+        [(1, "short 123456789012 ok 4111111111111111 and 4242424242424242 "
+             "toolong 12345678901234567890")],
+        "doc_id long, text string",
+    )
+    rows = luhn_card_audit(df).collect()
+    assert [(r.masked, r.n_digits) for r in rows] == [
+        ("************1111", 16),
+        ("************4242", 16),
+    ]
+    assert all("4111" not in r.masked[:-4] for r in rows)
+
+
+# --- vocabulary growth -------------------------------------------------------
+
+
+def test_vocab_growth_hand_corpus(spark):
+    from fasta_windows_spark.functions.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a"),
+            (1, "b c"),
+            (2, "c d e"),
+            (3, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.checkpoint: (r.n_docs, r.n_tokens, r.vocab)
+        for r in vocab_growth(df, checkpoints=(1, 2, 3, 4)).collect()
+    }
+    assert rows == {
+        1: (1, 3, 2),   # docs {0}: tokens a b a, vocab {a,b}
+        2: (2, 5, 3),   # + doc 1: +2 tokens, vocab {a,b,c}
+        3: (3, 8, 5),   # + doc 2: +3 tokens, vocab {a,b,c,d,e}
+        4: (4, 9, 5),   # + doc 3: +1 token, no new vocab
+    }
+
+
+def test_vocab_growth_monotone_on_corpus(spark):
+    from fasta_windows_spark.functions.text import vocab_growth
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = vocab_growth(docs).orderBy("checkpoint").collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs
+        assert a.n_tokens <= b.n_tokens
+        assert a.vocab <= b.vocab
+    assert rows[-1].n_docs == 500 and rows[-1].vocab > 0

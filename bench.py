@@ -72,6 +72,9 @@ HEADLINE = [
     # round-5 sixth-session families:
     "docs_host_triangles",      # oriented-wedge triangle counting
     "docs_redirect_resolve",    # redirect chains via pointer doubling
+    # round-5 seventh-session families:
+    "docs_jaccard_join_exact",  # exact PPJoin prefix-filtered tau-join
+    "docs_postings_bytes",      # inverted-index varint layout audit
 ]
 
 

@@ -882,6 +882,77 @@ def read_sink_snapshot(
     return spark.read.parquet(*files)
 
 
+def read_sink_increment(
+    spark: SparkSession,
+    out_path: str,
+    since_batch: int,
+    up_to_batch: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL snapshot read: only the rows committed AFTER
+    `since_batch` (exclusive) up to `up_to_batch` (inclusive; default
+    latest) — Iceberg's incremental-scan semantics over the file sink's
+    manifest log. Because the sink is append-only (no 'delete' actions in
+    practice), the increment is exactly the set difference of the two
+    manifests' file lists, so a downstream consumer can process each
+    batch range once and never rescan history — the consumption pattern
+    that makes an exactly-once PRODUCER useful to an exactly-once
+    CONSUMER. Raises like read_sink_snapshot when `since_batch` predates
+    the retained manifest window (a silent partial diff would be wrong)."""
+    batches = sink_batches(out_path)
+    if up_to_batch is None:
+        up_to_batch = batches[-1] if batches else -1
+    if batches and since_batch not in batches:
+        raise ValueError(
+            f"batch {since_batch} has no manifest in {out_path} "
+            f"(available: {batches[0]}..{batches[-1]})"
+        )
+    base = set(_manifest_files(out_path, since_batch))
+    new_files = [
+        f for f in _manifest_files(out_path, up_to_batch) if f not in base
+    ]
+    if not new_files:
+        return spark.read.parquet(out_path).limit(0)
+    return spark.read.parquet(*new_files)
+
+
+def vacuum_sink_orphans(
+    out_path: str, min_age_seconds: float = 0.0, dry_run: bool = False
+) -> list[str]:
+    """Delete data files present in the sink directory but ABSENT from the
+    latest committed manifest — the leftovers of crashed/zombie write
+    attempts, which the manifest-based readers above already ignore but
+    which hold disk (at 10^12 rows: real money) until removed. Safety:
+    only files older than `min_age_seconds` are touched, so an IN-FLIGHT
+    batch's files (written before their manifest commits) are never
+    deleted — the same age guard Iceberg's remove_orphan_files uses.
+    Returns the deleted (or would-delete, when dry_run) relative paths.
+    Never touches _spark_metadata: manifests are the table's history and
+    time travel depends on them."""
+    import os
+    import time
+
+    batches = sink_batches(out_path)
+    referenced = set(_manifest_files(out_path, batches[-1])) if batches else set()
+    # manifest paths may be absolute or relative to the sink root
+    ref_names = {os.path.basename(p) for p in referenced}
+    now = time.time()
+    victims = []
+    for name in sorted(os.listdir(out_path)):
+        full = os.path.join(out_path, name)
+        if name == "_spark_metadata" or not os.path.isfile(full):
+            continue
+        if not name.endswith(".parquet") or name.startswith("."):
+            continue
+        if name in ref_names:
+            continue
+        if now - os.path.getmtime(full) < min_age_seconds:
+            continue
+        victims.append(name)
+        if not dry_run:
+            os.remove(full)
+    return victims
+
+
 def encode_embeddings_stream(
     emb: DataFrame, centroids, books, m: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -2069,3 +2069,71 @@ def test_north_star_pipeline_checkpoint_resume(spark, pages_dir, pages_pdf, tmp_
         a = joined[c].astype(float)
         b = joined[f"{c}_b"].astype(float)
         assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_sink_increment_and_vacuum(spark, tmp_path):
+    """Incremental snapshot reads partition the table exactly (each row
+    surfaces in exactly one increment), and orphan vacuum removes only
+    unreferenced data files — never committed files, never manifests —
+    with an age guard protecting in-flight attempts."""
+    import shutil
+
+    import pytest as _pytest
+
+    from fasta_windows_spark.sources import pages as P2
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    P2.write_pages_parquet(
+        P2.gen_pages(n_pages=240, n_hosts=6, seed=11), src, n_files=5
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    agg = S.host_window_stats(
+        S.read_pages_stream(spark, src, max_files_per_trigger=1)
+    )
+    S.write_exactly_once(agg, out, ck).awaitTermination(120)
+
+    batches = S.sink_batches(out)
+    assert len(batches) >= 3
+    full = S.read_sink_snapshot(spark, out).count()
+
+    # increments partition the table
+    total = S.read_sink_snapshot(spark, out, batches[0]).count()
+    prev = batches[0]
+    for b in batches[1:]:
+        inc = S.read_sink_increment(spark, out, prev, b).count()
+        want = (
+            S.read_sink_snapshot(spark, out, b).count()
+            - S.read_sink_snapshot(spark, out, prev).count()
+        )
+        assert inc == want
+        total += inc
+        prev = b
+    assert total == full
+    # an empty increment is empty, not an error
+    assert S.read_sink_increment(spark, out, batches[-1]).count() == 0
+    # unknown since-batch refuses rather than silently diffing wrong
+    with _pytest.raises(ValueError, match="no manifest"):
+        S.read_sink_increment(spark, out, 99)
+
+    # vacuum: plant an orphan (a failed attempt's leftover data file)
+    committed = S._manifest_files(out, batches[-1])
+    orphan_src = max(
+        (p.replace("file:", "") for p in committed), key=os.path.getsize
+    )
+    orphan = "part-88888-orphan.parquet"
+    shutil.copy(orphan_src, os.path.join(out, orphan))
+    assert S.vacuum_sink_orphans(out, dry_run=True) == [orphan]
+    assert os.path.exists(os.path.join(out, orphan))  # dry run is dry
+    assert S.vacuum_sink_orphans(out) == [orphan]
+    assert not os.path.exists(os.path.join(out, orphan))
+    # committed data and history intact; the RAW directory read is clean again
+    assert S.read_sink_snapshot(spark, out).count() == full
+    assert spark.read.parquet(out).count() == full
+    assert S.sink_batches(out) == batches
+    # age guard: a fresh file (in-flight attempt) is never touched
+    fresh = "part-77777-orphan.parquet"
+    shutil.copy(orphan_src, os.path.join(out, fresh))
+    assert S.vacuum_sink_orphans(out, min_age_seconds=3600) == []
+    assert os.path.exists(os.path.join(out, fresh))
+    os.remove(os.path.join(out, fresh))

@@ -266,3 +266,30 @@ def compaction_plan(
         "cum_before",
         F.expr(f"cum_before div {int(target_bytes)}").alias("cgroup"),
     )
+
+
+def partitioned_write(
+    docs: DataFrame, out_dir: str, by: str = "lang"
+) -> None:
+    """Hive-style partitioned corpus layout (out/<by>=<value>/part-*.parquet):
+    the directory-level coarse sibling of the z-order FILE-level clustering
+    above. Partition columns prune at PLANNING time for literal predicates
+    and at RUNTIME via dynamic partition pruning when the predicate arrives
+    through a join (see dpp_join_probe) — at 10^12 rows, lang/source/date
+    partitioning is the difference between scanning a corpus and scanning
+    a directory."""
+    docs.write.mode("overwrite").partitionBy(by).parquet(out_dir)
+
+
+def dpp_join_probe(
+    spark, out_dir: str, dim_rows: list, by: str = "lang"
+) -> DataFrame:
+    """A fact-dim join whose partition filter is only known at RUNTIME:
+    the dim side is filtered, and Spark's dynamic partition pruning
+    injects the dim's `by` values as a subquery filter into the fact
+    scan — so only matching partition directories are read.
+    tests/test_layout_dpp.py asserts the plan carries the
+    dynamicpruning subquery AND that pruning actually skipped files."""
+    fact = spark.read.parquet(out_dir)
+    dim = spark.createDataFrame(dim_rows, f"{by} string, keep int").where("keep = 1")
+    return fact.join(dim, by).groupBy(by).count()

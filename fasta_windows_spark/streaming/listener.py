@@ -35,6 +35,20 @@ class ProgressCollector(StreamingQueryListener):
     def total_input_rows(self) -> int:
         return int(sum(p.get("numInputRows", 0) for p in self.progress))
 
+    def rows_dropped_by_watermark(self) -> int:
+        """Late rows the watermark REJECTED, summed over the run — the
+        pipeline's data-loss ledger. A recrawl job reads this to decide
+        whether its watermark horizon is too tight for the crawl's actual
+        out-of-orderness (FIXTURES.md plants ~2% beyond-horizon rows for
+        exactly this purpose)."""
+        return int(
+            sum(
+                s.get("numRowsDroppedByWatermark", 0)
+                for p in self.progress
+                for s in p.get("stateOperators", [])
+            )
+        )
+
     def summary(self) -> dict:
         per_batch = [
             {
@@ -46,6 +60,10 @@ class ProgressCollector(StreamingQueryListener):
                 "stateRows": sum(
                     s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
                 ),
+                "droppedByWatermark": sum(
+                    s.get("numRowsDroppedByWatermark", 0)
+                    for s in p.get("stateOperators", [])
+                ),
                 "durationMs": p.get("durationMs"),
                 "stateCommitMs": sum(
                     s.get("commitTimeMs", 0) for s in p.get("stateOperators", [])
@@ -53,4 +71,8 @@ class ProgressCollector(StreamingQueryListener):
             }
             for p in self.progress
         ]
-        return {"batches": per_batch, "total_input_rows": self.total_input_rows()}
+        return {
+            "batches": per_batch,
+            "total_input_rows": self.total_input_rows(),
+            "rows_dropped_by_watermark": self.rows_dropped_by_watermark(),
+        }

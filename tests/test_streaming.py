@@ -2137,3 +2137,44 @@ def test_sink_increment_and_vacuum(spark, tmp_path):
     assert S.vacuum_sink_orphans(out, min_age_seconds=3600) == []
     assert os.path.exists(os.path.join(out, fresh))
     os.remove(os.path.join(out, fresh))
+
+
+def test_listener_counts_watermark_drops(spark, tmp_path):
+    """The progress listener's rows_dropped_by_watermark ledger counts the
+    late rows the watermark rejected (the fixture plants ~2% beyond the
+    10-minute horizon) — observability for 'is my watermark too tight for
+    this crawl', per the north rule's metrics requirement."""
+    from fasta_windows_spark.sources import pages as P2
+    from fasta_windows_spark.streaming.listener import ProgressCollector
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = P2.gen_pages(n_pages=400, n_hosts=5, seed=17, late_fraction=0.05)
+    P2.write_pages_parquet(pdf, src, n_files=8)
+
+    listener = ProgressCollector()
+    spark.streams.addListener(listener)
+    try:
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        agg = S.host_window_stats(
+            S.read_pages_stream(spark, src, max_files_per_trigger=1)
+        )
+        S.write_exactly_once(agg, out, ck).awaitTermination(120)
+        # listener events arrive asynchronously after termination
+        import time
+
+        deadline = time.time() + 30
+        while (
+            listener.total_input_rows() < len(pdf) and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert listener.total_input_rows() == len(pdf)
+    dropped = listener.rows_dropped_by_watermark()
+    assert dropped > 0, "fixture plants beyond-horizon rows; none were counted"
+    # the summary carries the same ledger per batch
+    s = listener.summary()
+    assert s["rows_dropped_by_watermark"] == dropped
+    assert sum(b["droppedByWatermark"] for b in s["batches"]) == dropped

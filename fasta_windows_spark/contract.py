@@ -5080,6 +5080,88 @@ def docs_heavy_hitters_exact(spark, sf_dir):
 
 
 @q(
+    "docs_range_partition_audit",
+    """
+WITH s AS (
+  SELECT [quantile_cont(n_chars, 0.125), quantile_cont(n_chars, 0.25),
+          quantile_cont(n_chars, 0.375), quantile_cont(n_chars, 0.5),
+          quantile_cont(n_chars, 0.625), quantile_cont(n_chars, 0.75),
+          quantile_cont(n_chars, 0.875)] AS splits,
+         count(*)::BIGINT AS n_total
+  FROM documents
+),
+b AS (
+  SELECT ((CASE WHEN n_chars > splits[1] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars > splits[2] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars > splits[3] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars > splits[4] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars > splits[5] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars > splits[6] THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars > splits[7] THEN 1 ELSE 0 END))::BIGINT AS bucket,
+         n_chars, n_total
+  FROM documents, s
+)
+SELECT bucket, count(*)::BIGINT AS n_rows,
+       min(n_chars)::BIGINT AS key_min, max(n_chars)::BIGINT AS key_max,
+       (count(*) * 1000000 // any_value(n_total))::BIGINT AS load_ppm
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def docs_range_partition_audit(spark, sf_dir):
+    """Range-partitioner balance audit (operators/layout.
+    range_partition_audit): exact percentile split points on n_chars, 8
+    buckets, per-bucket rows/key-range/load-ppm — the 'will
+    repartitionByRange straggle?' answer, costing two narrow column scans
+    instead of the range shuffle it de-risks. DuckDB's 1-based list index
+    replays Spark's 0-based splits[i] shifted by one; loads are integer
+    ppm so balance is hash-gated."""
+    return _layout.range_partition_audit(_docs(spark, sf_dir))
+
+
+@q(
+    "docs_f2_moment",
+    """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+counts AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+x AS (
+  SELECT sum(c)::BIGINT AS n_tokens,
+         sum(c * c)::BIGINT AS f2_exact,
+         """
+    + ",\n         ".join(
+        f"sum((CASE WHEN ('0x' || substr(md5(t || ':' || '{i}'), 1, 8))::BIGINT % 2 = 0 "
+        f"THEN 1 ELSE -1 END) * c)::BIGINT AS x_{i}"
+        for i in range(8)
+    )
+    + """
+  FROM counts
+)
+SELECT n_tokens, f2_exact,
+       (("""
+    + " + ".join(f"x_{i} * x_{i}" for i in range(8))
+    + """) // 8)::BIGINT AS f2_ams,
+       (abs(f2_exact - ("""
+    + " + ".join(f"x_{i} * x_{i}" for i in range(8))
+    + """) // 8) * 1000000 // f2_exact)::BIGINT AS err_ppm
+FROM x
+""",
+)
+def docs_f2_moment(spark, sf_dir):
+    """Second frequency moment / self-join size (operators/sketch.
+    f2_moment): exact F2 beside an 8-estimator AMS linear sketch, all
+    BIGINT so both values AND the measured error hash-gate. The sketch
+    path is d running sums with NO vocabulary intermediate — mergeable
+    across partitions and micro-batches, the linear-sketch complement to
+    CMS (point queries) and HLL (distinct): F2 answers 'how big is the
+    token self-join' before any shuffle is paid."""
+    from .operators import sketch as _sketch
+
+    return _sketch.f2_moment(_docs(spark, sf_dir))
+
+
+@q(
     "docs_vocab_growth",
     """
 WITH tok AS (

@@ -293,3 +293,53 @@ def dpp_join_probe(
     fact = spark.read.parquet(out_dir)
     dim = spark.createDataFrame(dim_rows, f"{by} string, keep int").where("keep = 1")
     return fact.join(dim, by).groupBy(by).count()
+
+
+def range_partition_audit(
+    docs: DataFrame, key_col: str = "n_chars", buckets: int = 8
+) -> DataFrame:
+    """Would repartitionByRange(key) balance? The audit a 10^12-row sort
+    or range-bucketed write deserves BEFORE paying the shuffle: exact
+    percentile split points (the boundaries a range partitioner would
+    pick from a perfect sample), per-bucket row counts and key ranges,
+    and each bucket's load as parts-per-million of corpus (1e6/buckets
+    == perfectly balanced). A heavy bucket here = a straggler task there.
+
+    Plan: ONE typed-buffer percentile aggregate broadcast as a 1-row
+    split table (at 10^12 rows use the approx_percentile twin — the
+    events_value_percentiles tolerance protocol), then a narrow bucket
+    projection + partial-agg groupBy. No sort, no range shuffle — the
+    audit costs two scans of one column."""
+    from pyspark.sql import functions as F
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    qs = [i / buckets for i in range(1, buckets)]
+    splits = docs.agg(
+        F.percentile(key_col, qs).alias("splits"),
+        F.count("*").alias("n_total"),
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {key_col} > splits[{i}] THEN 1 ELSE 0 END)"
+        for i in range(buckets - 1)
+    )
+    return (
+        docs.select(key_col)
+        .crossJoin(F.broadcast(splits))
+        .selectExpr(f"cast({bucket} as bigint) AS bucket", key_col, "n_total")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min(key_col).cast("long").alias("key_min"),
+            F.max(key_col).cast("long").alias("key_max"),
+            F.first("n_total").alias("_n"),
+        )
+        .selectExpr(
+            "bucket",
+            "n_rows",
+            "key_min",
+            "key_max",
+            "cast(n_rows * 1000000 DIV _n as bigint) AS load_ppm",
+        )
+        .orderBy("bucket")
+    )

@@ -160,3 +160,57 @@ def char_ngram_items(docs: DataFrame, n: int = 4, text_col: str = "text") -> Dat
             )
         ).alias("item")
     )
+
+
+# =============================================================================
+# AMS second-moment (F2) sketch — join/self-join size estimation
+# =============================================================================
+
+
+def f2_moment(
+    docs: DataFrame, d: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Second frequency moment F2 = sum_t count(t)^2 of the token stream —
+    the self-join size, THE statistic a join planner wants before shuffling
+    two token-keyed tables — computed two ways in one query:
+
+    - EXACT: one partial-agg groupBy to per-token counts, one sum of
+      squares (vocabulary-sized intermediate);
+    - AMS sketch (Alon-Matias-Szegedy 1996): d estimators, each a single
+      BIGINT X_i = sum_t sign_i(t) * count(t) with sign_i a +/-1 md5 hash;
+      E[X_i^2] = F2. The sketch side needs NO vocabulary intermediate —
+      d running sums, mergeable across partitions/streams (it is the
+      linear-sketch complement to the CMS above: CMS answers point
+      queries, AMS answers the quadratic aggregate).
+
+    Everything is integer (signs, counts, squares; the estimate averages
+    d squares with DIV), so both paths are hash-gateable and the reported
+    error is a measured fact, not a float artifact. Returns ONE row:
+    (n_tokens, f2_exact, f2_ams, err_ppm)."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    tok = docs.select(
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')")
+        ).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count("*").alias("c"))
+    sign = lambda i: (  # noqa: E731
+        f"(CASE WHEN cast(conv(substr(md5(concat(t, ':', '{i}')), 1, 8), 16, 10) as bigint) % 2 = 0 "
+        f"THEN 1 ELSE -1 END)"
+    )
+    aggs = [
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    ] + [
+        F.sum(F.expr(f"{sign(i)} * c")).cast("long").alias(f"x_{i}")
+        for i in range(d)
+    ]
+    row = counts.agg(*aggs)
+    est = " + ".join(f"x_{i} * x_{i}" for i in range(d))
+    return row.selectExpr(
+        "n_tokens",
+        "f2_exact",
+        f"cast(({est}) DIV {d} as bigint) AS f2_ams",
+        f"cast(abs(f2_exact - ({est}) DIV {d}) * 1000000 DIV f2_exact as bigint) AS err_ppm",
+    )

@@ -5080,6 +5080,44 @@ def docs_heavy_hitters_exact(spark, sf_dir):
 
 
 @q(
+    "docs_negative_sampling",
+    """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+w AS (
+  SELECT token, c, floor(sqrt(sqrt(c * c * c)) * 1000000)::BIGINT AS w_int
+  FROM counts
+),
+tot AS (SELECT sum(w_int)::BIGINT AS w_total FROM w),
+cum AS (
+  SELECT token, c, w_int,
+         sum(w_int) OVER (ORDER BY w_int DESC, token) AS cum_w
+  FROM w
+)
+SELECT token, c,
+       (w_int * 1000000 // w_total)::BIGINT AS w_fp,
+       ((cum_w - w_int) * 1000000 // w_total)::BIGINT AS cum_lo_fp,
+       (cum_w * 1000000 // w_total)::BIGINT AS cum_hi_fp
+FROM cum, tot
+ORDER BY w_fp DESC, token
+""",
+)
+def docs_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling table (operators/sampling.
+    negative_sampling_table): unigram^(3/4) weights with cumulative
+    sampling ranges in 1e6 fixed point. c^0.75 is sqrt(sqrt(c^3)) — two
+    IEEE-correctly-rounded sqrts over an exact BIGINT cube, so the double
+    is bit-identical cross-engine, and it is floor-quantized BEFORE any
+    sum so totals and running ranges are pure integer (a float running
+    sum would differ under DuckDB's segment-tree window aggregation).
+    One token groupBy + a vocabulary-sized cumulative window."""
+    return _sampling.negative_sampling_table(_docs(spark, sf_dir))
+
+
+@q(
     "docs_range_partition_audit",
     """
 WITH s AS (

@@ -500,3 +500,61 @@ def leakage_safe_split(
     return split_assign(
         labels, valid_frac, test_frac, key_col=comp_col
     ).select(id_col, comp_col, "split")
+
+
+def negative_sampling_table(
+    docs: DataFrame, text_col: str = "text", fp_scale: int = 10**6
+) -> DataFrame:
+    """The word2vec negative-sampling table (Mikolov et al. 2013): per
+    token, the unigram count raised to 3/4 and normalized, plus the
+    cumulative probability range [cum_lo, cum_hi) a sampler maps uniform
+    draws into — the skew-flattening trick every contrastive trainer
+    ships with.
+
+    Cross-engine exactness for an x^0.75: pow() carries no IEEE
+    correct-rounding guarantee, but sqrt() does — so c^(3/4) is computed
+    as sqrt(sqrt(c*c*c)) (c^3 stays exact BIGINT below 2^53 for
+    c <= ~2M; two correctly-rounded sqrts are bit-identical in any IEEE
+    engine — the mixture_weights alpha=0.5 precedent extended to 3/4).
+    The per-token double is quantized to integer micro-units BEFORE any
+    aggregation (w_int = floor(c^0.75 * 1e6)), so the total and the
+    cumulative ranges are BIGINT sums — order-free, engine-free exact
+    (a float running sum would round differently under DuckDB's
+    segment-tree window aggregation vs Spark's sequential frame; integer
+    sums cannot). Plan: one token groupBy, a 1-row total broadcast, one
+    vocabulary-sized cumulative window from a deterministic
+    (w DESC, token) total order (vocabulary rows are metadata-sized next
+    to the corpus — the BPE-trainer precedent for a single-partition
+    window). The last row's cum_hi_fp equals fp_scale by construction.
+
+    Overflow bound: the largest product is w_total * fp_scale; with both
+    quantizers at 1e6 that stays under 2^63 while sum(c^0.75) < ~9.2e6
+    (true far beyond test scale). Past it, split the division via the
+    floor identity (a DIV t)*s + ((a % t)*s) DIV t — same exact result,
+    half-width products."""
+    tok = docs.select(
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')")
+        ).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    # sqrt(sqrt(c^3)) is bit-identical cross-engine; floor-quantize it
+    w = counts.withColumn(
+        "w_int", F.expr("floor(sqrt(sqrt(c * c * c)) * 1000000)")
+    )
+    tot = w.agg(F.sum("w_int").alias("w_total"))
+    from pyspark.sql import Window
+
+    ordering = Window.orderBy(F.desc("w_int"), F.asc("token"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("cum_w", F.sum("w_int").over(ordering))
+        .selectExpr(
+            "token",
+            "c",
+            f"cast(w_int * {fp_scale} DIV w_total as bigint) AS w_fp",
+            f"cast((cum_w - w_int) * {fp_scale} DIV w_total as bigint) AS cum_lo_fp",
+            f"cast(cum_w * {fp_scale} DIV w_total as bigint) AS cum_hi_fp",
+        )
+        .orderBy(F.desc("w_fp"), F.asc("token"))
+    )

@@ -514,3 +514,41 @@ def test_leakage_safe_split_fractions_sane(spark):
     assert sum(counts.values()) == docs.count()
     assert counts.get("train", 0) > counts.get("valid", 0)
     assert counts.get("train", 0) > counts.get("test", 0)
+
+
+# --- negative sampling table -------------------------------------------------
+
+
+def test_negative_sampling_table_properties(spark):
+    """Ranges tile [0, 1e6) contiguously in table order, the last cum_hi
+    is the full scale, weights are monotone in count, and w_fp matches a
+    python recomputation of the same integer arithmetic."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sampling.negative_sampling_table(docs).collect()
+    assert rows[-1].cum_hi_fp == 10**6
+    pos = 0
+    for r in rows:
+        assert r.cum_lo_fp == pos
+        assert r.cum_hi_fp > r.cum_lo_fp
+        pos = r.cum_hi_fp
+    for a, b in zip(rows, rows[1:]):
+        assert a.c >= b.c or a.w_fp >= b.w_fp  # ordered by weight
+    # python lockstep of the exact integer pipeline
+    w_int = {r.token: math.floor(math.sqrt(math.sqrt(r.c**3)) * 10**6) for r in rows}
+    total = sum(w_int.values())
+    for r in rows:
+        assert r.w_fp == w_int[r.token] * 10**6 // total
+
+
+def test_negative_sampling_flattens_skew(spark):
+    """alpha=3/4 compresses the dynamic range: the heavy token's share of
+    the table is strictly below its share of the raw counts."""
+    rows_in = [(i, "hot " * 99 + "cold") for i in range(50)]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    rows = {r.token: r for r in sampling.negative_sampling_table(df).collect()}
+    raw_share = rows["hot"].c / (rows["hot"].c + rows["cold"].c)
+    smooth_share = rows["hot"].w_fp / (rows["hot"].w_fp + rows["cold"].w_fp)
+    assert smooth_share < raw_share
+    assert rows["hot"].w_fp > rows["cold"].w_fp  # still heavier, just less so

@@ -5080,6 +5080,56 @@ def docs_heavy_hitters_exact(spark, sf_dir):
 
 
 @q(
+    "docs_lang_source_lift",
+    """
+WITH n AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+rc AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+cc AS (SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY source),
+o AS (SELECT lang, source, count(*)::BIGINT AS observed
+      FROM documents GROUP BY lang, source)
+SELECT o.lang, o.source, o.observed,
+       (rc.n_lang * cc.n_source * 1000000 // n.n_total // n.n_total)::BIGINT
+         AS expected_ppm_of_corpus,
+       (o.observed * n.n_total * 1000000 // (rc.n_lang * cc.n_source))::BIGINT
+         AS lift_ppm
+FROM o JOIN rc USING (lang) JOIN cc USING (source), n
+ORDER BY lang, source
+""",
+)
+def docs_lang_source_lift(spark, sf_dir):
+    """Dataset-bias contingency audit: for every (lang, source) cell, the
+    observed count against the independence expectation — lift_ppm =
+    observed * N / (n_lang * n_source) in exact parts-per-million (the
+    chi-squared test's per-cell signal without its float sum). lift far
+    from 1e6 means a source is language-skewed and the mixture sampler
+    should know. Plan: three partial-agg groupBys (cells, row margins,
+    column margins — margins are list-of-values tiny) + broadcast joins;
+    all arithmetic BIGINT so the audit hash-gates."""
+    d = _docs(spark, sf_dir)
+    n = d.agg(F.count("*").cast("long").alias("n_total"))
+    rc = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    cc = d.groupBy("source").agg(F.count("*").cast("long").alias("n_source"))
+    o = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    return (
+        o.join(F.broadcast(rc), "lang")
+        .join(F.broadcast(cc), "source")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "lang",
+            "source",
+            "observed",
+            "cast(n_lang * n_source * 1000000 DIV n_total DIV n_total as bigint)"
+            " AS expected_ppm_of_corpus",
+            "cast(observed * n_total * 1000000 DIV (n_lang * n_source) as bigint)"
+            " AS lift_ppm",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@q(
     "docs_negative_sampling",
     """
 WITH tok AS (

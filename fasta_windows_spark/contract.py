@@ -7686,6 +7686,36 @@ def docs_pack_sequences(spark, sf_dir):
 
 
 @q(
+    "docs_span_corruption",
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, bb::BIGINT AS span_id,
+         (bb * 10 + (('0x' || substr(md5(doc_id::VARCHAR || ':' || bb::VARCHAR), 1, 8))::BIGINT % 8))::BIGINT AS span_start
+  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) // 10)) AS bb) x
+)
+SELECT doc_id, span_id, span_start,
+       array_to_string(list_slice(toks, span_start + 1, span_start + 3), ' ') AS span_text
+FROM b WHERE span_start + 3 <= len(toks)
+ORDER BY doc_id, span_id
+""",
+)
+def docs_span_corruption(spark, sf_dir):
+    """T5 span-corruption mask plan (operators/packing.
+    span_corruption_plan): deterministic non-overlapping 3-token spans,
+    one per 10-token block, offset by md5(doc_id:block) — the denoising-
+    objective data-prep op. Non-overlap holds BY CONSTRUCTION (one span
+    per block), membership is a pure function of (doc, block) (rerun/
+    resume/repartition-stable, the md5-sampling convention), and the plan
+    is one narrow HOF projection + explode with zero shuffles before the
+    output sort."""
+    return _pack.span_corruption_plan(_docs(spark, sf_dir))
+
+
+@q(
     "docs_pack_segments",
     f"""
 WITH t AS (

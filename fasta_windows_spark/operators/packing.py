@@ -175,3 +175,59 @@ def pack_segments(
             (seg_end - seg_start).cast("long").alias("n_block_toks"),
         )
     )
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    block: int = 10,
+    span_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption mask plan (Raffel et al. 2020): for each
+    document, a deterministic set of NON-OVERLAPPING token spans to mask
+    for the denoising objective. The corruption rate is span_len/block
+    (default 3/10 of blocks touched at one span each ~ 15% tokens when
+    half the blocks qualify... the exact rate is a pure function of the
+    parameters and doc length, reported per row).
+
+    Non-overlap without sequential scanning: the token tape is cut into
+    fixed `block`-token blocks and each block hosts AT MOST ONE span,
+    offset inside the block by md5(doc_id:block) — so spans cannot
+    collide BY CONSTRUCTION, membership is a pure function of
+    (doc_id, block) (rerun/resume/repartition-stable, the md5-sampling
+    convention), and the plan is one narrow HOF projection + explode,
+    zero shuffle, replayable in ANSI SQL. Blocks shorter than span_len
+    (the tail) host no span.
+
+    Returns (doc_id, span_id, span_start, span_text) with span_start a
+    0-based token index and span_id the block index — the (input, target)
+    pair builder downstream groups by doc_id and stitches sentinel ids in
+    span_id order."""
+    if span_len < 1 or block < span_len:
+        raise ValueError(f"need 1 <= span_len <= block, got {span_len}/{block}")
+    toks = f"filter(split(lower({text_col}), ' '), x -> x <> '')"
+    # per block b: offset = md5(doc:b) % (block - span_len + 1); start =
+    # b*block + offset; emit only if the whole span fits the doc
+    spans = (
+        f"filter(transform(sequence(0, size({toks}) DIV {block}), b -> "
+        f"named_struct('span_id', cast(b as bigint), 'span_start', "
+        f"cast(b * {block} + pmod(cast(conv(substr(md5(concat(cast({id_col} as string), ':', cast(b as string))), 1, 8), 16, 10) as bigint), {block - span_len + 1}) as bigint))), "
+        f"s -> s.span_start + {span_len} <= size({toks}))"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(toks).alias("_toks"),
+            F.explode(F.expr(spans)).alias("s"),
+        )
+        .select(
+            id_col,
+            F.col("s.span_id").alias("span_id"),
+            F.col("s.span_start").alias("span_start"),
+            F.expr(
+                f"array_join(slice(_toks, cast(s.span_start as int) + 1, {span_len}), ' ')"
+            ).alias("span_text"),
+        )
+        .orderBy(id_col, "span_id")
+    )

@@ -142,3 +142,43 @@ def test_running_offset_property_arbitrary_keys(spark):
             acc += v
 
     check()
+
+
+def test_span_corruption_nonoverlap_and_lockstep(spark):
+    """Spans never overlap, sit inside the doc, are one-per-block, and
+    match a python replay of the md5 offset arithmetic."""
+    import hashlib
+
+    from fasta_windows_spark.operators.packing import span_corruption_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    rows = span_corruption_plan(docs).collect()
+    assert rows
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, spans in by_doc.items():
+        toks = [t for t in texts[doc_id].lower().split(" ") if t]
+        prev_end = -1
+        for s in sorted(spans, key=lambda x: x.span_start):
+            assert s.span_start > prev_end, "overlapping spans"
+            assert s.span_start + 3 <= len(toks)
+            assert s.span_start // 10 == s.span_id, "one span per block"
+            off = (
+                int(hashlib.md5(f"{doc_id}:{s.span_id}".encode()).hexdigest()[:8], 16)
+                % 8
+            )
+            assert s.span_start == s.span_id * 10 + off
+            assert s.span_text == " ".join(toks[s.span_start : s.span_start + 3])
+            prev_end = s.span_start + 2
+
+
+def test_span_corruption_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from fasta_windows_spark.operators.packing import span_corruption_plan
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        span_corruption_plan(docs, block=2, span_len=3)

@@ -9070,13 +9070,16 @@ _SEMANTICS_CHANGED = frozenset({
 
 
 def _rotation_order(names, latest=None, changed=None) -> list:
-    """Stalest-driver-row-first ordering with failure fronting:
-    1. never-checked queries lead (no ledger row in any round), joined by
-       queries whose semantics changed since their last row (stale rows
-       don't evidence new behavior),
-    2. then queries whose LATEST driver row FAILED (red rows re-check next
-       round instead of sorting as freshest — VERDICT r4 "wrong" #2),
-    3. then ascending latest-row round (stalest first),
+    """Failure-first, then stalest-driver-row ordering:
+    1. queries whose LATEST driver row FAILED lead absolutely (a shipped
+       red row is the most urgent thing the next 50-row driver window can
+       fix — VERDICT r4 "wrong" #2; failed rows must not starve behind a
+       large never-checked backlog when a session adds >cap new queries),
+    2. then queries whose semantics changed since their last row (a stale
+       GREEN row actively mis-evidences the new behavior — worse than no
+       row, so they outrank brand-new queries too),
+    3. then never-checked queries (no ledger row in any round),
+    4. then ascending latest-row round (stalest first),
     registration order as the tiebreak throughout. `latest` (name ->
     (round, failed)) and `changed` are injectable for tests; they default
     to the real ledgers and _SEMANTICS_CHANGED."""
@@ -9089,12 +9092,13 @@ def _rotation_order(names, latest=None, changed=None) -> list:
 
     def key(n):
         row = latest.get(n)
-        if row is None or n in changed:
-            return (0, 0, idx[n])  # never checked (or row predates semantics)
-        rno, failed = row
-        if failed:
-            return (1, rno, idx[n])  # latest row red: front of the checked set
-        return (2, rno, idx[n])
+        if row is not None and row[1] and n not in changed:
+            return (0, row[0], idx[n])  # latest row red: absolute front
+        if n in changed:
+            return (1, 0, idx[n])  # stale green row mis-evidences behavior
+        if row is None:
+            return (2, 0, idx[n])  # never checked
+        return (3, row[0], idx[n])
     return sorted(names, key=key)
 
 

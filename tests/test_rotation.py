@@ -50,18 +50,23 @@ def test_rotation_is_permutation_of_registry():
 
 def test_rotation_head_is_the_stalest_cap_queries():
     """_ROTATION_FIRST[:CAP] must be exactly the CAP highest-priority
-    queries: never-checked OR semantics-changed first (age ∞), then
-    latest-row-FAILED (VERDICT r4 "wrong" #2), then ascending
-    latest-driver-row round."""
+    queries: latest-row-FAILED absolutely first (a shipped red row must
+    not starve behind a large never-checked backlog), then
+    semantics-changed (a stale green row mis-evidences new behavior),
+    then never-checked, then ascending latest-driver-row round."""
     latest = _ledger_rounds()
     names = list(contract.QUERIES)
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n):
-        if n not in latest or n in contract._SEMANTICS_CHANGED:
-            return (0, 0, idx[n])
-        rno, failed = latest[n]
-        return (1 if failed else 2, rno, idx[n])
+        row = latest.get(n)
+        if row is not None and row[1] and n not in contract._SEMANTICS_CHANGED:
+            return (0, row[0], idx[n])
+        if n in contract._SEMANTICS_CHANGED:
+            return (1, 0, idx[n])
+        if row is None:
+            return (2, 0, idx[n])
+        return (3, row[0], idx[n])
 
     expected = sorted(names, key=key)
     assert contract._ROTATION_FIRST == expected
@@ -72,19 +77,21 @@ def test_rotation_head_is_the_stalest_cap_queries():
 
 def test_failed_rows_front_of_checked_set():
     """Any query whose LATEST ledger row failed must be inside the driver's
-    next CAP-row window (it sorts right after never-checked)."""
+    next CAP-row window — UNCONDITIONALLY, even when a session registers
+    more than CAP new queries (failed rows sort before never-checked, so
+    the red backlog can never starve)."""
     latest = _ledger_rounds()
-    never = [n for n in contract.QUERIES if n not in latest]
     failed = [n for n in contract.QUERIES if n in latest and latest[n][1]]
-    assert len(never) + len(failed) <= CAP, "red backlog exceeds driver cap"
+    assert len(failed) <= CAP, "red backlog alone exceeds driver cap"
     window = set(contract._ROTATION_FIRST[:CAP])
     for n in failed:
         assert n in window, f"failed query {n} not re-checked next round"
 
 
 def test_rotation_order_synthetic_failure_fronting():
-    """Policy unit test on an injected ledger: failed rows beat fresh-green
-    rows regardless of recency; no_oracle rows are not failures."""
+    """Policy unit test on an injected ledger: failed rows front the
+    WHOLE order (before never-checked — they cannot starve behind a big
+    new-query backlog); no_oracle rows are not failures."""
     names = ["a", "b", "c", "d", "e"]
     latest = {
         "b": (4, False),   # freshest green
@@ -93,7 +100,7 @@ def test_rotation_order_synthetic_failure_fronting():
         "e": (2, False),
     }
     order = contract._rotation_order(names, latest=latest)
-    assert order == ["a", "c", "d", "e", "b"]
+    assert order == ["c", "a", "d", "e", "b"]
     # no_oracle is a declared rows-only check, not a failure
     assert not contract._row_failed(
         {"rows_match": None, "schema_match": None, "hash_match": None,
@@ -110,18 +117,32 @@ def test_rotation_order_synthetic_failure_fronting():
 
 
 def test_never_checked_queries_lead():
+    """Never-checked queries occupy the positions right after the failed
+    block. When a session registers more than the driver cap of new
+    queries, the overflow waits — acceptable ONLY if every overflowing
+    query is oracle-paired, i.e. the local contract gate
+    (tests/test_contract.py) already runs the driver's own comparison on
+    it at sf0.001; a rows-only query may never ship driver-unchecked."""
     latest = _ledger_rounds()
+    failed = [
+        n for n in contract.QUERIES
+        if n in latest and latest[n][1] and n not in contract._SEMANTICS_CHANGED
+    ]
+    sem = [n for n in contract._SEMANTICS_CHANGED if n not in failed]
     never = [
         n for n in contract.QUERIES
-        if n not in latest or n in contract._SEMANTICS_CHANGED
+        if n not in latest and n not in contract._SEMANTICS_CHANGED
     ]
-    head = contract._ROTATION_FIRST[: len(never)]
-    assert set(head) == set(never)
-    # and they all fit inside the driver's row cap
-    assert len(never) <= CAP, (
-        f"{len(never)} never-checked queries exceed the {CAP}-row driver cap; "
-        "some will not get a row this round"
-    )
+    lead = len(failed) + len(sem)
+    block = contract._ROTATION_FIRST[lead: lead + len(never)]
+    assert set(block) == set(never)
+    window = set(contract._ROTATION_FIRST[:CAP])
+    overflow = [n for n in never if n not in window]
+    for n in overflow:
+        assert n in contract.ORACLES, (
+            f"rows-only query {n} would ship with no driver row AND no "
+            "oracle-paired local gate"
+        )
 
 
 def test_semantics_changed_queries_front():

@@ -5250,6 +5250,48 @@ def docs_f2_moment(spark, sf_dir):
 
 
 @q(
+    "docs_heavy_hitters_mg_bound",
+    """
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[j] || ' ' || toks[j + 1] AS item
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j) jj
+  WHERE len(toks) >= 2
+),
+per AS (
+  SELECT ('0x' || substr(md5(item), 1, 8))::BIGINT % 4 AS shard,
+         count(*)::BIGINT AS n_items
+  FROM bg GROUP BY 1
+)
+SELECT sum(n_items)::BIGINT AS n_items,
+       max(n_items)::BIGINT AS max_shard_items,
+       64::BIGINT AS capacity,
+       4::BIGINT AS n_shards,
+       (max(n_items) // 65 + 1)::BIGINT AS certified_threshold,
+       (max(n_items) // 45 + 1)::BIGINT AS capacity_needed_t45
+FROM per
+""",
+)
+def docs_heavy_hitters_mg_bound(spark, sf_dir):
+    """Misra-Gries completeness certificate (operators/sketch.
+    mg_threshold_certificate): per-md5-shard item totals and the smallest
+    threshold for which the streaming MG pass (streaming/topk.py,
+    capacity 64 x 4 shards) is provably a SUPERSET of the true heavy
+    hitters — plus the inverse: the capacity a threshold-45 pass (the
+    docs_heavy_hitters_exact target) would need. On this corpus the
+    word-bigram numbers say capacity 64 certifies T >= ~109 and T = 45
+    needs capacity ~157 — exactly the sizing decision this query exists
+    to surface BEFORE the stream runs (the streaming test certifies its
+    own char-4-gram threshold from actual shard totals the same way)."""
+    from .operators import sketch as _sketch
+
+    return _sketch.mg_threshold_certificate(_docs(spark, sf_dir))
+
+
+@q(
     "docs_vocab_growth",
     """
 WITH tok AS (

@@ -214,3 +214,39 @@ def f2_moment(
         f"cast(({est}) DIV {d} as bigint) AS f2_ams",
         f"cast(abs(f2_exact - ({est}) DIV {d}) * 1000000 DIV f2_exact as bigint) AS err_ppm",
     )
+
+
+def mg_threshold_certificate(
+    docs: DataFrame, capacity: int = 64, n_shards: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """The planning/certification query for the streaming Misra-Gries pass
+    (streaming/topk.py): per-md5-shard item totals and the smallest
+    threshold the MG bound certifies as COMPLETE — any item with count >
+    max_shard N_shard/(capacity+1) is guaranteed in the shard summary, so
+    thresholds >= certified_threshold make candidates-plus-rescore EXACT.
+    Run it on yesterday's corpus to pick capacity/threshold for today's
+    stream — in BOTH directions: certified_threshold is the best
+    threshold the given capacity supports, capacity_needed_t45 is the
+    per-shard capacity a threshold-45 pass would need. The test suite
+    runs the same arithmetic per-run as a live certificate. One explode
+    + one |shards|-row groupBy."""
+    items = bigram_items(docs, text_col)
+    shard = F.expr(
+        f"pmod(cast(conv(substr(md5(item), 1, 8), 16, 10) as bigint), {n_shards})"
+    )
+    per = items.select(shard.alias("shard")).groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    return per.agg(
+        F.sum("n_items").cast("long").alias("n_items"),
+        F.max("n_items").cast("long").alias("max_shard_items"),
+    ).selectExpr(
+        "n_items",
+        "max_shard_items",
+        f"cast({capacity} as bigint) AS capacity",
+        f"cast({n_shards} as bigint) AS n_shards",
+        f"cast(max_shard_items DIV {capacity + 1} + 1 as bigint) AS certified_threshold",
+        # inverse direction: the capacity that would certify threshold 45
+        # (the docs_heavy_hitters_exact target): need T > N_s/(cap+1)
+        f"cast(max_shard_items DIV 45 + 1 as bigint) AS capacity_needed_t45",
+    )

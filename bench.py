@@ -75,6 +75,7 @@ HEADLINE = [
     # round-5 seventh-session families:
     "docs_jaccard_join_exact",  # exact PPJoin prefix-filtered tau-join
     "docs_postings_bytes",      # inverted-index varint layout audit
+    "docs_heavy_hitters_exact",  # MG batch face (threshold bigrams)
 ]
 
 

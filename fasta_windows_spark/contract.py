@@ -5088,9 +5088,10 @@ cc AS (SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY sourc
 o AS (SELECT lang, source, count(*)::BIGINT AS observed
       FROM documents GROUP BY lang, source)
 SELECT o.lang, o.source, o.observed,
-       (rc.n_lang * cc.n_source * 1000000 // n.n_total // n.n_total)::BIGINT
+       (rc.n_lang::HUGEINT * cc.n_source * 1000000 // n.n_total // n.n_total)::BIGINT
          AS expected_ppm_of_corpus,
-       (o.observed * n.n_total * 1000000 // (rc.n_lang * cc.n_source))::BIGINT
+       (o.observed::HUGEINT * n.n_total * 1000000
+          // (rc.n_lang::HUGEINT * cc.n_source))::BIGINT
          AS lift_ppm
 FROM o JOIN rc USING (lang) JOIN cc USING (source), n
 ORDER BY lang, source
@@ -5120,9 +5121,15 @@ def docs_lang_source_lift(spark, sf_dir):
             "lang",
             "source",
             "observed",
-            "cast(n_lang * n_source * 1000000 DIV n_total DIV n_total as bigint)"
-            " AS expected_ppm_of_corpus",
-            "cast(observed * n_total * 1000000 DIV (n_lang * n_source) as bigint)"
+            # DECIMAL(38,0) products vs the oracle's HUGEINT (the semdedup
+            # regime): BIGINT products would overflow (and silently WRAP
+            # under non-ANSI Spark while DuckDB errors) once cells reach
+            # ~4e6 rows; decimal `div` is exact integral division and
+            # bit-matches HUGEINT `//`
+            "cast((cast(n_lang as decimal(38,0)) * n_source * 1000000)"
+            " div n_total div n_total as bigint) AS expected_ppm_of_corpus",
+            "cast((cast(observed as decimal(38,0)) * n_total * 1000000)"
+            " div (cast(n_lang as decimal(38,0)) * n_source) as bigint)"
             " AS lift_ppm",
         )
         .orderBy("lang", "source")

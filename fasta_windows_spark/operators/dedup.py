@@ -1547,15 +1547,29 @@ def jaccard_threshold_join(
         raise ValueError(f"tau must be in (0, 1]: {tau_num}/{tau_den}")
     from pyspark.sql import Window
 
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"sequence(0, greatest(size(filter(split(lower({text_col}), ' '), x -> x <> '')) - {shingle_words}, -1)), "
-                f"i -> array_join(slice(filter(split(lower({text_col}), ' '), x -> x <> ''), i + 1, {shingle_words}), ' ')))"
-            )
-        ).alias("s"),
+    # token array staged in its own projection: referenced twice below, so
+    # CollapseProject keeps it materialized (no per-element re-tokenize),
+    # and short docs guard the sequence() (sequence(0,-1) DESCENDS in
+    # Spark: [0,-1] -> slice start 0 -> runtime error; the CASE mirrors
+    # the oracle's WHERE len >= shingle_words)
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')").alias(
+                "_toks"
+            ),
+        )
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_toks) >= {shingle_words} THEN "
+                    f"array_distinct(transform(sequence(0, size(_toks) - {shingle_words}), "
+                    f"i -> array_join(slice(_toks, i + 1, {shingle_words}), ' '))) "
+                    f"ELSE array() END"
+                )
+            ).alias("s"),
+        )
     )
     from ..staging import stage_scoped
 

@@ -206,19 +206,27 @@ def span_corruption_plan(
     span_id order."""
     if span_len < 1 or block < span_len:
         raise ValueError(f"need 1 <= span_len <= block, got {span_len}/{block}")
-    toks = f"filter(split(lower({text_col}), ' '), x -> x <> '')"
     # per block b: offset = md5(doc:b) % (block - span_len + 1); start =
-    # b*block + offset; emit only if the whole span fits the doc
+    # b*block + offset; emit only if the whole span fits the doc. The
+    # token array is staged in its own projection first (referenced by
+    # sequence bound, fit filter, and the slice) so the lambda never
+    # re-tokenizes the text per block.
     spans = (
-        f"filter(transform(sequence(0, size({toks}) DIV {block}), b -> "
+        f"filter(transform(sequence(0, size(_toks) DIV {block}), b -> "
         f"named_struct('span_id', cast(b as bigint), 'span_start', "
         f"cast(b * {block} + pmod(cast(conv(substr(md5(concat(cast({id_col} as string), ':', cast(b as string))), 1, 8), 16, 10) as bigint), {block - span_len + 1}) as bigint))), "
-        f"s -> s.span_start + {span_len} <= size({toks}))"
+        f"s -> s.span_start + {span_len} <= size(_toks))"
     )
     return (
         docs.select(
             F.col(id_col),
-            F.expr(toks).alias("_toks"),
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')").alias(
+                "_toks"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
             F.explode(F.expr(spans)).alias("s"),
         )
         .select(

@@ -110,15 +110,21 @@ def bigram_items(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of lower(text), as one JVM HOF projection + explode (no Python). The
     SAME function feeds the batch face and the streaming Misra-Gries
     candidate pass, so the two operators count an identical item space."""
+    # token array staged in its own projection: it is referenced four
+    # times below, and subexpression elimination does NOT reach inside
+    # lambda bodies — unstaged, every bigram position re-tokenized the
+    # whole text (O(L^2) per doc). CollapseProject keeps a multi-use
+    # non-cheap alias materialized, so this stays two projections.
     return docs.select(
+        F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')").alias(
+            "_toks"
+        )
+    ).select(
         F.explode(
             F.expr(
-                f"""CASE WHEN size(filter(split(lower({text_col}), ' '), x -> x <> '')) >= 2
-                THEN transform(
-                  sequence(1, size(filter(split(lower({text_col}), ' '), x -> x <> '')) - 1),
-                  i -> concat(element_at(filter(split(lower({text_col}), ' '), x -> x <> ''), i),
-                              ' ',
-                              element_at(filter(split(lower({text_col}), ' '), x -> x <> ''), i + 1)))
+                """CASE WHEN size(_toks) >= 2
+                THEN transform(sequence(1, size(_toks) - 1),
+                  i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
                 ELSE array() END"""
             )
         ).alias("item")
@@ -230,11 +236,13 @@ def mg_threshold_certificate(
     per-shard capacity a threshold-45 pass would need. The test suite
     runs the same arithmetic per-run as a live certificate. One explode
     + one |shards|-row groupBy."""
+    # the certificate is only sound if it shards EXACTLY like the
+    # streaming pass — import the stream's own shard expression rather
+    # than duplicating the string (review finding)
+    from ..streaming.topk import _shard_col
+
     items = bigram_items(docs, text_col)
-    shard = F.expr(
-        f"pmod(cast(conv(substr(md5(item), 1, 8), 16, 10) as bigint), {n_shards})"
-    )
-    per = items.select(shard.alias("shard")).groupBy("shard").agg(
+    per = items.select(_shard_col(n_shards).alias("shard")).groupBy("shard").agg(
         F.count("*").cast("long").alias("n_items")
     )
     return per.agg(

@@ -901,6 +901,11 @@ def read_sink_increment(
     batches = sink_batches(out_path)
     if up_to_batch is None:
         up_to_batch = batches[-1] if batches else -1
+    elif batches and up_to_batch not in batches:
+        raise ValueError(
+            f"batch {up_to_batch} has no manifest in {out_path} "
+            f"(available: {batches[0]}..{batches[-1]})"
+        )
     if batches and since_batch not in batches:
         raise ValueError(
             f"batch {since_batch} has no manifest in {out_path} "
@@ -916,7 +921,7 @@ def read_sink_increment(
 
 
 def vacuum_sink_orphans(
-    out_path: str, min_age_seconds: float = 0.0, dry_run: bool = False
+    out_path: str, min_age_seconds: float = 3600.0, dry_run: bool = False
 ) -> list[str]:
     """Delete data files present in the sink directory but ABSENT from the
     latest committed manifest — the leftovers of crashed/zombie write
@@ -924,7 +929,10 @@ def vacuum_sink_orphans(
     which hold disk (at 10^12 rows: real money) until removed. Safety:
     only files older than `min_age_seconds` are touched, so an IN-FLIGHT
     batch's files (written before their manifest commits) are never
-    deleted — the same age guard Iceberg's remove_orphan_files uses.
+    deleted — the same age guard Iceberg's remove_orphan_files uses, and
+    for the same reason the DEFAULT is a nonzero hour, not 0 (a zero
+    default would race a mid-commit batch and lose committed data; pass
+    an explicit 0 only when no writer can possibly be running).
     Returns the deleted (or would-delete, when dry_run) relative paths.
     Never touches _spark_metadata: manifests are the table's history and
     time travel depends on them."""

@@ -13,11 +13,15 @@ def _brute_force(spark, docs, tau_num, tau_den, shingle_words=3):
     """All-pairs shingle-set Jaccard with NO filtering — the ground truth."""
     sh = docs.select(
         F.col("doc_id").alias("doc"),
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("_toks"),
+    ).select(
+        "doc",
         F.explode(
             F.expr(
-                f"array_distinct(transform("
-                f"sequence(0, greatest(size(filter(split(lower(text), ' '), x -> x <> '')) - {shingle_words}, -1)), "
-                f"i -> array_join(slice(filter(split(lower(text), ' '), x -> x <> ''), i + 1, {shingle_words}), ' ')))"
+                f"CASE WHEN size(_toks) >= {shingle_words} THEN "
+                f"array_distinct(transform(sequence(0, size(_toks) - {shingle_words}), "
+                f"i -> array_join(slice(_toks, i + 1, {shingle_words}), ' '))) "
+                f"ELSE array() END"
             )
         ).alias("s"),
     )
@@ -149,3 +153,17 @@ def test_ppjoin_rejects_bad_tau(spark):
         dedup.jaccard_threshold_join(docs, 0, 2)
     with pytest.raises(ValueError):
         dedup.jaccard_threshold_join(docs, 3, 2)
+
+
+def test_ppjoin_short_docs_do_not_crash(spark):
+    """Docs with fewer tokens than the shingle width contribute no
+    shingles and no pairs — and must not crash the sequence() (Spark's
+    sequence(0,-1) DESCENDS; regression for the review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "x"), (3, ""), (4, "a b c d e f"), (5, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup.jaccard_threshold_join(docs, 1, 2).collect()
+    }
+    assert got == {(4, 5)}

@@ -2115,6 +2115,10 @@ def test_sink_increment_and_vacuum(spark, tmp_path):
     # unknown since-batch refuses rather than silently diffing wrong
     with _pytest.raises(ValueError, match="no manifest"):
         S.read_sink_increment(spark, out, 99)
+    # ...and so does an unknown up_to_batch (a retention-expired upper
+    # bound must not return an empty 'increment')
+    with _pytest.raises(ValueError, match="no manifest"):
+        S.read_sink_increment(spark, out, batches[0], up_to_batch=99)
 
     # vacuum: plant an orphan (a failed attempt's leftover data file)
     committed = S._manifest_files(out, batches[-1])
@@ -2123,9 +2127,19 @@ def test_sink_increment_and_vacuum(spark, tmp_path):
     )
     orphan = "part-88888-orphan.parquet"
     shutil.copy(orphan_src, os.path.join(out, orphan))
-    assert S.vacuum_sink_orphans(out, dry_run=True) == [orphan]
+    # explicit age 0: no writer is running in this test; the DEFAULT must
+    # stay nonzero so production calls cannot race an in-flight batch
+    assert S.vacuum_sink_orphans(out, 0.0, dry_run=True) == [orphan]
     assert os.path.exists(os.path.join(out, orphan))  # dry run is dry
-    assert S.vacuum_sink_orphans(out) == [orphan]
+    import inspect
+
+    assert (
+        inspect.signature(S.vacuum_sink_orphans).parameters[
+            "min_age_seconds"
+        ].default
+        > 0
+    )
+    assert S.vacuum_sink_orphans(out, 0.0) == [orphan]
     assert not os.path.exists(os.path.join(out, orphan))
     # committed data and history intact; the RAW directory read is clean again
     assert S.read_sink_snapshot(spark, out).count() == full

@@ -5399,6 +5399,47 @@ def docs_bm25_search(spark, sf_dir):
     return _retrieval.bm25_search(_docs(spark, sf_dir))
 
 
+@q(
+    "docs_hybrid_rrf",
+    f"""
+WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r1
+  FROM ({_retrieval.bm25_oracle_sql(topk=50)})
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, qv.q) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.q, qv.q))),
+               5) AS cosine
+  FROM e, qv WHERE e.vec_id <> 0
+),
+ann AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r2
+  FROM (SELECT * FROM scored ORDER BY cosine DESC, doc_id LIMIT 50)
+),
+u AS (
+  SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id, r1, r2
+  FROM bm FULL JOIN ann ON bm.doc_id = ann.doc_id
+)
+SELECT doc_id, r1 AS bm25_rank, r2 AS ann_rank,
+       (coalesce(1000000000 // (60 + r1), 0)
+        + coalesce(1000000000 // (60 + r2), 0))::BIGINT AS rrf_ppb
+FROM u ORDER BY rrf_ppb DESC, doc_id LIMIT 20
+""",
+)
+def docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval via reciprocal rank fusion
+    (operators/retrieval.hybrid_rrf, Cormack et al. 2009) — the RAG
+    retrieval shape: BM25's exact rational ranking fused with the exact-
+    cosine ANN ranking for doc 0's embedding, each term floor(1e9/(60+r))
+    so the fused score is pure BIGINT (no float ever ranks). The fusion
+    stage is k-vs-k regardless of corpus size; the corpus work lives in
+    the two rankers, each one scan + TakeOrdered."""
+    return _retrieval.hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 @q("docs_phrase_search", _retrieval.phrase_search_oracle_sql())
 def docs_phrase_search(spark, sf_dir):
     """Exact phrase retrieval for the fixed 2-gram "stream window"

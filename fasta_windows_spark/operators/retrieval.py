@@ -367,3 +367,67 @@ WHERE df >= {min_df}
 ORDER BY df DESC, token
 LIMIT {topk}
 """
+
+
+# =============================================================================
+# hybrid retrieval: BM25 (lexical) + ANN (semantic) via reciprocal rank fusion
+# =============================================================================
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms=("stream", "window", "join"),
+    query_id: int = 0,
+    k_each: int = 50,
+    topk: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid search (Cormack et al. SIGIR'09 reciprocal rank fusion): fuse
+    the BM25 lexical ranking with an exact-cosine semantic ranking for the
+    embedding of document `query_id` — the retrieval shape RAG pipelines
+    ship, where neither ranker alone survives both paraphrase and jargon.
+
+    RRF score = sum over rankers of 1/(rrf_k + rank). Hash-gating floats
+    is avoided entirely: each term is floor(1e9/(rrf_k + rank)) — exact
+    BIGINT, absent rankings contribute 0 — and both input RANKINGS are
+    already cross-engine exact (BM25 scores are bit-identical rationals;
+    the ANN side ranks on the 5dp-rounded sequential-fold cosine with id
+    tie-breaks, the emb_knn_topk_exact protocol). Each ranker returns
+    k_each rows, so the rank windows run over k-sized frames (single
+    partition BY CONSTRUCTION, bounded by k — the DLT-tau precedent), and
+    the fusion join is k-vs-k: the whole fusion stage is metadata-sized
+    regardless of corpus size; the corpus-sized work lives inside the two
+    rankers, each already scale-shaped (one scan + TakeOrdered).
+
+    Returns (doc_id, bm25_rank, ann_rank, rrf_ppb) top-`topk` by
+    (rrf_ppb DESC, doc_id); ranks are NULL where a ranker missed the doc.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import knn_topk_exact
+
+    bm = bm25_search(docs, terms=terms, topk=k_each).select("doc_id", "score")
+    bm_r = bm.withColumn(
+        "r1",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    ).select("doc_id", "r1")
+    ann = knn_topk_exact(emb, query_ids=[query_id], k=k_each).select(
+        F.col("neighbor_id").alias("doc_id"), "cosine"
+    )
+    ann_r = ann.withColumn(
+        "r2",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+    ).select("doc_id", "r2")
+    fused = bm_r.join(ann_r, "doc_id", "full_outer")
+    return (
+        fused.selectExpr(
+            "doc_id",
+            "r1 AS bm25_rank",
+            "r2 AS ann_rank",
+            f"coalesce(1000000000 DIV ({rrf_k} + r1), 0)"
+            f" + coalesce(1000000000 DIV ({rrf_k} + r2), 0) AS rrf_ppb",
+        )
+        .orderBy(F.desc("rrf_ppb"), F.asc("doc_id"))
+        .limit(topk)
+    )

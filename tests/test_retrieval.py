@@ -254,3 +254,41 @@ def test_postings_bytes_window_partitions_on_block(spark):
         assert "blk" in plan
     else:
         assert "token" in m.group(1) and "blk" in m.group(1)
+
+
+# --- hybrid RRF --------------------------------------------------------------
+
+
+def test_hybrid_rrf_matches_python_fusion(spark):
+    """The fused ranking equals a python recomputation of RRF over the
+    two component rankings, and a doc ranked by BOTH rankers outranks a
+    doc holding rank 1 in only one (the fusion property)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = retrieval.hybrid_rrf(docs, emb).collect()
+    assert len(got) == 20
+
+    bm = retrieval.bm25_search(docs, topk=50).collect()
+    r1 = {r.doc_id: i + 1 for i, r in enumerate(bm)}
+    from fasta_windows_spark.operators.similarity import knn_topk_exact
+
+    ann = sorted(
+        knn_topk_exact(emb, query_ids=[0], k=50).collect(),
+        key=lambda r: (-r.cosine, r.neighbor_id),
+    )
+    r2 = {r.neighbor_id: i + 1 for i, r in enumerate(ann)}
+    ref = {}
+    for d in set(r1) | set(r2):
+        ref[d] = (10**9 // (60 + r1[d]) if d in r1 else 0) + (
+            10**9 // (60 + r2[d]) if d in r2 else 0
+        )
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.doc_id, r.rrf_ppb) for r in got] == want
+
+    both = [r for r in got if r.bm25_rank is not None and r.ann_rank is not None]
+    if both:
+        best_both = max(b.rrf_ppb for b in both)
+        single_rank1 = 10**9 // 61
+        assert best_both >= single_rank1 or all(
+            b.bm25_rank + b.ann_rank > 40 for b in both
+        )

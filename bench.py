@@ -76,6 +76,7 @@ HEADLINE = [
     "docs_jaccard_join_exact",  # exact PPJoin prefix-filtered tau-join
     "docs_postings_bytes",      # inverted-index varint layout audit
     "docs_heavy_hitters_exact",  # MG batch face (threshold bigrams)
+    "docs_hybrid_rrf",          # BM25 + ANN reciprocal rank fusion
 ]
 
 

@@ -5440,6 +5440,31 @@ def docs_hybrid_rrf(spark, sf_dir):
     return _retrieval.hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir))
 
 
+@q(
+    "docs_kwic_snippets",
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (SELECT doc_id, list_position(toks, 'stream')::BIGINT AS pos, toks FROM t)
+SELECT doc_id, pos,
+       array_to_string(list_slice(toks, greatest(pos - 5, 1), pos + 5), ' ') AS snippet
+FROM m WHERE pos > 0
+ORDER BY doc_id
+""",
+)
+def docs_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippets for 'stream' (operators/retrieval.
+    kwic_snippets): first-occurrence position + the +-5-token window —
+    the result-rendering step after retrieval, one narrow JVM projection
+    over the staged token array (array_position/slice/array_join), zero
+    shuffle before the output sort. Spark's slice(start, LENGTH) and
+    DuckDB's list_slice(lo, hi) are reconciled in the length argument;
+    both clamp the right edge at the doc end."""
+    return _retrieval.kwic_snippets(_docs(spark, sf_dir), term="stream")
+
+
 @q("docs_phrase_search", _retrieval.phrase_search_oracle_sql())
 def docs_phrase_search(spark, sf_dir):
     """Exact phrase retrieval for the fixed 2-gram "stream window"
@@ -5451,6 +5476,64 @@ def docs_phrase_search(spark, sf_dir):
     table once per phrase token. Both engines index 1-based, so counts
     AND positions are hash-exact."""
     return _retrieval.phrase_search(_docs(spark, sf_dir))
+
+
+def _bitpack_oracle_sql(min_df: int = 8, topk: int = 100, block: int = 4096) -> str:
+    vb = _retrieval._varint_bytes_sql("v")
+    bw = _retrieval._bitwidth_sql("v")
+    return f"""
+WITH post AS (
+  SELECT DISTINCT t.token, d.doc_id AS did
+  FROM documents d,
+       LATERAL unnest(list_filter(string_split(lower(d.text), ' '),
+                                  x -> x <> '')) AS t(token)
+),
+enc AS (
+  SELECT token, did // {block} AS blk,
+         lag(did) OVER (PARTITION BY token, did // {block} ORDER BY did) AS prev,
+         did
+  FROM post
+),
+vals AS (
+  SELECT token, blk, coalesce(did - prev, did) AS v,
+         CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_head
+  FROM enc
+),
+per_block AS (
+  SELECT token, blk, count(*)::BIGINT AS n_in_block,
+         sum({vb})::BIGINT AS varint_bytes,
+         max(CASE WHEN is_head = 1 THEN 0 ELSE {bw} END)::BIGINT AS block_width
+  FROM vals GROUP BY token, blk
+),
+costed AS (
+  SELECT token, n_in_block, varint_bytes,
+         (8 + 1 + ((n_in_block - 1) * block_width + 7) // 8)::BIGINT AS bitpack_bytes
+  FROM per_block
+),
+agg AS (
+  SELECT token, sum(n_in_block)::BIGINT AS df, count(*)::BIGINT AS n_blocks,
+         sum(varint_bytes)::BIGINT AS varint_bytes,
+         sum(bitpack_bytes)::BIGINT AS bitpack_bytes
+  FROM costed GROUP BY token
+)
+SELECT token, df, n_blocks, varint_bytes, bitpack_bytes,
+       round(bitpack_bytes::DOUBLE / varint_bytes::DOUBLE, 6) AS ratio
+FROM agg WHERE df >= {min_df}
+ORDER BY df DESC, token
+LIMIT {topk}
+"""
+
+
+@q("docs_postings_bitpack", _bitpack_oracle_sql())
+def docs_postings_bitpack(spark, sf_dir):
+    """Frame-of-reference / PForDelta pricing beside docs_postings_bytes'
+    varint (operators/retrieval.postings_bitpack_audit): per posting
+    block, deltas packed at the block's max bit width (8-byte absolute
+    head doubling as the skip entry + 1 width byte + packed payload) —
+    exact BIGINT bytes, so the varint-vs-bitpack regime call per token is
+    hash-gated. Same skew-free (token, block) window as the varint
+    audit."""
+    return _retrieval.postings_bitpack_audit(_docs(spark, sf_dir))
 
 
 @q("docs_postings_bytes", _retrieval.postings_bytes_oracle_sql())

@@ -431,3 +431,130 @@ def hybrid_rrf(
         .orderBy(F.desc("rrf_ppb"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+def _bitwidth_sql(v: str) -> str:
+    """Bits needed for a non-negative BIGINT (0 -> 0 bits), portable CASE-free
+    form: floor(log2(v)) + 1 via the 63 - leading-zero identity is not
+    portable, so use length of the binary string minus leading zeros —
+    Spark and DuckDB both have bin()/bit_length? Not portably; use a CASE
+    ladder over powers of two (deltas in a 4096-doc block need <= 13 bits,
+    absolute ids more — ladder to 40 bits covers 10^12 docs)."""
+    cases = " ".join(
+        f"WHEN {v} < {1 << b} THEN {b}" for b in range(1, 41)
+    )
+    return f"(CASE WHEN {v} = 0 THEN 0 {cases} ELSE 63 END)"
+
+
+def postings_bitpack_audit(
+    docs: DataFrame,
+    min_df: int = 8,
+    topk: int = 100,
+    block: int = POSTINGS_BLOCK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The frame-of-reference / PForDelta side of the layout decision that
+    postings_bytes_audit prices for varint: within each posting block,
+    pack every delta at the BLOCK's maximum bit width (one width byte per
+    block + ceil(n_in_block * width / 8) payload — the word-aligned
+    simplification of Lucene's FOR). Bit-packing wins over varint when
+    deltas are uniform (dense postings), loses when one outlier delta
+    inflates the whole block's width — the audit shows which regime each
+    token is in, in exact BIGINTs.
+
+    Same skew-free (token, block) window as the varint audit; block heads
+    store the absolute id OUTSIDE the packed payload (8 bytes, like the
+    skip table entry it doubles as). Returns per-token (token, df,
+    n_blocks, varint_bytes, bitpack_bytes, ratio) for df >= min_df,
+    ordered (df DESC, token), top-k."""
+    from pyspark.sql import Window
+
+    post = (
+        docs.select(
+            F.explode(
+                F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')")
+            ).alias("token"),
+            F.col(id_col).cast("long").alias("did"),
+        )
+        .distinct()
+        .withColumn("blk", F.expr(f"did DIV {block}"))
+    )
+    w = Window.partitionBy("token", "blk").orderBy("did")
+    enc = (
+        post.withColumn("_prev", F.lag("did").over(w))
+        .withColumn("v", F.expr("coalesce(did - _prev, did)"))
+        .withColumn("is_head", F.expr("if(_prev is null, 1, 0)"))
+        .withColumn("nb", F.expr(f"cast({_varint_bytes_sql('v')} as bigint)"))
+        .withColumn(
+            "bw", F.expr(f"cast(if(_prev is null, 0, {_bitwidth_sql('v')}) as bigint)")
+        )
+    )
+    per_block = enc.groupBy("token", "blk").agg(
+        F.count("*").cast("long").alias("n_in_block"),
+        F.sum("nb").cast("long").alias("varint_bytes"),
+        F.max("bw").cast("long").alias("block_width"),
+    )
+    # block cost: 8-byte absolute head + 1 width byte + packed deltas
+    blk_cost = per_block.withColumn(
+        "bitpack_bytes",
+        F.expr("8 + 1 + ((n_in_block - 1) * block_width + 7) DIV 8"),
+    )
+    agg = blk_cost.groupBy("token").agg(
+        F.sum("n_in_block").cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("varint_bytes").cast("long").alias("varint_bytes"),
+        F.sum("bitpack_bytes").cast("long").alias("bitpack_bytes"),
+    )
+    return (
+        agg.where(F.col("df") >= min_df)
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("bitpack_bytes").cast("double") / F.col("varint_bytes"), 6
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(topk)
+    )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    term: str = "checkpoint",
+    context: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippet extraction — the result-rendering step
+    after retrieval: for every document containing `term`, the 1-based
+    token position of its FIRST occurrence and the +-context-token window
+    around it. One narrow JVM projection over the staged token array
+    (array_position + slice + array_join), zero shuffle before the output
+    sort; at serving scale this runs over the already-retrieved top-k
+    only. Returns (doc_id, pos, snippet) ordered by doc_id."""
+    if not term.isalnum():
+        raise ValueError(f"term must be alphanumeric: {term!r}")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x <> '')").alias(
+                "_toks"
+            ),
+        )
+        .select(
+            id_col,
+            F.expr(f"cast(array_position(_toks, '{term}') as bigint)").alias("pos"),
+            F.col("_toks"),
+        )
+        .where(F.col("pos") > 0)
+        .select(
+            id_col,
+            "pos",
+            F.expr(
+                f"array_join(slice(_toks, cast(greatest(pos - {context}, 1) as int), "
+                f"cast(pos + {context} - greatest(pos - {context}, 1) + 1 as int)), ' ')"
+            ).alias("snippet"),
+        )
+        .orderBy(id_col)
+    )

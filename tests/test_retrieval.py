@@ -292,3 +292,49 @@ def test_hybrid_rrf_matches_python_fusion(spark):
         assert best_both >= single_rank1 or all(
             b.bm25_rank + b.ann_rank > 40 for b in both
         )
+
+
+# --- bitpack audit + KWIC ----------------------------------------------------
+
+
+def test_bitpack_audit_python_lockstep(spark):
+    """bitpack_bytes equals a python FOR encoder: per block, 8-byte head +
+    1 width byte + ceil((n-1)*maxwidth/8)."""
+    blk = retrieval.POSTINGS_BLOCK
+    ids = [0, 5, 9, blk, blk + 1, blk + 127]
+    df = spark.createDataFrame([(i, "tok") for i in ids], "doc_id long, text string")
+    row = retrieval.postings_bitpack_audit(df, min_df=1).collect()[0]
+    # block 0: deltas [5, 4] -> width 3 -> 8+1+ceil(6/8)=10
+    # block 1: deltas [1, 126] -> width 7 -> 8+1+ceil(14/8)=11
+    assert row["bitpack_bytes"] == 10 + 11
+    assert row["n_blocks"] == 2
+
+
+def test_bitpack_single_entry_block_costs_head_only(spark):
+    df = spark.createDataFrame([(7, "tok")], "doc_id long, text string")
+    row = retrieval.postings_bitpack_audit(df, min_df=1).collect()[0]
+    assert row["bitpack_bytes"] == 8 + 1  # no deltas to pack
+
+
+def test_kwic_snippets_window_and_clamps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f target g h i j k l"),
+            (2, "target x y"),
+            (3, "p q r"),
+            (4, "x target"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.pos, r.snippet) for r in
+           retrieval.kwic_snippets(docs, term="target").collect()}
+    assert got == {
+        1: (7, "b c d e f target g h i j k"),
+        2: (1, "target x y"),
+        4: (2, "x target"),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval.kwic_snippets(docs, term="bad term'")

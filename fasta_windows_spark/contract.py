@@ -6007,6 +6007,52 @@ def docs_dup_components_star(spark, sf_dir):
 
 
 @q(
+    "docs_dup_rate_by_source",
+    f"""
+WITH RECURSIVE {_SQL_DUP_COMP_CTES},
+lab AS (
+  SELECT d.source, c.doc_id, c.component_id
+  FROM comp c JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT component_id)::BIGINT AS n_clusters
+  FROM lab GROUP BY source
+)
+SELECT source, n_docs, n_clusters,
+       (n_docs - n_clusters)::BIGINT AS n_redundant,
+       ((n_docs - n_clusters) * 1000000 // n_docs)::BIGINT AS dup_ppm
+FROM per ORDER BY source
+""",
+)
+def docs_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication rate — the curation-dashboard number that
+    decides which crawl sources are paying for redundant bytes: docs vs
+    distinct duplicate clusters per source, redundancy in exact ppm.
+    NOTE the subtlety this query makes visible: clusters can span
+    sources, so n_clusters counts a cross-source cluster once per source
+    it touches — dup_ppm measures WITHIN-source redundancy (the bytes
+    that source alone wastes), which is the number a per-source crawl
+    budget acts on. Composes the hash-gated CC labels with one groupBy;
+    output is |sources| rows at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    pairs = _dedup.minhash_band_pairs(_dedup.minhash_signatures(docs))
+    labels = _dedup.connected_components(pairs, docs.select("doc_id"))
+    lab = labels.join(docs.select("doc_id", "source"), "doc_id")
+    per = lab.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("component_id").cast("long").alias("n_clusters"),
+    )
+    return per.selectExpr(
+        "source",
+        "n_docs",
+        "n_clusters",
+        "cast(n_docs - n_clusters as bigint) AS n_redundant",
+        "cast((n_docs - n_clusters) * 1000000 DIV n_docs as bigint) AS dup_ppm",
+    ).orderBy("source")
+
+
+@q(
     "docs_dup_cluster_sizes",
     f"""
 WITH RECURSIVE {_SQL_DUP_COMP_CTES},
